@@ -1,0 +1,23 @@
+"""cryo_spark — a PySpark-native per-column lightweight-compression engine.
+
+A from-scratch engine with the capabilities of ``whaleclub777/cryo``
+(partitioned columnar extract→transform→encode→write with chunking,
+per-column representation encoding, manifest/resume), re-expressed
+Spark-first: DataFrame layout transformations + vectorized Arrow/pandas
+codec kernels + a manifest-driven freeze job.
+
+Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
+/root/reference/crates/python/python/cryo/_collect.py:53-143):
+
+- ``encode(df, ...) -> DataFrame``   — encoded chunk table (no sink)
+- ``decode(enc_df) -> DataFrame``    — inverse, bit-identical rows
+- ``freeze(spark, input_path, output_dir, ...) -> dict`` — full job with
+  manifest, skip-existing resume, atomic commit, metrics.
+"""
+
+from .engine import decode, encode, freeze
+from .fixtures import generate_sequences, write_sequences
+
+__version__ = "0.1.0"
+
+__all__ = ["encode", "decode", "freeze", "generate_sequences", "write_sequences"]

@@ -1,0 +1,113 @@
+"""Low-level vectorized bit-packing and framing primitives.
+
+All kernels are pure numpy — no per-row Python. These are the shared
+building blocks of every codec (cf. the reference's fixed-width packing
+idiom for wide ints, /root/reference/crates/freeze/src/types/conversions.rs:21-47,
+generalized here to arbitrary bit widths).
+
+Framing convention: variable-size sub-blobs are length-prefixed with a
+little-endian u64 so codecs can nest each other (e.g. RLE nests a
+frame-of-reference blob for run values).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+U64 = struct.Struct("<Q")
+
+
+# ---------------------------------------------------------------------------
+# bit packing
+# ---------------------------------------------------------------------------
+
+def bit_width(max_value: int) -> int:
+    """Bits needed to represent ``max_value`` (non-negative)."""
+    if max_value < 0:
+        raise ValueError("bit_width requires a non-negative value")
+    return int(max_value).bit_length()
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers into a little-endian bitstream.
+
+    ``values`` is any integer ndarray; each value must fit in ``width``
+    bits. width == 0 packs to the empty byte string (all values zero).
+    """
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    # (n, width) bit matrix, LSB first, then pack little-endian.
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64 ndarray of length n."""
+    if n == 0 or width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(raw, count=n * width, bitorder="little")
+    bits = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# zigzag (signed -> unsigned, order-preserving around zero)
+# ---------------------------------------------------------------------------
+
+def zigzag(values: np.ndarray) -> np.ndarray:
+    v = values.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def unzigzag(values: np.ndarray) -> np.ndarray:
+    v = values.astype(np.uint64, copy=False)
+    return ((v >> np.uint64(1)).astype(np.int64)) ^ -(v & np.uint64(1)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# framing helpers
+# ---------------------------------------------------------------------------
+
+def put_blob(parts: list[bytes], blob: bytes) -> None:
+    parts.append(U64.pack(len(blob)))
+    parts.append(blob)
+
+
+def get_blob(buf: memoryview, pos: int) -> tuple[memoryview, int]:
+    (size,) = U64.unpack_from(buf, pos)
+    pos += U64.size
+    return buf[pos : pos + size], pos + size
+
+
+# ---------------------------------------------------------------------------
+# zstd (general-purpose entropy stage, via pyarrow's bundled zstd)
+# ---------------------------------------------------------------------------
+
+_ZSTD_CACHE: dict[int, pa.Codec] = {}
+
+
+def _zstd(level: int) -> pa.Codec:
+    codec = _ZSTD_CACHE.get(level)
+    if codec is None:
+        codec = pa.Codec("zstd", compression_level=level)
+        _ZSTD_CACHE[level] = codec
+    return codec
+
+
+def zstd_compress(buf: bytes, level: int = 3) -> bytes:
+    return U64.pack(len(buf)) + _zstd(level).compress(buf, asbytes=True)
+
+
+def zstd_decompress(buf: bytes | memoryview) -> bytes:
+    (size,) = U64.unpack_from(buf, 0)
+    if size == 0:
+        return b""
+    return _zstd(3).decompress(bytes(buf[U64.size :]), decompressed_size=size, asbytes=True)

@@ -1,0 +1,103 @@
+"""Deterministic synthetic `sequences` table generator — FIXTURES.md §1.
+
+Input shape mandated by BASELINE.json:input_hint:
+  (doc_id: string, tokens: array<int32>, n_tok: int32, source: string)
+
+All generation is seeded numpy (seed=42 default); no external data. The
+edge-case rows required by FIXTURES.md are injected at fixed doc indices
+so every codec branch is exercised at every scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = 50_257
+SOURCES = ["web", "code", "books", "wiki", "chat"]
+SOURCE_PROBS = [0.62, 0.18, 0.10, 0.06, 0.04]
+
+SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("tokens", pa.list_(pa.int32()), nullable=False),
+        pa.field("n_tok", pa.int32(), nullable=False),
+        pa.field("source", pa.string(), nullable=False),
+    ]
+)
+
+
+def generate_sequences(n: int, seed: int = 42) -> pa.Table:
+    """Build the synthetic table fully vectorized; deterministic for (n, seed)."""
+    rng = np.random.default_rng(seed)
+    # lengths: clipped lognormal around ~200 tokens
+    lengths = np.clip(
+        rng.lognormal(mean=np.log(200), sigma=1.0, size=n).astype(np.int64), 1, 4096
+    )
+    source_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_PROBS)
+
+    # ----- edge-case rows at fixed indices (if n large enough) ---------------
+    # i % 1000 == 0 -> length-1; ==1 -> all-equal; ==2 -> strictly increasing;
+    # ==3 -> contains 0 and 2^31-1; ==4 -> vocab<=16; ==5 -> high-entropy uniform
+    marks = np.arange(n) % 1000
+    lengths[marks == 0] = 1
+    lengths[marks == 3] = np.maximum(lengths[marks == 3], 4)
+
+    total = int(lengths.sum())
+    # zipfian token stream over the vocab
+    flat = (rng.zipf(1.2, total) % VOCAB).astype(np.int32)
+
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+
+    def fill(rows: np.ndarray, maker) -> None:
+        for r in rows:
+            s, e = int(starts[r]), int(ends[r])
+            flat[s:e] = maker(e - s, r)
+
+    fill(np.flatnonzero(marks == 1), lambda ln, r: np.full(ln, r % VOCAB, np.int32))
+    fill(np.flatnonzero(marks == 2), lambda ln, r: (np.arange(ln) + r) % (2**31 - 1))
+    fill(
+        np.flatnonzero(marks == 3),
+        lambda ln, r: np.concatenate(
+            ([0, 2**31 - 1], (np.arange(ln - 2) + r) % VOCAB)
+        ).astype(np.int32),
+    )
+    fill(np.flatnonzero(marks == 4), lambda ln, r: (np.arange(ln) * (r + 1)) % 16)
+    fill(
+        np.flatnonzero(marks == 5),
+        lambda ln, r: np.random.default_rng(r).integers(0, 2**31 - 1, ln, dtype=np.int32),
+    )
+
+    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n)], type=pa.string())
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+    n_tok = pa.array(lengths.astype(np.int32), type=pa.int32())
+    source = pa.array([SOURCES[i] for i in source_idx], type=pa.string())
+    return pa.table(
+        {"doc_id": doc_ids, "tokens": tokens, "n_tok": n_tok, "source": source},
+        schema=SCHEMA,
+    )
+
+
+def write_sequences(path: str, n: int, seed: int = 42) -> str:
+    """Write the synthetic table as parquet (snappy; the *input*, not the ref)."""
+    table = generate_sequences(n, seed)
+    pq.write_table(table, path, compression="snappy")
+    return path
+
+
+def reference_zstd_bytes(table: pa.Table, path: str) -> int:
+    """Size of the cryo-equivalent output: parquet+zstd of the payload columns.
+
+    The reference delegates compression to the parquet writer with a
+    codec flag (/root/reference/crates/cli/src/parse/file_output.rs:124-130);
+    zstd is its strongest menu entry — this is the byte budget our
+    engine's total enc_bytes must not exceed (FIXTURES.md §3).
+    """
+    import os
+
+    pq.write_table(table.select(["tokens", "n_tok", "source"]), path, compression="zstd")
+    return os.path.getsize(path)
