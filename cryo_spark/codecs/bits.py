@@ -31,18 +31,39 @@ def bit_width(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
-def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack non-negative integers into a little-endian bitstream.
+def storage_width(max_value: int) -> int:
+    """Width actually used to pack values with max ``max_value``.
 
-    ``values`` is any integer ndarray; each value must fit in ``width``
-    bits. width == 0 packs to the empty byte string (all values zero).
+    Sub-byte widths (<= 8) are packed exactly — the dense path for tiny
+    vocab / run lengths. Wider values are rounded up to the next byte
+    multiple: byte-aligned lanes are ~100x faster to (un)pack (pure
+    astype views) and give the downstream zstd stage byte-structured
+    input it can actually model — the same trade Parquet makes with its
+    PLAIN + codec path.
+    """
+    w = bit_width(max_value)
+    return w if w <= 8 else (w + 7) // 8 * 8
+
+
+def pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack non-negative integers into a dense little-endian layout.
+
+    Each value must fit in ``width`` bits; width == 0 packs to b"".
+    Sub-byte widths pack an exact bitstream. Byte-multiple widths store
+    byte planes plane-major (byte-stream split): plane k holds byte k of
+    every value. Equally dense, (un)packable with pure views/copies, and
+    far friendlier to the downstream zstd stage — each plane is a
+    low-entropy stream (high planes of small values are almost all zero).
     """
     n = len(values)
     if n == 0 or width == 0:
         return b""
     v = np.ascontiguousarray(values, dtype=np.uint64)
+    if width % 8 == 0:
+        nbytes = width // 8
+        lanes = v.view(np.uint8).reshape(n, 8)[:, :nbytes]
+        return np.ascontiguousarray(lanes.T).tobytes()  # plane-major
     shifts = np.arange(width, dtype=np.uint64)
-    # (n, width) bit matrix, LSB first, then pack little-endian.
     bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
@@ -51,6 +72,12 @@ def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns uint64 ndarray of length n."""
     if n == 0 or width == 0:
         return np.zeros(n, dtype=np.uint64)
+    if width % 8 == 0:
+        nbytes = width // 8
+        planes = np.frombuffer(buf, dtype=np.uint8, count=n * nbytes).reshape(nbytes, n)
+        lanes = np.zeros((n, 8), dtype=np.uint8)
+        lanes[:, :nbytes] = planes.T
+        return lanes.reshape(-1).view(np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     bits = np.unpackbits(raw, count=n * width, bitorder="little")
     bits = bits.reshape(n, width).astype(np.uint64)

@@ -17,7 +17,7 @@ import struct
 
 import numpy as np
 
-from .bits import bit_width, get_blob, pack_bits, put_blob, unpack_bits, unzigzag, zigzag
+from .bits import get_blob, pack_bits, put_blob, storage_width, unpack_bits, unzigzag, zigzag
 
 _HDR = struct.Struct("<BQ")  # dtype code, n
 _DTYPES = {0: np.dtype("<i4"), 1: np.dtype("<i8")}
@@ -58,7 +58,7 @@ def encode_bitpack(values: np.ndarray) -> bytes:
     hdr, v = _header(values)
     if len(v) and int(v.min()) < 0:
         raise ValueError("bitpack requires non-negative values (use 'for' or 'delta')")
-    width = bit_width(int(v.max())) if len(v) else 0
+    width = storage_width(int(v.max())) if len(v) else 0
     return hdr + struct.pack("<B", width) + pack_bits(v, width)
 
 
@@ -76,7 +76,7 @@ def encode_for(values: np.ndarray) -> bytes:
     hdr, v = _header(values)
     base = int(v.min()) if len(v) else 0
     deltas = v.astype(np.int64) - base  # non-negative by construction
-    width = bit_width(int(deltas.max())) if len(v) else 0
+    width = storage_width(int(deltas.max())) if len(v) else 0
     return hdr + struct.pack("<qB", base, width) + pack_bits(deltas.astype(np.uint64), width)
 
 
@@ -96,7 +96,7 @@ def encode_delta(values: np.ndarray) -> bytes:
     first = int(v[0]) if len(v) else 0
     diffs = np.diff(v.astype(np.int64))
     zz = zigzag(diffs)
-    width = bit_width(int(zz.max())) if len(zz) else 0
+    width = storage_width(int(zz.max())) if len(zz) else 0
     return hdr + struct.pack("<qB", first, width) + pack_bits(zz, width)
 
 
@@ -161,5 +161,33 @@ def decode_dict(buf: memoryview) -> np.ndarray:
     table_blob, pos = get_blob(buf, pos)
     codes_blob, pos = get_blob(buf, pos)
     table = decode_for(table_blob)
+    codes = decode_bitpack(codes_blob)
+    return table[codes].astype(dt, copy=False)
+
+
+# ---------------------------------------------------------------------------
+# dictf — frequency-ordered dictionary: the hottest value gets code 0, so a
+# Zipfian stream maps to mostly-tiny codes whose high byte planes are ~all
+# zero; with the byte-split layout the zstd stage then reaches near-entropy.
+# Tie-break by value => fully deterministic.
+# ---------------------------------------------------------------------------
+
+def encode_dictf(values: np.ndarray) -> bytes:
+    hdr, v = _header(values)
+    table, codes, counts = np.unique(v, return_inverse=True, return_counts=True)
+    order = np.lexsort((table, -counts))
+    rank_of = np.empty(len(table), dtype=np.int64)
+    rank_of[order] = np.arange(len(table))
+    parts: list[bytes] = [hdr]
+    put_blob(parts, encode_plain(table[order]))
+    put_blob(parts, encode_bitpack(rank_of[codes]))
+    return b"".join(parts)
+
+
+def decode_dictf(buf: memoryview) -> np.ndarray:
+    dt, n, pos = _read_header(buf)
+    table_blob, pos = get_blob(buf, pos)
+    codes_blob, pos = get_blob(buf, pos)
+    table = decode_plain(table_blob)
     codes = decode_bitpack(codes_blob)
     return table[codes].astype(dt, copy=False)

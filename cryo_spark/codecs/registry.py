@@ -34,6 +34,7 @@ CODECS = {
     "delta": (ints.encode_delta, ints.decode_delta, INT_KIND),
     "rle": (ints.encode_rle, ints.decode_rle, INT_KIND),
     "dict": (ints.encode_dict, ints.decode_dict, INT_KIND),
+    "dictf": (ints.encode_dictf, ints.decode_dictf, INT_KIND),
     "strplain": (strings.encode_strplain, strings.decode_strplain, STR_KIND),
     "strdict": (strings.encode_strdict, strings.decode_strdict, STR_KIND),
     "strfsst": (strings.encode_strfsst, strings.decode_strfsst, STR_KIND),
@@ -51,15 +52,25 @@ def split_codec_id(codec_id: str) -> tuple[str, bool]:
     return codec_id, False
 
 
-def encode_any(codec_id: str, values, *, zstd_level: int = ZSTD_LEVEL) -> bytes:
-    """Encode values with the named codec into a self-describing frame."""
-    base, use_zstd = split_codec_id(codec_id)
-    enc, _, _ = CODECS[base]
-    payload = enc(values)
+def frame(codec_id: str, payload: bytes, *, zstd_level: int = ZSTD_LEVEL) -> bytes:
+    """Wrap a raw codec payload into a self-describing frame.
+
+    ``payload`` is the *uncompressed* codec output; when codec_id carries
+    ``+zstd`` the entropy stage is applied here, so a selector can reuse
+    one base encode for both variants.
+    """
+    _, use_zstd = split_codec_id(codec_id)
     if use_zstd:
         payload = zstd_compress(payload, level=zstd_level)
     name = codec_id.encode("ascii")
     return _MAGIC + struct.pack("<B", len(name)) + name + struct.pack("<B", int(use_zstd)) + payload
+
+
+def encode_any(codec_id: str, values, *, zstd_level: int = ZSTD_LEVEL) -> bytes:
+    """Encode values with the named codec into a self-describing frame."""
+    base, _ = split_codec_id(codec_id)
+    enc, _, _ = CODECS[base]
+    return frame(codec_id, enc(values), zstd_level=zstd_level)
 
 
 def decode_any(buf: bytes | memoryview):

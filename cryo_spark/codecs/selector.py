@@ -21,8 +21,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import registry
-from .bits import bit_width
-from .strings import to_bytes_lengths
+from .bits import storage_width
 
 SAMPLE_TARGET = 1 << 15  # values sampled for estimation
 
@@ -53,43 +52,57 @@ def _int_estimates(v: np.ndarray) -> dict[str, float]:
     vmin, vmax = int(v64.min()), int(v64.max())
     est: dict[str, float] = {"plain": float(item)}
     if vmin >= 0:
-        est["bitpack"] = bit_width(vmax) / 8.0
-    est["for"] = bit_width(vmax - vmin) / 8.0 + 16.0 / n
+        est["bitpack"] = storage_width(vmax) / 8.0
+    est["for"] = storage_width(vmax - vmin) / 8.0 + 16.0 / n
     diffs = np.diff(v64)
     if len(diffs):
         zmax = int(np.abs(diffs).max()) * 2
-        est["delta"] = bit_width(zmax) / 8.0 + 16.0 / n
+        est["delta"] = storage_width(zmax) / 8.0 + 16.0 / n
     n_runs = 1 + int(np.count_nonzero(diffs)) if len(diffs) else 1
-    run_bits = bit_width(vmax - vmin) + bit_width(max(1, n // max(1, n_runs)) * 4)
+    run_bits = storage_width(vmax - vmin) + storage_width(max(1, n // max(1, n_runs)) * 4)
     est["rle"] = n_runs * run_bits / 8.0 / n + 32.0 / n
     card = len(np.unique(v))
-    est["dict"] = bit_width(max(0, card - 1)) / 8.0 + card * 4.0 / n
+    est["dict"] = storage_width(max(0, card - 1)) / 8.0 + card * 4.0 / n
+    # dictf packs to the same width pre-zstd but compresses strictly
+    # better under the entropy stage on skewed data; prefer it slightly
+    # so it lands in the trial set whenever dict is competitive.
+    est["dictf"] = est["dict"] - 1e-6
     return est
+
+
+def _consider(best: Choice | None, name: str, payload: bytes,
+              est: dict[str, float], zstd_level: int) -> Choice | None:
+    """Frame raw and +zstd variants of one base payload; keep the smallest."""
+    for codec_id in (name, name + "+zstd"):
+        blob = registry.frame(codec_id, payload, zstd_level=zstd_level)
+        if best is None or len(blob) < best.enc_bytes:
+            best = Choice(codec_id, len(blob), blob, est)
+    return best
 
 
 def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
                try_top: int = 2) -> Choice:
     """Pick the cheapest codec for an int chunk; returns the encoded blob.
 
-    Estimator ranks codecs on a sample; the best ``try_top`` are fully
-    encoded (each also tried with a zstd stage) alongside the
-    plain+zstd floor; smallest wins.
+    Estimator ranks codecs on a deterministic sample; the best
+    ``try_top`` are fully encoded once each (raw and +zstd variants
+    share the base encode) alongside the plain+zstd floor; smallest wins.
     """
     sample = _sample(values)
     est = _int_estimates(sample)
     ranked = sorted(est, key=est.get)[:try_top]
-    candidates = set(ranked) | {"plain"}
+    # 'for' is always trialed: with the byte-split layout its +zstd
+    # variant is the strongest general-purpose path (estimates can't see
+    # the entropy stage); 'plain' is the never-lose floor.
+    candidates = set(ranked) | {"for", "plain"}
     best: Choice | None = None
     for name in candidates:
+        enc, _, _ = registry.CODECS[name]
         try:
-            blob = registry.encode_any(name, values, zstd_level=zstd_level)
+            payload = enc(values)
         except ValueError:  # e.g. bitpack on negatives
             continue
-        for codec_id, payload in ((name, blob), (name + "+zstd", None)):
-            if payload is None:
-                payload = registry.encode_any(codec_id, values, zstd_level=zstd_level)
-            if best is None or len(payload) < best.enc_bytes:
-                best = Choice(codec_id, len(payload), payload, est)
+        best = _consider(best, name, payload, est, zstd_level)
     assert best is not None
     return best
 
@@ -122,14 +135,11 @@ def choose_str(values, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:
         candidates = {"strplain", "strdict", "strfsst"}
     best: Choice | None = None
     for name in candidates:
+        enc, _, _ = registry.CODECS[name]
         try:
-            blob = registry.encode_any(name, arr, zstd_level=zstd_level)
+            payload = enc(arr)
         except Exception:
             continue
-        for codec_id, payload in ((name, blob), (name + "+zstd", None)):
-            if payload is None:
-                payload = registry.encode_any(codec_id, arr, zstd_level=zstd_level)
-            if best is None or len(payload) < best.enc_bytes:
-                best = Choice(codec_id, len(payload), payload, est)
+        best = _consider(best, name, payload, est, zstd_level)
     assert best is not None
     return best

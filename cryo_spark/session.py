@@ -3,8 +3,34 @@
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Make ``cryo_spark`` importable on executors (spark-submit --py-files analog).
+
+    Zips the package and registers it via ``addPyFile`` so executor
+    Python workers can unpickle our chunk kernels regardless of the
+    driver's cwd or PYTHONPATH. Idempotent per session.
+    """
+    if getattr(spark, "_cryo_spark_shipped", False):
+        return ""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zip_path = tempfile.mkstemp(prefix="cryo_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._cryo_spark_shipped = True
+    return zip_path
 
 
 def get_spark(
@@ -39,4 +65,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -1,0 +1,187 @@
+"""End-to-end Spark engine tests — FIXTURES.md §1/§3 and SURVEY.md §5.
+
+The discipline mirrors the reference's differential harness
+(/root/reference/crates/python/python/cryo_test/cryo_test/comparison.py:17-93):
+schema equality, then per-row value equality (bit-identical token
+arrays), plus the compressed-size gate vs parquet+zstd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark import engine, layout
+from cryo_spark.fixtures import generate_sequences, reference_zstd_bytes
+
+TARGET = 200_000  # tokens per chunk at test scale -> ~10 chunks
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, sequences_path):
+    df = spark.read.parquet(sequences_path)
+    enc = engine.encode(df, target_tokens=TARGET)
+    enc.cache()
+    enc.count()
+    yield enc
+    enc.unpersist()
+
+
+def test_encoded_schema(encoded):
+    names = [f.name for f in encoded.schema.fields]
+    assert names == [
+        "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
+        "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms",
+        "status", "payload",
+    ]
+
+
+def test_all_columns_encoded_per_chunk(encoded):
+    per_chunk = (
+        encoded.groupBy("partition_id", "chunk_id")
+        .agg(F.sort_array(F.collect_list("column")).alias("cols"))
+        .collect()
+    )
+    assert per_chunk
+    for r in per_chunk:
+        assert r["cols"] == ["doc_id", "n_tok", "source", "tokens"]
+
+
+def test_roundtrip_bit_identical(spark, sequences_path, encoded):
+    """decode(encode(df)) == df, per-row, token arrays bit-identical."""
+    dec = engine.decode(encoded)
+    src = spark.read.parquet(sequences_path)
+    joined = dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
+    bad = joined.filter(
+        F.col("d.n_tok").isNull()
+        | F.col("s.n_tok").isNull()
+        | (F.col("d.n_tok") != F.col("s.n_tok"))
+        | (F.col("d.source") != F.col("s.source"))
+        | (F.col("d.tokens") != F.col("s.tokens"))
+    )
+    assert bad.count() == 0
+    assert dec.count() == src.count()
+
+
+def test_compressed_size_beats_parquet_zstd(encoded, tmp_path):
+    """Total enc_bytes of (tokens, n_tok, source) <= parquet+zstd reference."""
+    table = generate_sequences(10_000, seed=42)
+    ref = reference_zstd_bytes(table, str(tmp_path / "ref.parquet"))
+    ours = (
+        encoded.filter(F.col("column").isin("tokens", "n_tok", "source"))
+        .agg(F.sum("enc_bytes"))
+        .first()[0]
+    )
+    assert ours <= ref, f"ours={ours} > reference parquet+zstd={ref}"
+
+
+def test_chunk_balance(encoded):
+    """No chunk exceeds ~2x the target token count (salting works)."""
+    toks = (
+        encoded.filter(F.col("column") == "tokens")
+        .select("chunk_id", "n_values")
+        .collect()
+    )
+    assert len(toks) >= 5
+    for r in toks:
+        assert r["n_values"] <= 2.5 * TARGET
+
+
+def test_plan_determinism(spark, sequences_path):
+    df = spark.read.parquet(sequences_path)
+    p1 = layout.plan_chunks(df, TARGET)
+    p2 = layout.plan_chunks(df.repartition(13), TARGET)
+    assert p1.mapping == p2.mapping
+    assert p1.n_chunks == p2.n_chunks
+
+
+def test_salting_splits_heavy_groups(spark):
+    """A single doc_id prefix heavier than the target gets a salted span."""
+    import pandas as pd
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"same-prefix-{i:06d}" for i in range(n)],
+            "tokens": [np.arange(100, dtype=np.int32) for _ in range(n)],
+            "n_tok": np.full(n, 100, dtype=np.int32),
+            "source": ["web"] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf, engine.SEQUENCES_DDL)
+    # prefix len capped below id-discriminating length -> one heavy group
+    plan = layout.plan_chunks(df, target_tokens=20_000)
+    assert plan.n_chunks >= 5
+    assigned = layout.assign_chunks(df, plan)
+    sizes = assigned.groupBy("chunk_id").agg(F.sum("n_tok").alias("t")).collect()
+    assert len(sizes) >= 5
+    assert max(r["t"] for r in sizes) < 4 * 20_000
+
+
+def test_freeze_resume(spark, sequences_path, tmp_path):
+    """Second freeze run encodes nothing; after deleting manifest rows only
+    the missing chunks recompute (skip-existing analog,
+    /root/reference/crates/freeze/src/freeze.rs:96-99)."""
+    out = str(tmp_path / "frozen")
+    s1 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET)
+    assert s1["n_encoded"] > 0 and s1["n_skipped"] == 0
+    assert s1["tokens"] > 0 and s1["enc_bytes"] > 0
+
+    s2 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET)
+    assert s2["n_encoded"] == 0
+    assert s2["n_skipped"] == s1["n_encoded"]
+
+    # drop half the manifest (seeded choice) and re-run
+    import shutil
+
+    man = spark.read.parquet(f"{out}/manifest")
+    keys = sorted(
+        (r["partition_id"], r["chunk_id"])
+        for r in man.select("partition_id", "chunk_id").distinct().collect()
+    )
+    dropped = keys[::2]
+    kept_df = man.filter(
+        F.expr(
+            "NOT ("
+            + " OR ".join(
+                f"(partition_id = {p} AND chunk_id = {c})" for p, c in dropped
+            )
+            + ")"
+        )
+    )
+    kept = kept_df.toPandas()
+    shutil.rmtree(f"{out}/manifest")
+    spark.createDataFrame(kept).write.partitionBy("run").parquet(f"{out}/manifest")
+
+    s3 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET)
+    assert s3["n_encoded"] == len(dropped)
+    assert s3["n_skipped"] == len(keys) - len(dropped)
+
+    # full decode still bit-identical
+    enc = engine.read_encoded(spark, out)
+    dec = engine.decode(enc)
+    src = spark.read.parquet(sequences_path)
+    assert dec.count() == src.count()
+    bad = (
+        dec.alias("d")
+        .join(src.alias("s"), "doc_id", "inner")
+        .filter(F.col("d.tokens") != F.col("s.tokens"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_manifest_golden_schema(spark, sequences_path, tmp_path):
+    out = str(tmp_path / "frozen2")
+    engine.freeze(spark, sequences_path, out, target_tokens=TARGET)
+    man = spark.read.parquet(f"{out}/manifest")
+    got = {f.name: f.dataType.simpleString() for f in man.schema.fields}
+    expected = {
+        "partition_id": "int", "chunk_id": "int", "column": "string",
+        "codec_id": "string", "n_rows": "bigint", "raw_bytes": "bigint",
+        "enc_bytes": "bigint", "min_doc_id": "string", "max_doc_id": "string",
+        "wall_ms": "double", "status": "string",
+    }
+    for k, v in expected.items():
+        assert got.get(k) == v, (k, got.get(k))
