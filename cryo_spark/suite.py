@@ -1,0 +1,748 @@
+"""Query suite: driver-contract queries with DuckDB oracles.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+an equivalent ANSI-SQL oracle DuckDB runs on the same parquet tables
+(or None for genuinely non-SQL-expressible engine internals, which the
+driver checks rows-only).
+
+Families:
+- ``enc_*``      — the compression engine itself: sequences are derived
+  from ``documents`` by *pure integer arithmetic* (expressible in both
+  engines), pushed through encode→decode, and compared per row/group —
+  if decode is not bit-identical the oracle comparison fails.
+- reference operator inventory (SURVEY.md §2): scans, projection,
+  filters, joins, aggregations, sorts, scalar functions, chunking.
+- training-data ops: dedup (exact/minhash/simhash), text analysis,
+  ANN similarity, multimodal binary plumbing.
+
+All computed columns are aliased identically in Spark and SQL; floats
+are rounded; counts/sums cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# engine queries: derived sequences -> encode -> decode -> verify
+# ===========================================================================
+
+_TOK_EXPR = (
+    "transform(sequence(0, CAST(n_chars % 64 AS INT)), "
+    "i -> CAST((doc_id * 2654435761 + i * 48271) % 50257 AS INT))"
+)
+_TOK_SQL = (
+    "list_transform(range(0, (n_chars % 64)::INT + 1), "
+    "i -> ((doc_id * 2654435761 + i * 48271) % 50257)::INTEGER)"
+)
+
+
+def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tokenized-sequence table derived from ``documents``.
+
+    The token values are pure integer arithmetic on (doc_id, position),
+    so a SQL oracle can recompute them exactly — which turns the
+    encode→decode round-trip into an oracle-checkable identity.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.format_string("doc-%012d", "doc_id").alias("doc_id"),
+        F.expr(_TOK_EXPR).alias("tokens"),
+        (F.col("n_chars") % 64 + 1).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import engine
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    enc = engine.encode(seqs, target_tokens=16_384)
+    return engine.decode(enc)
+
+
+@q(
+    "enc_roundtrip_per_doc",
+    f"""
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           (n_chars % 64 + 1)::INT AS n_tok,
+           CAST(list_aggregate(l, 'sum') AS BIGINT) AS tok_sum,
+           CAST(list_aggregate(l, 'min') AS INT) AS tok_min,
+           CAST(list_aggregate(l, 'max') AS INT) AS tok_max,
+           source
+    FROM (SELECT doc_id, n_chars, source, {_TOK_SQL} AS l FROM documents)
+    """,
+)
+def enc_roundtrip_per_doc(spark, sf_dir):
+    """Per-row fidelity: decoded token arrays must reproduce the arithmetic."""
+    dec = _roundtrip(spark, sf_dir)
+    return dec.select(
+        "doc_id",
+        "n_tok",
+        F.expr("CAST(aggregate(tokens, 0L, (a, x) -> a + x) AS BIGINT)").alias("tok_sum"),
+        F.expr("CAST(array_min(tokens) AS INT)").alias("tok_min"),
+        F.expr("CAST(array_max(tokens) AS INT)").alias("tok_max"),
+        "source",
+    )
+
+
+@q(
+    "enc_roundtrip_agg",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars % 64 + 1) AS BIGINT) AS total_tokens,
+           CAST(sum(list_aggregate({_TOK_SQL}, 'sum')) AS BIGINT) AS token_value_sum
+    FROM documents GROUP BY source
+    """,
+)
+def enc_roundtrip_agg(spark, sf_dir):
+    """Grouped fidelity: decode feeds a normal Spark aggregation."""
+    dec = _roundtrip(spark, sf_dir)
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+        .cast("long")
+        .alias("token_value_sum"),
+    )
+
+
+@q("enc_chunk_manifest")  # chunk planning is engine-internal: rows-only check
+def enc_chunk_manifest(spark, sf_dir):
+    """Encoded-chunk lineage: codec choices + sizes per (chunk, column)."""
+    from . import engine
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    enc = engine.encode(seqs, target_tokens=16_384)
+    return enc.select(
+        "partition_id", "chunk_id", "column", "codec_id", "n_rows",
+        "n_values", "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id",
+    ).orderBy("partition_id", "chunk_id", "column")
+
+
+@q("enc_compression_summary")  # codec-dependent: rows-only check
+def enc_compression_summary(spark, sf_dir):
+    """Headline compression metrics; asserts enc <= raw on payload columns."""
+    from . import engine
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    enc = engine.encode(seqs, target_tokens=16_384)
+    return (
+        enc.groupBy("column")
+        .agg(
+            F.sum("raw_bytes").cast("long").alias("raw_bytes"),
+            F.sum("enc_bytes").cast("long").alias("enc_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        )
+        .withColumn(
+            "compresses", (F.col("enc_bytes") <= F.col("raw_bytes")).cast("boolean")
+        )
+        .orderBy("column")
+    )
+
+
+# ===========================================================================
+# reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
+# ===========================================================================
+
+@q(
+    "scan_projection_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+    """,
+)
+def scan_projection_filter(spark, sf_dir):
+    """§2.1/§2.2: pruned scan with pushed-down predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") < "1996-06-01").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@q(
+    "derived_columns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               AS revenue_cents,
+           CAST(length(l_returnflag) + length(l_linestatus) AS BIGINT) AS n_flag_chars,
+           CAST(least(l_quantity, 25.0) AS DOUBLE) AS capped_qty
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def derived_columns(spark, sf_dir):
+    """§2.2: computed scalars at transform time (gas-price-math analog).
+
+    Money goes out as integer cents via floor(x*100+0.5): IEEE double
+    arithmetic is deterministic across engines, while round() half-up /
+    half-even conventions are not.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("revenue_cents"),
+        (F.length("l_returnflag") + F.length("l_linestatus"))
+        .cast("long")
+        .alias("n_flag_chars"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).cast("double").alias("capped_qty"),
+    )
+
+
+@q(
+    "filter_every_nth",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 20000 AND o_orderkey % 5 = 0
+    """,
+)
+def filter_every_nth(spark, sf_dir):
+    """§2.3: key-space predicate (cryo block syntax `1000:20000:5` analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderkey").between(1000, 20000) & (F.col("o_orderkey") % 5 == 0)
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@q(
+    "join_broadcast_enrich",
+    """
+    SELECT year(o.o_orderdate)::INT AS order_year,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_broadcast_enrich(spark, sf_dir):
+    """§2.4: block->tx broadcast-enrichment analog (small side broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "join_semi_keydriven",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def join_semi_keydriven(spark, sf_dir):
+    """§2.1: keys-from-table driving a scan (left-semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    keys = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    return o.join(
+        F.broadcast(keys), o.o_custkey == keys.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q(
+    "join_left_counts",
+    """
+    SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 50 = 0 GROUP BY o.o_orderkey
+    """,
+)
+def join_left_counts(spark, sf_dir):
+    """§2.4: tx-zip-receipts analog (left join keeps zero-match keys)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(F.count(li.l_orderkey).cast("long").alias("n_lines"))
+    )
+
+
+@q(
+    "agg_chunk_stats",
+    """
+    SELECT CAST(floor(o_orderkey / 1000) AS BIGINT) AS bucket,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_chunk_stats(spark, sf_dir):
+    """§2.5: ChunkStats::fold analog — per-chunk min/max/count."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_orderkey") / 1000).cast("long").alias("bucket")
+    ).agg(
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@q(
+    "agg_signature_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_signature_counts(spark, sf_dir):
+    """§2.5: four_byte_counts analog — per-signature counts.
+
+    Per-row cent quantization before the sum keeps the aggregate an
+    exact integer (order-independent across engines).
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("total_value_cents"),
+    )
+
+
+@q("distinct_scan_keys", "SELECT DISTINCT l_suppkey FROM lineitem")
+def distinct_scan_keys(spark, sf_dir):
+    """§2.1/§2.5: unique() over a parquet-read key column."""
+    return _t(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+
+
+@q(
+    "sort_multi_key",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def sort_multi_key(spark, sf_dir):
+    """§2.7: sort_by_schema analog — multi-column ordered output."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@q(
+    "asof_timestamp_lookup",
+    """
+    SELECT CAST(epoch(max(ts)) AS BIGINT) AS asof_epoch,
+           CAST(count(*) AS BIGINT) AS n_before
+    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def asof_timestamp_lookup(spark, sf_dir):
+    """§2.1: timestamp->block binary-search analog (as-of max lookup)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("ts") <= "2024-01-15 00:00:00").agg(
+        F.unix_timestamp(F.max("ts")).cast("long").alias("asof_epoch"),
+        F.count(F.lit(1)).cast("long").alias("n_before"),
+    )
+
+
+@q(
+    "multi_output_shared_scan",
+    """
+    SELECT 'by_status' AS dataset, o_orderstatus AS key,
+           CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'by_priority' AS dataset, o_orderpriority AS key,
+           CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_orderpriority
+    """,
+)
+def multi_output_shared_scan(spark, sf_dir):
+    """§2.1: MultiDatatype shared fetch — one cached scan, two outputs."""
+    o = _t(spark, sf_dir, "orders").cache()
+    a = o.groupBy(F.col("o_orderstatus").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("by_status").alias("dataset"), "key", "n")
+    b = o.groupBy(F.col("o_orderpriority").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("by_priority").alias("dataset"), "key", "n")
+    return a.unionAll(b)
+
+
+@q(
+    "reorg_buffer_filter",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(l_orderkey) AS BIGINT) AS high_water
+    FROM lineitem
+    WHERE l_orderkey <= (SELECT max(l_orderkey) - 1000 FROM lineitem)
+    """,
+)
+def reorg_buffer_filter(spark, sf_dir):
+    """§2.3: reorg-buffer / late-data guard — keep keys <= latest - N."""
+    li = _t(spark, sf_dir, "lineitem")
+    hw = li.agg((F.max("l_orderkey") - 1000).alias("hw"))
+    return (
+        li.join(F.broadcast(hw))
+        .filter(F.col("l_orderkey") <= F.col("hw"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("l_orderkey").cast("long").alias("high_water"),
+        )
+    )
+
+
+@q(
+    "hex_representation",
+    """
+    SELECT doc_id, concat('0x', lower(to_hex(doc_id))) AS key_hex,
+           upper(lang) AS lang_upper
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def hex_representation(spark, sf_dir):
+    """§1.4/§2.9: Binary-vs-Hex representation transform."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("0x"), F.lower(F.hex("doc_id"))).alias("key_hex"),
+        F.upper("lang").alias("lang_upper"),
+    )
+
+
+@q(
+    "partition_align_chunks",
+    """
+    SELECT CAST(floor(o_orderkey / 1000) * 1000 AS BIGINT) AS aligned_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def partition_align_chunks(spark, sf_dir):
+    """§2.10: aligned chunk boundaries (floor(k/size)*size)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        (F.floor(F.col("o_orderkey") / 1000) * 1000).cast("long").alias("aligned_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+# ===========================================================================
+# training-data pipeline operators (documents / embeddings)
+# ===========================================================================
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min doc_id per content hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+    )
+
+
+@q(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_periods,
+           CASE WHEN n_chars > 500 THEN 'long'
+                WHEN n_chars > 100 THEN 'medium' ELSE 'short' END AS length_bucket
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length / word / punctuation stats per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_words"),
+        (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        .cast("long")
+        .alias("n_periods"),
+        F.when(F.col("n_chars") > 500, "long")
+        .when(F.col("n_chars") > 100, "medium")
+        .otherwise("short")
+        .alias("length_bucket"),
+    )
+
+
+@q(
+    "lang_id_heuristic",
+    """
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN length(text) - length(replace(text, ' the ', '')) > 0
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID n-gram heuristic (stopword occurrence)."""
+    d = _t(spark, sf_dir, "documents")
+    n_the = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" the "), F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(n_the > 0, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@q(
+    "token_count_ws",
+    """
+    SELECT source,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_ws(spark, sf_dir):
+    """Whitespace token counting per corpus slice."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ", -1)))
+        .cast("long")
+        .alias("total_ws_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    SELECT substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (normalized-content hash prefix)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fingerprint")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+_COS_SPARK = (
+    "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+    "(sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))"
+)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    SELECT vec_id, label FROM (
+      SELECT e.vec_id, e.label, list_cosine_similarity(e.embedding, q.embedding) AS sim
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id != 0
+    ) t ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline).
+
+    The query vector is broadcast; the scan side stays distributed —
+    at scale this is one pass over the embedding table, no shuffle
+    before the top-k (TakeOrdered).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("embedding").alias("a"))
+        .join(F.broadcast(query))
+        .select("vec_id", "label", F.expr(_COS_SPARK).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label")
+    )
+
+
+@q(
+    "near_dup_embeddings",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+      AND list_cosine_similarity(a.embedding, b.embedding) > 0.95
+    """,
+)
+def near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-duplicate pair count (threshold 0.95).
+
+    All-pairs on a sampled slice — the quadratic baseline the LSH path
+    (dedup_minhash_lsh) exists to avoid at scale.
+    """
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("a"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("b"))
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .filter(F.expr(_COS_SPARK) > 0.95)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
+    )
+
+
+@q("dedup_minhash_lsh")  # engine-side MinHash+LSH: rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding candidate pairs over 5-gram shingles.
+
+    32 permutations via seeded xxhash64, 8 bands x 4 rows; candidate
+    pairs are doc pairs sharing any band signature. Scale path: the
+    band-signature groupBy replaces the quadratic all-pairs join.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(length(text) - 5, 0)), "
+                "i -> substring(text, i + 1, 5))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    minhashes = shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+            for p in range(32)
+        ]
+    )
+    bands = minhashes.select(
+        "doc_id",
+        *[
+            F.xxhash64(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias(f"band{b}")
+            for b in range(8)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack(8, " + ", ".join(f"{b}, band{b}" for b in range(8)) + ") AS (band_idx, sig)",
+    )
+    pairs = (
+        stacked.alias("x")
+        .join(
+            stacked.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@q("dedup_simhash")  # engine-side SimHash: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash per document from word-hash bit votes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    ).filter(F.length("w") > 0)
+    words = words.withColumn("h", F.xxhash64("w"))
+    # per-bit votes: sum(+1 / -1) over words, vectorized via array ops
+    # (63 bits: keeps the reassembled hash a non-negative BIGINT)
+    bits = words.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 62), b -> "
+            "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
+        ).alias("votes"),
+    )
+    agg = bits.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(collect_list(votes), "
+            "array_repeat(0, 63), (acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
+        ).alias("votes")
+    )
+    sim = agg.select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(votes, sequence(0, 62), "
+            "(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+            "0L, (a, x) -> a + x)"
+        ).alias("simhash"),
+    )
+    return sim.orderBy("doc_id")
+
+
+@q(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS content_sig
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: payload bytes + typed metadata.
+
+    The decode/feature-extract stage for real image/audio payloads is
+    stubbed (cryo_spark.multimodal), but the schema/UDF plumbing is the
+    same: binary in, typed metadata out.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        F.octet_length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("content_sig"),
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full encode->decode round-trip aggregated per source."""
+    return enc_roundtrip_agg(spark, sf_dir)

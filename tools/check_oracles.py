@@ -1,0 +1,106 @@
+"""Replicate the driver's correctness gate locally.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at the given sf dir, comparing row count, schema width, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cryo_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon = sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in canon:
+        h.update(repr(row).encode())
+    return h.hexdigest()[:16]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    spark = get_spark(app="check_oracles", master="local[16]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({dt:.1f}s)")
+            if not srows and name not in ("near_dup_embeddings",):
+                pass
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            failed.append(name)
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+        ok_hash = value_hash(srows, scols) == value_hash(drows, dcols)
+        status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)} "
+            f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"hash={'ok' if ok_hash else 'MISMATCH'} ({dt:.1f}s)"
+        )
+        if status == "FAIL":
+            failed.append(name)
+            if not ok_hash and ok_count and srows:
+                so = sorted(srows)[:3]
+                do = sorted(drows)[:3]
+                print(f"    spark sample: {so}")
+                print(f"    duck  sample: {do}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
