@@ -1,0 +1,251 @@
+"""Benchmark harness (driver contract + scaling protocol).
+
+Default mode: runs the headline encode job plus a representative query
+subset at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., ...extra keys...}
+
+``--scaling`` mode (BASELINE.md protocol): same encode job at local[8]
+and local[32] in fresh subprocesses (clean JVM each), median of 3,
+reports throughput at both levels + efficiency = (thr_32/thr_8)/4 and
+rewrites BENCH/BASELINE.md.
+
+The bench input is the deterministic synthetic sequences table
+(FIXTURES.md §1), sized by sf and cached under /tmp — identical bytes
+for every run and parallelism level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TMP = "/tmp/cryo_spark_bench"
+TARGET_TOKENS = 1 << 19  # bench chunk size: ~128 chunks at sf0.1 scale
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_input(sf: float) -> str:
+    """Deterministic synthetic sequences table sized by sf (cached, sharded)."""
+    from cryo_spark.fixtures import write_sequences
+
+    n = max(1_000, int(1_000_000 * sf))
+    path = f"{BENCH_TMP}/sequences_n{n}"
+    if not os.path.exists(path):
+        os.makedirs(BENCH_TMP, exist_ok=True)
+        write_sequences(path, n=n, seed=42, shards=32)
+    return path
+
+
+def run_encode(master: str, sf: float, runs: int = 1, warmup: bool = True) -> dict:
+    """Encode the bench table; returns timing/size stats (fresh session).
+
+    One discarded warmup run amortizes python-worker startup + JVM JIT
+    (BASELINE.md protocol); the reported figure is the median of ``runs``.
+    """
+    from cryo_spark import freeze
+    from cryo_spark.session import get_spark
+
+    inp = bench_input(sf)
+    spark = get_spark(app="cryo_bench", master=master,
+                      shuffle_partitions=int(master.split("[")[1].rstrip("]")))
+    results = []
+    total = runs + (1 if warmup else 0)
+    for i in range(total):
+        out = f"{BENCH_TMP}/out_{master.replace('[', '_').rstrip(']')}_{i}"
+        shutil.rmtree(out, ignore_errors=True)
+        s = freeze(spark, inp, out, target_tokens=TARGET_TOKENS)
+        results.append(s)
+    spark.stop()
+    kept = results[1:] if warmup and len(results) > 1 else results
+    best = sorted(kept, key=lambda s: s["encode_wall_s"])[len(kept) // 2]
+    return {
+        "tokens": best["tokens"],
+        "encode_wall_s": best["encode_wall_s"],
+        "tokens_per_sec": best["tokens_per_sec"],
+        "all_tokens_per_sec": [round(r["tokens_per_sec"]) for r in kept],
+        "enc_bytes": best["enc_bytes"],
+        "raw_bytes": best["raw_bytes"],
+        "n_chunks": best["n_chunks"],
+    }
+
+
+QUERY_SUBSET = [
+    "enc_roundtrip_agg",
+    "scan_projection_filter",
+    "derived_columns",
+    "join_broadcast_enrich",
+    "agg_chunk_stats",
+    "dedup_exact",
+    "text_quality_score",
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--encode-only", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--runs", type=int, default=1)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32))
+    sf = _sf_from_dir(sf_dir)
+
+    if args.encode_only:
+        stats = run_encode(args.master or f"local[{cpus}]", sf, runs=args.runs)
+        print(json.dumps(stats))
+        return
+
+    if args.scaling:
+        run_scaling(sf)
+        return
+
+    master = args.master or f"local[{cpus}]"
+    t_total = time.perf_counter()
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    enc_stats = run_encode(master, sf)
+    queries["encode_freeze"] = round(time.perf_counter() - t0, 3)
+
+    from cryo_spark.session import get_spark
+    from cryo_spark import suite
+
+    spark = get_spark(app="cryo_bench_queries", master=master,
+                      shuffle_partitions=int(cpus))
+    # decode timing on the just-written output
+    from cryo_spark import engine
+
+    out_dir = sorted(
+        d for d in os.listdir(BENCH_TMP) if d.startswith("out_")
+    )
+    if out_dir:
+        t0 = time.perf_counter()
+        dec = engine.decode(engine.read_encoded(spark, f"{BENCH_TMP}/{out_dir[0]}"))
+        n_dec = dec.count()
+        queries["decode_full"] = round(time.perf_counter() - t0, 3)
+    for name in QUERY_SUBSET:
+        fn = suite.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    total = time.perf_counter() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_encode_plus_queries_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "encode_tokens_per_sec": round(enc_stats["tokens_per_sec"]),
+                "encode_tokens": enc_stats["tokens"],
+                "enc_bytes": enc_stats["enc_bytes"],
+                "raw_bytes": enc_stats["raw_bytes"],
+                "compression_ratio": round(
+                    enc_stats["enc_bytes"] / max(1, enc_stats["raw_bytes"]), 4
+                ),
+                "n_chunks": enc_stats["n_chunks"],
+            }
+        )
+    )
+
+
+def run_scaling(sf: float) -> None:
+    """N vs 4N protocol: local[8] vs local[32], median of 3, via subprocesses.
+
+    Levels are interleaved (8, 32, 8, 32, ...) so transient host noise
+    (CPU steal in virtualized sandboxes) biases both levels equally; each
+    subprocess run does a discarded warmup + 2 timed runs.
+    """
+    levels: dict[int, list] = {8: [], 32: []}
+    for i in range(3):
+        for n in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--encode-only",
+                 "--master", f"local[{n}]", "--runs", "2"],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": f"/root/testdata/sf{sf}"},
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            levels[n].append(json.loads(line))
+    thr = {n: statistics.median(r["tokens_per_sec"] for r in rs)
+           for n, rs in levels.items()}
+    eff = (thr[32] / thr[8]) / 4
+    result = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "thr_local8_tokens_per_sec": round(thr[8]),
+        "thr_local32_tokens_per_sec": round(thr[32]),
+        "sf": sf,
+        "runs_per_level": 3,
+        "enc_bytes": levels[32][0]["enc_bytes"],
+        "raw_bytes": levels[32][0]["raw_bytes"],
+        "n_chunks": levels[32][0]["n_chunks"],
+        "tokens": levels[32][0]["tokens"],
+    }
+    print(json.dumps(result))
+    _write_baseline_md(result, levels)
+
+
+def _write_baseline_md(result: dict, levels: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — measured scaling + throughput",
+        "",
+        "Protocol per BASELINE.md: identical deterministic input "
+        f"({result['tokens']:,} tokens, {result['n_chunks']} chunks, "
+        f"target {TARGET_TOKENS} tokens/chunk), same config, only the "
+        "parallelism level varies (local[8] vs local[32] as the sandbox "
+        "proxy for N vs 4N executors). Median of 3 runs per level.",
+        "",
+        "| Level | tokens/sec (median of 3) | all runs |",
+        "|---|---|---|",
+    ]
+    for n, rs in levels.items():
+        runs = ", ".join(f"{r['tokens_per_sec']:.0f}" for r in rs)
+        med = statistics.median(r["tokens_per_sec"] for r in rs)
+        lines.append(f"| local[{n}] | {med:,.0f} | {runs} |")
+    lines += [
+        "",
+        f"**Scaling efficiency (thr_32 / thr_8) / 4 = {result['value']:.3f}** "
+        f"(target >= 0.80, BASELINE.json).",
+        "",
+        f"Compressed bytes: {result['enc_bytes']:,} vs raw {result['raw_bytes']:,} "
+        f"(ratio {result['enc_bytes']/result['raw_bytes']:.3f}); the "
+        "parquet+zstd reference comparison is enforced by "
+        "tests/test_engine.py::test_compressed_size_beats_parquet_zstd.",
+        "",
+        f"Generated by `python bench.py --scaling` at sf={result['sf']}.",
+    ]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

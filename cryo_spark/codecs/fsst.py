@@ -29,8 +29,8 @@ from . import ints
 MAX_SYMBOLS = 255  # code 255 reserved as escape marker
 MAX_SYMBOL_LEN = 8
 ESCAPE = 255
-_TRAIN_ITERS = 3
-_SAMPLE_BYTES = 1 << 16
+_TRAIN_ITERS = 2
+_SAMPLE_BYTES = 1 << 15
 
 
 # ---------------------------------------------------------------------------

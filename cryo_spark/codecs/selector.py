@@ -81,7 +81,7 @@ def _consider(best: Choice | None, name: str, payload: bytes,
 
 
 def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
-               try_top: int = 2) -> Choice:
+               try_top: int = 1) -> Choice:
     """Pick the cheapest codec for an int chunk; returns the encoded blob.
 
     Estimator ranks codecs on a deterministic sample; the best
@@ -107,7 +107,7 @@ def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
     return best
 
 
-_STR_SAMPLE = 4096
+_STR_SAMPLE = 1024
 
 
 def choose_str(values, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:

@@ -6,7 +6,7 @@ Shape of the pipeline (cryo's freeze lifecycle re-expressed Spark-first,
   plan chunks (driver, deterministic)            -> layout.plan_chunks
   skip existing chunks (resume)                  -> anti-join vs manifest
   co-locate each chunk                           -> ONE shuffle: groupBy(partition_id, chunk_id)
-  per-chunk vectorized encode                    -> applyInPandas (Arrow batches, numpy kernels)
+  per-chunk vectorized encode                    -> applyInArrow (Arrow tables, numpy kernels)
   atomic write + manifest                        -> per-run parquet dir + manifest append
 
 Every per-value operation happens inside numpy/pyarrow kernels — no
@@ -23,7 +23,8 @@ import time
 import uuid
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -45,17 +46,80 @@ SEQUENCES_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
 # ---------------------------------------------------------------------------
-# per-chunk kernels (run inside executors via applyInPandas)
+# per-chunk kernels (run inside executors via applyInArrow — the grouped
+# data never touches pandas: a pandas conversion of array<int> allocates
+# one ndarray per row, which measured ~6x slower than the zero-copy
+# Arrow ListArray flatten used here)
 # ---------------------------------------------------------------------------
 
-def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+_ENCODED_PA_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("chunk_id", pa.int32()),
+        ("column", pa.string()),
+        ("codec_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_values", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("min_doc_id", pa.string()),
+        ("max_doc_id", pa.string()),
+        ("wall_ms", pa.float64()),
+        ("status", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+_PACKED_DDL = (
+    "doc_id string, tok_bin binary, n_tok int, source string, "
+    "partition_id int, chunk_id int"
+)
+
+
+def _pack_tokens(batches):
+    """array<int32> -> binary, zero-copy, BEFORE the shuffle.
+
+    Shuffling list columns is the hidden cost of the naive plan: the
+    post-shuffle row->Arrow conversion boxes every element through the
+    JVM ArrowWriter (measured ~8x slower end-to-end). A ListArray's
+    values buffer reinterpreted as per-row binary is free — the offsets
+    scale by 4 and the data buffer is shared — and binary rows shuffle
+    and re-batch at memcpy speed.
+    """
+    for b in batches:
+        t = pa.Table.from_batches([b]).combine_chunks()
+        tokens = t.column("tokens").combine_chunks()
+        offs = tokens.offsets.to_numpy().astype(np.int64)
+        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+        tok_bin = pa.Array.from_buffers(
+            pa.binary(),
+            len(tokens),
+            [None, pa.py_buffer((offs * 4).astype(np.int32).tobytes()),
+             pa.py_buffer(vals.tobytes())],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                t.column("doc_id").combine_chunks(),
+                tok_bin,
+                t.column("n_tok").combine_chunks(),
+                t.column("source").combine_chunks(),
+                t.column("partition_id").combine_chunks(),
+                t.column("chunk_id").combine_chunks(),
+            ],
+            names=["doc_id", "tok_bin", "n_tok", "source", "partition_id", "chunk_id"],
+        )
+
+
+def _encode_chunk(t: pa.Table) -> pa.Table:
     """Encode one chunk: rows sorted by doc_id, one output row per column."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
-    pid = int(pdf["partition_id"].iloc[0])
-    cid = int(pdf["chunk_id"].iloc[0])
-    n_rows = len(pdf)
-    min_doc = str(pdf["doc_id"].iloc[0])
-    max_doc = str(pdf["doc_id"].iloc[-1])
+    t = t.take(pc.sort_indices(t.column("doc_id")))
+    pid = int(t.column("partition_id")[0].as_py())
+    cid = int(t.column("chunk_id")[0].as_py())
+    n_rows = t.num_rows
+    doc_id = t.column("doc_id").combine_chunks()
+    min_doc = doc_id[0].as_py()
+    max_doc = doc_id[n_rows - 1].as_py()
 
     out: list[dict] = []
 
@@ -70,16 +134,14 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
             )
         )
 
-    # --- tokens: flatten -> lengths blob + values blob, each auto-selected ---
+    # --- tokens: zero-copy un-pack of the binary column -----------------------
     t0 = time.perf_counter()
-    token_arrays = pdf["tokens"].to_numpy()
-    lengths = np.fromiter((len(a) for a in token_arrays), dtype=np.int64, count=n_rows)
-    flat = (
-        np.concatenate(token_arrays).astype(np.int32, copy=False)
-        if n_rows and lengths.sum() > 0
-        else np.empty(0, dtype=np.int32)
-    )
-    lens_choice = choose_int(lengths.astype(np.int32))
+    tok_bin = t.column("tok_bin").combine_chunks()
+    boffs = np.frombuffer(tok_bin.buffers()[1], dtype=np.int32, count=n_rows + 1)
+    data = np.frombuffer(tok_bin.buffers()[2], dtype=np.uint8)
+    flat = data[boffs[0] : boffs[-1]].view(np.int32)
+    lengths = (np.diff(boffs) // 4).astype(np.int32)
+    lens_choice = choose_int(lengths)
     vals_choice = choose_int(flat)
     parts: list[bytes] = []
     put_blob(parts, lens_choice.payload)
@@ -96,43 +158,45 @@ def _encode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # --- n_tok ----------------------------------------------------------------
     t0 = time.perf_counter()
-    n_tok = pdf["n_tok"].to_numpy().astype(np.int32)
+    n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int32)
     ch = choose_int(n_tok)
     emit("n_tok", ch.codec_id, ch.payload, n_rows, int(n_tok.nbytes),
          (time.perf_counter() - t0) * 1000)
 
-    # --- string columns ---------------------------------------------------------
-    for column in ("doc_id", "source"):
+    # --- string columns (Arrow arrays straight into the string codecs) -------
+    for column, arr in (("doc_id", doc_id), ("source", t.column("source").combine_chunks())):
         t0 = time.perf_counter()
-        values = pdf[column].tolist()
-        ch = choose_str(values)
-        raw = sum(len(s.encode("utf-8")) for s in values) + 4 * n_rows
-        emit(column, ch.codec_id, ch.payload, n_rows, int(raw),
+        ch = choose_str(arr)
+        raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
+        emit(column, ch.codec_id, ch.payload, n_rows, raw,
              (time.perf_counter() - t0) * 1000)
 
-    return pd.DataFrame(out)
+    cols = {name: [r[name] for r in out] for name in _ENCODED_PA_SCHEMA.names}
+    return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
 
 
-def _decode_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+def _decode_chunk(t: pa.Table) -> pa.Table:
     """Inverse of :func:`_encode_chunk`: encoded column rows -> data rows."""
-    rows = {r["column"]: r for _, r in pdf.iterrows()}
-    tok_row = rows["tokens"]
-    buf = memoryview(tok_row["payload"])
+    payloads = {
+        t.column("column")[i].as_py(): t.column("payload")[i].as_py()
+        for i in range(t.num_rows)
+    }
+    buf = memoryview(payloads["tokens"])
     lens_blob, pos = get_blob(buf, 0)
     vals_blob, pos = get_blob(buf, pos)
     lengths = decode_any(bytes(lens_blob)).astype(np.int64)
     flat = decode_any(bytes(vals_blob))
-    token_arrays = np.split(flat, np.cumsum(lengths)[:-1]) if len(lengths) else []
-
-    doc_id = decode_any(rows["doc_id"]["payload"]).to_pylist()
-    source = decode_any(rows["source"]["payload"]).to_pylist()
-    n_tok = decode_any(rows["n_tok"]["payload"])
-    return pd.DataFrame(
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa.int32())
+    )
+    return pa.table(
         {
-            "doc_id": doc_id,
-            "tokens": token_arrays,
-            "n_tok": n_tok.astype(np.int32),
-            "source": source,
+            "doc_id": decode_any(payloads["doc_id"]),
+            "tokens": tokens,
+            "n_tok": pa.array(decode_any(payloads["n_tok"]), type=pa.int32()),
+            "source": decode_any(payloads["source"]),
         }
     )
 
@@ -148,12 +212,25 @@ def encode(
 ) -> DataFrame:
     """Encode a sequences DataFrame into the encoded-chunk table.
 
-    One shuffle (groupBy chunk key); chunk boundaries deterministic.
+    One shuffle (on the chunk key); chunk boundaries deterministic.
+    The repartition is explicit — ~one chunk per task — because AQE's
+    partition coalescing would otherwise merge the shuffle output into
+    few fat partitions (its advisory size targets scan-like stages) and
+    starve the vectorized encode stage of parallelism. applyInArrow
+    reuses this clustering, so no second exchange is added.
     """
     if plan is None:
         plan = layout.plan_chunks(df, target_tokens)
     assigned = layout.assign_chunks(df, plan)
-    return assigned.groupBy("partition_id", "chunk_id").applyInPandas(
+    return _grouped_encode(assigned, plan.n_chunks)
+
+
+def _grouped_encode(assigned: DataFrame, n_chunks: int) -> DataFrame:
+    spark = assigned.sparkSession
+    n_parts = max(16, min(n_chunks, spark.sparkContext.defaultParallelism * 4))
+    packed = assigned.mapInArrow(_pack_tokens, _PACKED_DDL)
+    packed = packed.repartition(n_parts, "partition_id", "chunk_id")
+    return packed.groupBy("partition_id", "chunk_id").applyInArrow(
         _encode_chunk, ENCODED_DDL
     )
 
@@ -164,7 +241,7 @@ def decode(enc_df: DataFrame) -> DataFrame:
     return (
         enc_df.select(*cols)
         .groupBy("partition_id", "chunk_id")
-        .applyInPandas(lambda pdf: _decode_chunk(pdf), SEQUENCES_DDL)
+        .applyInArrow(_decode_chunk, SEQUENCES_DDL)
     )
 
 
@@ -249,9 +326,7 @@ def freeze(
         assigned = assigned.join(
             F.broadcast(missing_df), ["partition_id", "chunk_id"], "left_semi"
         )
-    enc = assigned.groupBy("partition_id", "chunk_id").applyInPandas(
-        _encode_chunk, ENCODED_DDL
-    )
+    enc = _grouped_encode(assigned, plan.n_chunks)
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     t_enc = time.perf_counter()
     enc.write.mode("error").parquet(enc_dir)

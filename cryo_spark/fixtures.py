@@ -82,10 +82,31 @@ def generate_sequences(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def write_sequences(path: str, n: int, seed: int = 42) -> str:
-    """Write the synthetic table as parquet (snappy; the *input*, not the ref)."""
+def write_sequences(path: str, n: int, seed: int = 42, shards: int = 1) -> str:
+    """Write the synthetic table as parquet (snappy; the *input*, not the ref).
+
+    Small row groups so a distributed scan can split the file — a single
+    row group would serialize the whole read into one Spark task. With
+    ``shards`` > 1, writes a directory of that many files (the shape a
+    real distributed ingest produces) so scan parallelism is file-level.
+    """
     table = generate_sequences(n, seed)
-    pq.write_table(table, path, compression="snappy")
+    if shards <= 1:
+        pq.write_table(table, path, compression="snappy", row_group_size=8192)
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    step = (n + shards - 1) // shards
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                f"{path}/part-{i:05d}.parquet",
+                compression="snappy",
+                row_group_size=8192,
+            )
     return path
 
 

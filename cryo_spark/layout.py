@@ -10,23 +10,27 @@ sequence-count ranges and salting of skewed source partitions").
 
 Chunk boundaries must be a pure function of the data — NOT of the
 partition count — so runs at local[8] and local[32] produce identical
-chunks (FIXTURES.md §4). We therefore plan on the driver from a coarse
-histogram:
+chunks (FIXTURES.md §4). We plan on the driver from a coarse histogram:
 
-1. one scan chooses a doc_id prefix length P whose distinct-prefix count
-   gives enough granularity (approx_count_distinct over candidate
-   lengths, computed in a single pass);
-2. one aggregation collects per-(source, prefix) token totals — a
-   map-side-combined groupBy whose result is bounded by construction;
-3. a driver-side cumulative sweep closes a chunk every ~target_tokens;
-   any single prefix group heavier than the target is *salted*: split
-   deterministically across ceil(tokens/target) chunk ids by
-   pmod(xxhash64(doc_id), n_salts) — the skew handling the reference
-   lacks (SURVEY.md §2.10).
+1. one cheap scan totals the token count -> needed chunk count;
+2. one aggregation buckets every row by ``pmod(xxhash64(doc_id), B)``
+   (B sized to give ~16 buckets per chunk, capped so the collected
+   histogram stays bounded at any data scale) and sums tokens per
+   (source, bucket) — a map-side-combined groupBy;
+3. a driver-side cumulative sweep over bucket ranges closes a chunk
+   every ~target_tokens; a single bucket heavier than the target is
+   *salted*: split deterministically across ceil(tokens/target) chunk
+   ids by a second hash — the skew handling the reference lacks
+   (SURVEY.md §2.10).
 
-Assignment back to rows is a broadcast equi-join on (source, prefix) —
+A doc_id prefix histogram was rejected: zero-padded ids ("doc-000...42")
+put all discriminating characters at the end, collapsing every prefix
+length into 1 group or n_docs groups. Hash buckets are uniform for any
+id shape and keep the planner's collect bounded.
+
+Assignment back to rows is a broadcast equi-join on (source, bucket) —
 no extra shuffle; the only shuffle in the encode job is the
-groupBy(partition_id, chunk_id) that co-locates each chunk.
+repartition/groupBy on (partition_id, chunk_id) that co-locates chunks.
 """
 
 from __future__ import annotations
@@ -36,74 +40,47 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-PREFIX_CANDIDATES = (4, 6, 8, 10, 12, 16, 24, 32)
 DEFAULT_TARGET_TOKENS = 1 << 21  # ~2M tokens ≈ 8 MiB int32 per chunk
-MAX_PLAN_GROUPS = 500_000  # driver-side histogram bound
+BUCKETS_PER_CHUNK = 16
+MAX_BUCKETS = 1 << 20  # caps the driver-side histogram at any scale
 
 
 @dataclass
 class ChunkPlan:
-    prefix_len: int
+    n_buckets: int
     target_tokens: int
     n_chunks: int
-    n_salted_groups: int
+    n_salted_buckets: int
     partition_of_source: dict[str, int]
-    # rows: (source, prefix, partition_id, chunk_base, n_salts)
-    mapping: list[tuple[str, str, int, int, int]]
+    # rows: (source, bucket, partition_id, chunk_base, n_salts)
+    mapping: list[tuple[str, int, int, int, int]]
 
 
-def _choose_prefix_len(df: DataFrame, needed_chunks: int) -> int:
-    aggs = [
-        F.approx_count_distinct(F.substring("doc_id", 1, p)).alias(f"p{p}")
-        for p in PREFIX_CANDIDATES
-    ]
-    row = df.agg(*aggs).first()
-    want = max(64, needed_chunks * 16)
-    for p in PREFIX_CANDIDATES:
-        if row[f"p{p}"] >= want:
-            return p
-    return PREFIX_CANDIDATES[-1]
+def sweep(
+    hist: list[tuple[str, int, int]], target_tokens: int
+) -> tuple[list[tuple[str, int, int, int, int]], int, int, dict[str, int]]:
+    """Greedy cumulative sweep over (source, bucket, tokens) histogram rows.
 
-
-def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
-    """Compute deterministic chunk boundaries; two driver jobs, small collects."""
-    totals = df.agg(
-        F.sum("n_tok").alias("tokens"), F.count(F.lit(1)).alias("rows")
-    ).first()
-    total_tokens = int(totals["tokens"] or 0)
-    needed = max(1, math.ceil(total_tokens / target_tokens))
-    prefix_len = _choose_prefix_len(df, needed)
-
-    hist = (
-        df.groupBy("source", F.substring("doc_id", 1, prefix_len).alias("prefix"))
-        .agg(F.sum("n_tok").alias("tokens"), F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    if len(hist) > MAX_PLAN_GROUPS:
-        raise ValueError(
-            f"chunk-plan histogram too large ({len(hist)} groups); "
-            f"shorten PREFIX_CANDIDATES or raise MAX_PLAN_GROUPS"
-        )
-    by_source: dict[str, list] = {}
-    for r in hist:
-        by_source.setdefault(r["source"], []).append(r)
-
+    Returns (mapping, n_chunks, n_salted_buckets, partition_of_source).
+    Pure driver-side function of the histogram — unit-testable and the
+    seat of determinism.
+    """
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for source, bucket, tokens in hist:
+        by_source.setdefault(source, []).append((bucket, tokens))
     sources = sorted(by_source)
     partition_of_source = {s: i for i, s in enumerate(sources)}
 
-    mapping: list[tuple[str, str, int, int, int]] = []
+    mapping: list[tuple[str, int, int, int, int]] = []
     next_chunk = 0
     n_salted = 0
     for s in sources:
-        groups = sorted(by_source[s], key=lambda r: r["prefix"])
         acc = 0
         open_chunk = -1
-        for g in groups:
-            tok = int(g["tokens"])
+        for bucket, tok in sorted(by_source[s]):
             if tok > target_tokens:
-                # skewed group: dedicate a salted span of chunk ids
                 n_salts = math.ceil(tok / target_tokens)
-                mapping.append((s, g["prefix"], partition_of_source[s], next_chunk, n_salts))
+                mapping.append((s, bucket, partition_of_source[s], next_chunk, n_salts))
                 next_chunk += n_salts
                 n_salted += 1
                 continue
@@ -111,36 +88,61 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> Ch
                 open_chunk = next_chunk
                 next_chunk += 1
                 acc = 0
-            mapping.append((s, g["prefix"], partition_of_source[s], open_chunk, 1))
+            mapping.append((s, bucket, partition_of_source[s], open_chunk, 1))
             acc += tok
+    return mapping, next_chunk, n_salted, partition_of_source
+
+
+def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
+    """Compute deterministic chunk boundaries; two driver jobs, small collects."""
+    total_tokens = int(
+        df.agg(F.sum("n_tok").alias("t")).first()["t"] or 0
+    )
+    needed = max(1, math.ceil(total_tokens / target_tokens))
+    n_buckets = min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
+
+    hist_rows = (
+        df.groupBy(
+            "source",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .agg(F.sum("n_tok").alias("tokens"))
+        .collect()
+    )
+    hist = [(r["source"], int(r["bucket"]), int(r["tokens"])) for r in hist_rows]
+    mapping, n_chunks, n_salted, partition_of_source = sweep(hist, target_tokens)
     return ChunkPlan(
-        prefix_len=prefix_len,
+        n_buckets=n_buckets,
         target_tokens=target_tokens,
-        n_chunks=next_chunk,
-        n_salted_groups=n_salted,
+        n_chunks=n_chunks,
+        n_salted_buckets=n_salted,
         partition_of_source=partition_of_source,
         mapping=mapping,
     )
 
 
 def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
-    """Attach (partition_id, chunk_id) via a broadcast join on (source, prefix).
+    """Attach (partition_id, chunk_id) via a broadcast join on (source, bucket).
 
-    chunk_id is a pure function of (source, doc_id prefix histogram,
-    xxhash64(doc_id)) — identical at any parallelism level.
+    chunk_id is a pure function of (source, xxhash64(doc_id), histogram)
+    — identical at any parallelism level. Salted buckets spread across
+    their chunk span by a second, independent hash.
     """
     spark = df.sparkSession
     map_df = spark.createDataFrame(
-        plan.mapping, "source string, prefix string, partition_id int, chunk_base int, n_salts int"
+        plan.mapping,
+        "source string, bucket int, partition_id int, chunk_base int, n_salts int",
     )
-    joined = df.withColumn("prefix", F.substring("doc_id", 1, plan.prefix_len)).join(
-        F.broadcast(map_df), ["source", "prefix"], "inner"
-    )
+    joined = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(plan.n_buckets)).cast("int")
+    ).join(F.broadcast(map_df), ["source", "bucket"], "inner")
     return joined.withColumn(
         "chunk_id",
         (
             F.col("chunk_base")
-            + F.when(F.col("n_salts") > 1, F.pmod(F.xxhash64("doc_id"), F.col("n_salts")))
-            .otherwise(F.lit(0))
+            + F.when(
+                F.col("n_salts") > 1,
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.col("n_salts")),
+            ).otherwise(F.lit(0))
         ).cast("int"),
-    ).drop("prefix", "chunk_base", "n_salts")
+    ).drop("bucket", "chunk_base", "n_salts")

@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # token-sequence rows decompress ~4-8x from parquet; small file
+        # splits keep scan-stage parallelism up (a single 33 MB file
+        # would otherwise scan single-threaded under the 128 MB default)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )

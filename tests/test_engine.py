@@ -96,8 +96,22 @@ def test_plan_determinism(spark, sequences_path):
     assert p1.n_chunks == p2.n_chunks
 
 
-def test_salting_splits_heavy_groups(spark):
-    """A single doc_id prefix heavier than the target gets a salted span."""
+def test_sweep_salts_heavy_buckets():
+    """A bucket heavier than the target gets a salted chunk-id span."""
+    hist = [("web", 0, 100_000), ("web", 1, 500), ("web", 2, 600), ("chat", 3, 900)]
+    mapping, n_chunks, n_salted, parts = layout.sweep(hist, target_tokens=1000)
+    assert n_salted == 1
+    heavy = next(m for m in mapping if m[1] == 0)
+    assert heavy[4] == 100  # ceil(100k / 1k) salts
+    assert n_chunks >= 101
+    assert parts == {"chat": 0, "web": 1}
+    # light buckets coalesce into shared chunks
+    light = [m for m in mapping if m[4] == 1]
+    assert all(m[3] < n_chunks for m in light)
+
+
+def test_salting_balances_end_to_end(spark):
+    """Heavy duplicate-hash load still yields balanced chunks."""
     import pandas as pd
 
     n = 2000
@@ -110,7 +124,6 @@ def test_salting_splits_heavy_groups(spark):
         }
     )
     df = spark.createDataFrame(pdf, engine.SEQUENCES_DDL)
-    # prefix len capped below id-discriminating length -> one heavy group
     plan = layout.plan_chunks(df, target_tokens=20_000)
     assert plan.n_chunks >= 5
     assigned = layout.assign_chunks(df, plan)
