@@ -746,3 +746,253 @@ def multimodal_binary_meta(spark, sf_dir):
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full encode->decode round-trip aggregated per source."""
     return enc_roundtrip_agg(spark, sf_dir)
+
+
+# ===========================================================================
+# window / sessionization / OLAP patterns (generic engine capabilities)
+# ===========================================================================
+
+@q(
+    "topk_per_group",
+    """
+    SELECT cust_bucket, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey % 100 AS cust_bucket, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey % 100
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group via ranking window (OLAP pattern)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "cust_bucket", F.col("o_custkey") % 100
+    )
+    w = W.partitionBy("cust_bucket").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("cust_bucket", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "sessionization",
+    """
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800 OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      ) g
+    ) s GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization: lag + cumulative sum over a window."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@q(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_counts(spark, sf_dir):
+    """Hierarchical aggregation (rollup) over flag/status."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@q(
+    "pivot_event_types",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_types(spark, sf_dir):
+    """Pivot (wide counts per category)."""
+    e = _t(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        e.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0)
+        .select(
+            "user_bucket",
+            F.col("click").cast("long").alias("click"),
+            F.col("view").cast("long").alias("view"),
+            F.col("purchase").cast("long").alias("purchase"),
+        )
+    )
+
+
+@q(
+    "windowed_time_agg",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_time_agg(spark, sf_dir):
+    """Tumbling time-window aggregation (streaming-shaped, batch-checked)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# ===========================================================================
+# additional training-data ops
+# ===========================================================================
+
+_NGRAM_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(length({c}) - 2, 1)), "
+    "i -> substring({c}, i, 3)))"
+)
+_NGRAM_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
+    "i -> substring({c}, i, 3)))"
+)
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(floor(
+             len(list_intersect({_NGRAM_SQL.format(c='a.text')}, {_NGRAM_SQL.format(c='b.text')})) * 1000.0
+             / greatest(len(list_distinct({_NGRAM_SQL.format(c='a.text')} ||
+                            {_NGRAM_SQL.format(c='b.text')})), 1) + 0.5
+           ) AS BIGINT) AS jaccard_milli
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 = 0
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Character 3-gram Jaccard similarity over a deterministic pair sample."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.expr(_NGRAM_SPARK.format(c="text")).alias("ga"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.expr(_NGRAM_SPARK.format(c="text")).alias("gb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                F.size(F.array_intersect("ga", "gb")) * 1000.0
+                / F.greatest(F.size(F.array_distinct(F.concat("ga", "gb"))), F.lit(1))
+                + 0.5
+            )
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+
+
+_PLANE_SPARK = (
+    "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+    "(v, d) -> CAST(v AS DOUBLE) * (CAST((({b} * 64 + d) * 48271 + 11) % 1000003 AS DOUBLE) "
+    "/ 1000003.0 - 0.5)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+)
+_PLANE_SQL = (
+    "list_aggregate(list_transform(range(1, len(embedding) + 1), "
+    "d -> embedding[d]::DOUBLE * ((({b} * 64 + (d - 1)) * 48271 + 11) % 1000003 "
+    "/ 1000003.0 - 0.5)), 'sum')"
+)
+
+
+@q(
+    "ann_lsh_buckets",
+    f"""
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS min_vec
+    FROM (
+      SELECT vec_id,
+             CAST(CASE WHEN {_PLANE_SQL.format(b=0)} > 0 THEN 1 ELSE 0 END
+               + 2 * CASE WHEN {_PLANE_SQL.format(b=1)} > 0 THEN 1 ELSE 0 END
+               + 4 * CASE WHEN {_PLANE_SQL.format(b=2)} > 0 THEN 1 ELSE 0 END
+               + 8 * CASE WHEN {_PLANE_SQL.format(b=3)} > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+      FROM embeddings
+    ) t GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing — the ANN scale path.
+
+    Hyperplane coefficients come from a portable integer LCG (pure
+    arithmetic, identical in both engines), so bucket assignment is
+    deterministic and oracle-checkable. At scale the ANN query becomes
+    a bucket-equijoin instead of an all-pairs scan.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for b in range(4):
+        bit = F.when(F.expr(_PLANE_SPARK.format(b=b)) > 0, 1).otherwise(0) * (2**b)
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").cast("long").alias("min_vec"),
+        )
+    )
+
+
+@q(
+    "token_count_regex",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))) AS BIGINT)
+               AS total_regex_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_count_regex(spark, sf_dir):
+    """BPE-ish regex token counting (word/number pieces)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+', 0)")))
+        .cast("long")
+        .alias("total_regex_tokens")
+    )

@@ -28,7 +28,7 @@ TABLES = [
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
     )
     h = hashlib.sha256()
     for row in canon:
