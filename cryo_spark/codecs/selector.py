@@ -3,11 +3,17 @@
 The reference fixes one compression codec per run from a CLI flag
 (/root/reference/crates/cli/src/parse/file_output.rs:102-136). Per
 BASELINE.json:north_rule we make the choice automatic and per column
-chunk: cheap closed-form size estimators over a deterministic sample
-rank the candidate codecs, the best candidates are trial-encoded in
-full, and a plain/strplain+zstd floor guarantees we never lose to the
-parquet-zstd reference path. Literature: "Adaptive Compression for Fast
-Scans on String Columns" (SIGMOD 2021), FSST (VLDB 2020) — PAPERS.md.
+chunk: cheap closed-form size estimators prefilter the candidate list,
+the survivors are trial-encoded on a deterministic sample (including a
+fast-zstd entropy probe, so the estimate sees the cascade), and only the
+sample winner is fully encoded. A plain floor guarantees we never exceed
+the raw size. Literature: "Adaptive Compression for Fast Scans on String
+Columns" (SIGMOD 2021), FSST (VLDB 2020) — PAPERS.md.
+
+Trial-encoding every candidate on the FULL chunk was measured at ~85 ms
+per 500k-token chunk with the zstd stage dominating (13-36 ms per
+candidate); sample-sized trials cut that to ~25 ms with identical
+choices on the bench distributions.
 
 Deterministic: sampling is a fixed stride, no RNG — codec choices are a
 pure function of the chunk's values (FIXTURES.md §4 parallelism-
@@ -21,9 +27,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import registry
-from .bits import storage_width
+from .bits import storage_width, zstd_compress
 
 SAMPLE_TARGET = 1 << 15  # values sampled for estimation
+_TRIAL_ZSTD_LEVEL = 3  # entropy probe level: ranks like level 6, ~3x faster
 
 
 @dataclass
@@ -65,74 +72,127 @@ def _int_estimates(v: np.ndarray) -> dict[str, float]:
     est["dict"] = storage_width(max(0, card - 1)) / 8.0 + card * 4.0 / n
     # dictf packs to the same width pre-zstd but compresses strictly
     # better under the entropy stage on skewed data; prefer it slightly
-    # so it lands in the trial set whenever dict is competitive.
+    # so it survives the prefilter whenever dict is competitive.
     est["dictf"] = est["dict"] - 1e-6
     return est
 
 
 def _consider(best: Choice | None, name: str, payload: bytes,
-              est: dict[str, float], zstd_level: int) -> Choice | None:
-    """Frame raw and +zstd variants of one base payload; keep the smallest."""
-    for codec_id in (name, name + "+zstd"):
+              est: dict[str, float], zstd_level: int,
+              variants: tuple[bool, bool] = (True, True)) -> Choice | None:
+    """Frame raw and/or +zstd variants of one base payload; keep the smallest."""
+    raw, zstd = variants
+    for codec_id in ([name] if raw else []) + ([name + "+zstd"] if zstd else []):
         blob = registry.frame(codec_id, payload, zstd_level=zstd_level)
         if best is None or len(blob) < best.enc_bytes:
             best = Choice(codec_id, len(blob), blob, est)
     return best
 
 
+_PREFILTER_TOP = 4
+
+
 def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
                try_top: int = 1) -> Choice:
     """Pick the cheapest codec for an int chunk; returns the encoded blob.
 
-    Estimator ranks codecs on a deterministic sample; the best
-    ``try_top`` are fully encoded once each (raw and +zstd variants
-    share the base encode) alongside the plain+zstd floor; smallest wins.
+    Closed-form estimates prefilter to the best ``_PREFILTER_TOP``
+    codecs (plus 'for', the robust general path); those are trial-
+    encoded on the sample with a fast-zstd probe; the best ``try_top``
+    base codecs are then fully encoded (raw and +zstd variants share
+    the base encode). A raw-plain floor is applied by size arithmetic
+    without encoding, so the result never exceeds the raw bytes.
     """
     sample = _sample(values)
     est = _int_estimates(sample)
-    ranked = sorted(est, key=est.get)[:try_top]
-    # 'for' is always trialed: with the byte-split layout its +zstd
-    # variant is the strongest general-purpose path (estimates can't see
-    # the entropy stage); 'plain' is the never-lose floor.
-    candidates = set(ranked) | {"for", "plain"}
-    best: Choice | None = None
-    for name in candidates:
+    scale = len(values) / max(1, len(sample))
+    pre = sorted((k for k in est if k != "plain"), key=est.get)[:_PREFILTER_TOP]
+    if "for" not in pre:
+        pre.append("for")
+
+    trials: list[tuple[float, str]] = []
+    for name in pre:
         enc, _, _ = registry.CODECS[name]
         try:
-            payload = enc(values)
+            p = enc(sample)
         except ValueError:  # e.g. bitpack on negatives
             continue
-        best = _consider(best, name, payload, est, zstd_level)
+        z = zstd_compress(p, level=_TRIAL_ZSTD_LEVEL)
+        trials.append((len(p) * scale, name))
+        trials.append((len(z) * scale, name + "+zstd"))
+        est[name + "~trial"] = len(p) * scale
+        est[name + "+zstd~trial"] = len(z) * scale
+    trials.sort()
+
+    best: Choice | None = None
+    tried_bases: list[str] = []
+    for _, codec_id in trials:
+        base, _ = registry.split_codec_id(codec_id)
+        if base in tried_bases:
+            continue
+        if len(tried_bases) >= try_top:
+            break
+        tried_bases.append(base)
+        payload = registry.CODECS[base][0](values)
+        best = _consider(best, base, payload, est, zstd_level)
+
+    # raw-plain floor: size known without encoding (header + raw bytes)
+    plain_size = _plain_frame_size(values)
+    if best is None or best.enc_bytes > plain_size:
+        payload = registry.CODECS["plain"][0](values)
+        best = _consider(best, "plain", payload, est, zstd_level,
+                         variants=(True, best is None))
     assert best is not None
     return best
 
 
+def _plain_frame_size(values: np.ndarray) -> int:
+    # frame: magic(4) + name_len(1) + name(5) + flag(1); plain payload: hdr(9) + bytes
+    return 4 + 1 + len("plain") + 1 + 9 + values.nbytes
+
+
 _STR_SAMPLE = 1024
+# Trial FSST only when the cheap codecs' zstd stage compresses poorly:
+# when plain/dict+zstd already reach a ratio this good, the FSST trial
+# (a symbol-table train, ~50x the cost of the other trials) cannot
+# recoup its cost — strings are a small fraction of chunk bytes.
+_FSST_GATE_RATIO = 0.35
 
 
 def choose_str(values, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:
-    """Pick the cheapest string codec (strdict / strfsst / strplain+zstd).
+    """Pick the cheapest string codec (strdict / strfsst / strplain).
 
-    Trial-encodes a deterministic prefix sample with every candidate,
-    full-encodes the sample winner, and keeps strplain+zstd as the
-    never-lose floor.
+    Trial-encodes a deterministic prefix sample with every candidate
+    (with the +zstd stage, so the estimate sees the cascade) and
+    full-encodes only the sample winner; a raw strplain floor is applied
+    by size arithmetic so the result never exceeds the raw bytes.
     """
     import pyarrow as pa
+
+    from .strings import to_bytes_lengths
 
     arr = values if isinstance(values, pa.Array) else pa.array(list(values), type=pa.string())
     est: dict[str, float] = {}
     if len(arr) > _STR_SAMPLE:
         sample = arr.slice(0, _STR_SAMPLE)
-        for name in ("strplain", "strdict", "strfsst"):
+        scale = len(arr) / _STR_SAMPLE
+        s_data, _s_lens = to_bytes_lengths(sample)
+        sample_raw = max(1, len(s_data))
+        for name in ("strplain", "strdict"):
             try:
-                est[name] = float(len(registry.encode_any(name + "+zstd", sample,
-                                                          zstd_level=zstd_level)))
+                est[name] = float(len(registry.encode_any(
+                    name + "+zstd", sample, zstd_level=_TRIAL_ZSTD_LEVEL))) * scale
             except Exception:
                 est[name] = float("inf")
-        winner = min(est, key=est.get)
-        candidates = {winner, "strplain"}
+        if min(est.values()) / scale / sample_raw > _FSST_GATE_RATIO:
+            try:
+                est["strfsst"] = float(len(registry.encode_any(
+                    "strfsst+zstd", sample, zstd_level=_TRIAL_ZSTD_LEVEL))) * scale
+            except Exception:
+                est["strfsst"] = float("inf")
+        candidates = [min(est, key=est.get)]
     else:
-        candidates = {"strplain", "strdict", "strfsst"}
+        candidates = ["strplain", "strdict", "strfsst"]
     best: Choice | None = None
     for name in candidates:
         enc, _, _ = registry.CODECS[name]
@@ -141,5 +201,12 @@ def choose_str(values, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:
         except Exception:
             continue
         best = _consider(best, name, payload, est, zstd_level)
+    # raw strplain floor (lengths FoR'd, so floor is data bytes + small slack)
+    data, lengths = to_bytes_lengths(arr)
+    floor = 4 + 1 + len("strplain") + 1 + 8 + 16 + 18 + len(lengths) * 8 + len(data)
+    if best is None or best.enc_bytes > floor:
+        payload = registry.CODECS["strplain"][0](arr)
+        best = _consider(best, "strplain", payload, est, zstd_level,
+                         variants=(True, best is None))
     assert best is not None
     return best

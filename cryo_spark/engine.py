@@ -4,7 +4,7 @@ Shape of the pipeline (cryo's freeze lifecycle re-expressed Spark-first,
 /root/reference/crates/freeze/src/freeze.rs:26-77):
 
   plan chunks (driver, deterministic)            -> layout.plan_chunks
-  skip existing chunks (resume)                  -> anti-join vs manifest
+  assign + pack + resume-filter (fused, no join) -> mapInArrow(_pack_assign)
   co-locate each chunk                           -> ONE shuffle: groupBy(partition_id, chunk_id)
   per-chunk vectorized encode                    -> applyInArrow (Arrow tables, numpy kernels)
   atomic write + manifest                        -> per-run parquet dir + manifest append
@@ -77,38 +77,63 @@ _PACKED_DDL = (
 )
 
 
-def _pack_tokens(batches):
-    """array<int32> -> binary, zero-copy, BEFORE the shuffle.
+def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
+                 chunk_id_offset: int = 0):
+    """Kernel factory: assign (partition_id, chunk_id) + pack tokens to binary.
 
-    Shuffling list columns is the hidden cost of the naive plan: the
-    post-shuffle row->Arrow conversion boxes every element through the
-    JVM ArrowWriter (measured ~8x slower end-to-end). A ListArray's
-    values buffer reinterpreted as per-row binary is free — the offsets
-    scale by 4 and the data buffer is shared — and binary rows shuffle
-    and re-batch at memcpy speed.
+    One fused pre-shuffle pass. Assignment is a numpy hash + gather
+    against the broadcast chunk-plan lookup (layout.assign_arrays) — no
+    JVM join, no per-run broadcast exchange. Packing: shuffling list
+    columns is the hidden cost of the naive plan — the post-shuffle
+    row->Arrow conversion boxes every element through the JVM
+    ArrowWriter (measured ~8x slower end-to-end). A ListArray's values
+    buffer reinterpreted as per-row binary is free (offsets scale by 4,
+    data buffer shared) and binary rows shuffle at memcpy speed.
+
+    ``keep_mask`` (bool per chunk_id) implements resume: rows of
+    already-committed chunks are dropped here, before any bytes move.
     """
-    for b in batches:
-        t = pa.Table.from_batches([b]).combine_chunks()
-        tokens = t.column("tokens").combine_chunks()
-        offs = tokens.offsets.to_numpy().astype(np.int64)
-        vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
-        tok_bin = pa.Array.from_buffers(
-            pa.binary(),
-            len(tokens),
-            [None, pa.py_buffer((offs * 4).astype(np.int32).tobytes()),
-             pa.py_buffer(vals.tobytes())],
-        )
-        yield pa.RecordBatch.from_arrays(
-            [
-                t.column("doc_id").combine_chunks(),
-                tok_bin,
-                t.column("n_tok").combine_chunks(),
-                t.column("source").combine_chunks(),
-                t.column("partition_id").combine_chunks(),
-                t.column("chunk_id").combine_chunks(),
-            ],
-            names=["doc_id", "tok_bin", "n_tok", "source", "partition_id", "chunk_id"],
-        )
+
+    def fn(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b]).combine_chunks()
+            pid, cid = layout.assign_arrays(
+                t.column("doc_id"), t.column("source"), lut_b.value, n_buckets
+            )
+            tokens = t.column("tokens").combine_chunks()
+            doc_id = t.column("doc_id").combine_chunks()
+            n_tok = t.column("n_tok").combine_chunks()
+            source = t.column("source").combine_chunks()
+            if keep_mask is not None:
+                keep = keep_mask[cid]
+                if not keep.all():
+                    sel = np.flatnonzero(keep)
+                    if not len(sel):
+                        continue
+                    idx = pa.array(sel)
+                    tokens = tokens.take(idx)
+                    doc_id = doc_id.take(idx)
+                    n_tok = n_tok.take(idx)
+                    source = source.take(idx)
+                    pid, cid = pid[sel], cid[sel]
+            if chunk_id_offset:
+                cid = cid + np.int32(chunk_id_offset)
+            offs = tokens.offsets.to_numpy().astype(np.int64)
+            vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+            base = offs[0]
+            tok_bin = pa.Array.from_buffers(
+                pa.binary(),
+                len(tokens),
+                [None, pa.py_buffer(((offs - base) * 4).astype(np.int32).tobytes()),
+                 pa.py_buffer(vals[base:].tobytes() if base else vals.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, tok_bin, n_tok, source,
+                 pa.array(pid, pa.int32()), pa.array(cid, pa.int32())],
+                names=["doc_id", "tok_bin", "n_tok", "source", "partition_id", "chunk_id"],
+            )
+
+    return fn
 
 
 def _encode_chunk(t: pa.Table) -> pa.Table:
@@ -221,14 +246,19 @@ def encode(
     """
     if plan is None:
         plan = layout.plan_chunks(df, target_tokens)
-    assigned = layout.assign_chunks(df, plan)
-    return _grouped_encode(assigned, plan.n_chunks)
+    return _grouped_encode(df, plan)
 
 
-def _grouped_encode(assigned: DataFrame, n_chunks: int) -> DataFrame:
-    spark = assigned.sparkSession
+def _grouped_encode(df: DataFrame, plan: layout.ChunkPlan,
+                    keep_mask: np.ndarray | None = None,
+                    chunk_id_offset: int = 0) -> DataFrame:
+    spark = df.sparkSession
+    n_chunks = plan.n_chunks
     n_parts = max(16, min(n_chunks, spark.sparkContext.defaultParallelism * 4))
-    packed = assigned.mapInArrow(_pack_tokens, _PACKED_DDL)
+    lut_b = spark.sparkContext.broadcast(plan.lookup())
+    packed = df.mapInArrow(
+        _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset), _PACKED_DDL
+    )
     packed = packed.repartition(n_parts, "partition_id", "chunk_id")
     return packed.groupBy("partition_id", "chunk_id").applyInArrow(
         _encode_chunk, ENCODED_DDL
@@ -320,13 +350,11 @@ def freeze(
         )
 
     run_id = uuid.uuid4().hex[:12]
-    assigned = layout.assign_chunks(df, plan)
+    keep_mask = None
     if done:
-        missing_df = spark.createDataFrame(missing, "partition_id int, chunk_id int")
-        assigned = assigned.join(
-            F.broadcast(missing_df), ["partition_id", "chunk_id"], "left_semi"
-        )
-    enc = _grouped_encode(assigned, plan.n_chunks)
+        keep_mask = np.zeros(plan.n_chunks, dtype=bool)
+        keep_mask[[cid for _pid, cid in missing]] = True
+    enc = _grouped_encode(df, plan, keep_mask)
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     t_enc = time.perf_counter()
     enc.write.mode("error").parquet(enc_dir)

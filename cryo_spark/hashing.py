@@ -1,0 +1,75 @@
+"""Vectorized 64-bit string hashing shared by planner and encode kernels.
+
+The chunk layout needs ONE hash of ``doc_id`` computed identically in
+two places: the driver-side histogram pass and the executor-side
+assignment kernel (layout.py). Both run the same numpy kernel below, so
+no JVM hash function is involved and the bucket of a row is a pure
+function of its bytes — parallelism-invariant (FIXTURES.md §4), the
+property the reference gets from hashing nothing at all (its chunks are
+key ranges, /root/reference/crates/freeze/src/types/chunks/number_chunk.rs:92-106).
+
+The function is an xxhash/murmur-style word-wise mix: strings are
+zero-padded into an (n, n_words) little-endian uint64 matrix, folded
+word-by-word (the Python-level loop is over ``ceil(max_len/8)``
+iterations, not rows), then finalized with an avalanche. Quality needs
+are bucketing-grade, not cryptographic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def _rotl(v: np.ndarray, r: int) -> np.ndarray:
+    r_ = np.uint64(r)
+    inv = np.uint64(64 - r)
+    return (v << r_) | (v >> inv)
+
+
+def hash_utf8(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """Hash each utf8 string to uint64; vectorized, no per-row Python."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type != pa.string():
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = arr.offset
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[off : off + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offsets).astype(np.int64)
+    max_len = int(lengths.max()) if n else 0
+    n_words = max(1, (max_len + 7) // 8)
+
+    padded = np.zeros(n * n_words * 8, dtype=np.uint8)
+    total = int(offsets[-1] - offsets[0])
+    if total:
+        starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64) * (n_words * 8), lengths)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+        padded[row + intra] = data[offsets[0] : offsets[-1]]
+    words = padded.view("<u8").reshape(n, n_words)
+
+    with np.errstate(over="ignore"):
+        h = np.full(n, np.uint64(seed) * _P1 ^ _P2, dtype=np.uint64)
+        for i in range(n_words):
+            h = _rotl(h ^ (words[:, i] * _P1), 31) * _P2
+        h ^= np.uint64(0x165667B19E3779F9) + lengths.astype(np.uint64)
+        # avalanche (xxhash64 finalizer)
+        h ^= h >> np.uint64(33)
+        h *= _P2
+        h ^= h >> np.uint64(29)
+        h *= _P3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int, seed: int = 0) -> np.ndarray:
+    """Stable bucket in [0, n_buckets) per string."""
+    return (hash_utf8(arr, seed=seed) % np.uint64(n_buckets)).astype(np.int64)

@@ -12,25 +12,28 @@ Chunk boundaries must be a pure function of the data — NOT of the
 partition count — so runs at local[8] and local[32] produce identical
 chunks (FIXTURES.md §4). We plan on the driver from a coarse histogram:
 
-1. one cheap scan totals the token count -> needed chunk count;
-2. one aggregation buckets every row by ``pmod(xxhash64(doc_id), B)``
-   (B sized to give ~16 buckets per chunk, capped so the collected
-   histogram stays bounded at any data scale) and sums tokens per
-   (source, bucket) — a map-side-combined groupBy;
-3. a driver-side cumulative sweep over bucket ranges closes a chunk
+1. one column-pruned pass (doc_id, n_tok, source only — the parquet
+   scan never touches the token arrays) buckets every row by
+   ``hash(doc_id) % B`` (B sized to give ~16 buckets per chunk, capped
+   so the collected histogram stays bounded at any data scale) and sums
+   tokens per (source, bucket): a numpy bincount per task inside
+   mapInArrow, then a tiny groupBy over ≤ B rows per task;
+2. a driver-side cumulative sweep over bucket ranges closes a chunk
    every ~target_tokens; a single bucket heavier than the target is
    *salted*: split deterministically across ceil(tokens/target) chunk
    ids by a second hash — the skew handling the reference lacks
    (SURVEY.md §2.10).
 
-A doc_id prefix histogram was rejected: zero-padded ids ("doc-000...42")
-put all discriminating characters at the end, collapsing every prefix
-length into 1 group or n_docs groups. Hash buckets are uniform for any
-id shape and keep the planner's collect bounded.
+The hash is our own numpy kernel (hashing.py) so the executor-side
+assignment (fused into the encode job's pack kernel, engine.py) computes
+the same buckets with zero JVM involvement — no per-run broadcast join,
+no driver-side createDataFrame on the hot path. A doc_id prefix
+histogram was rejected earlier: zero-padded ids put all discriminating
+characters at the end, collapsing every prefix length into 1 group or
+n_docs groups. Hash buckets are uniform for any id shape.
 
-Assignment back to rows is a broadcast equi-join on (source, bucket) —
-no extra shuffle; the only shuffle in the encode job is the
-repartition/groupBy on (partition_id, chunk_id) that co-locates chunks.
+The only shuffle in the encode job remains the repartition/groupBy on
+(partition_id, chunk_id) that co-locates chunks.
 """
 
 from __future__ import annotations
@@ -38,11 +41,17 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import numpy as np
+import pyarrow as pa
+
 from pyspark.sql import DataFrame, functions as F
+
+from .hashing import bucket_of, hash_utf8
 
 DEFAULT_TARGET_TOKENS = 1 << 21  # ~2M tokens ≈ 8 MiB int32 per chunk
 BUCKETS_PER_CHUNK = 16
 MAX_BUCKETS = 1 << 20  # caps the driver-side histogram at any scale
+SALT_SEED = 1  # second, independent hash for spreading salted buckets
 
 
 @dataclass
@@ -54,6 +63,28 @@ class ChunkPlan:
     partition_of_source: dict[str, int]
     # rows: (source, bucket, partition_id, chunk_base, n_salts)
     mapping: list[tuple[str, int, int, int, int]]
+
+    def lookup(self) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Dense per-source arrays indexed by bucket: (pid, chunk_base, n_salts).
+
+        The executor-side assignment structure — O(1) gather per row,
+        shipped once per executor via ``sc.broadcast``. Unplanned
+        buckets carry pid = -1 so kernels can detect data that was not
+        in the planning histogram.
+        """
+        out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for source, bucket, pid, base, salts in self.mapping:
+            if source not in out:
+                out[source] = (
+                    np.full(self.n_buckets, -1, dtype=np.int32),
+                    np.zeros(self.n_buckets, dtype=np.int32),
+                    np.ones(self.n_buckets, dtype=np.int32),
+                )
+            p, b, s = out[source]
+            p[bucket] = pid
+            b[bucket] = base
+            s[bucket] = salts
+        return out
 
 
 def sweep(
@@ -93,6 +124,48 @@ def sweep(
     return mapping, next_chunk, n_salted, partition_of_source
 
 
+_HIST_DDL = "source string, bucket int, tokens long"
+
+
+def _hist_kernel(n_buckets: int):
+    """mapInArrow kernel: per-task (source, bucket) -> sum(n_tok) bincount."""
+
+    def fn(batches):
+        acc: dict[str, np.ndarray] = {}
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            buckets = bucket_of(t.column("doc_id"), n_buckets)
+            n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False)
+            src = t.column("source").combine_chunks()
+            # group rows by source (few distinct values), bincount within
+            de = src.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            for ci, s in enumerate(de.dictionary.to_pylist()):
+                mask = codes == ci
+                h = acc.setdefault(s, np.zeros(n_buckets, dtype=np.int64))
+                np.add.at(h, buckets[mask], n_tok[mask])
+        names, bs, ts = [], [], []
+        for s, h in acc.items():
+            nz = np.flatnonzero(h)
+            names.extend([s] * len(nz))
+            bs.append(nz.astype(np.int32))
+            ts.append(h[nz])
+        if not names:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int32()), pa.array([], pa.int64())],
+                names=["source", "bucket", "tokens"],
+            )
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(names, pa.string()),
+             pa.array(np.concatenate(bs)),
+             pa.array(np.concatenate(ts))],
+            names=["source", "bucket", "tokens"],
+        )
+
+    return fn
+
+
 def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
     """Compute deterministic chunk boundaries; two driver jobs, small collects."""
     total_tokens = int(
@@ -102,11 +175,10 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> Ch
     n_buckets = min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
 
     hist_rows = (
-        df.groupBy(
-            "source",
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
-        )
-        .agg(F.sum("n_tok").alias("tokens"))
+        df.select("doc_id", "n_tok", "source")
+        .mapInArrow(_hist_kernel(n_buckets), _HIST_DDL)
+        .groupBy("source", "bucket")
+        .agg(F.sum("tokens").alias("tokens"))
         .collect()
     )
     hist = [(r["source"], int(r["bucket"]), int(r["tokens"])) for r in hist_rows]
@@ -121,28 +193,70 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> Ch
     )
 
 
-def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
-    """Attach (partition_id, chunk_id) via a broadcast join on (source, bucket).
+def assign_arrays(
+    doc_id: pa.Array | pa.ChunkedArray,
+    source: pa.Array | pa.ChunkedArray,
+    lut: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    n_buckets: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (partition_id, chunk_id) for a batch of rows.
 
-    chunk_id is a pure function of (source, xxhash64(doc_id), histogram)
-    — identical at any parallelism level. Salted buckets spread across
-    their chunk span by a second, independent hash.
+    chunk_id is a pure function of (source, hash(doc_id), histogram) —
+    identical at any parallelism level. Salted buckets spread across
+    their chunk span by a second, independent hash (SALT_SEED).
+    """
+    if isinstance(source, pa.ChunkedArray):
+        source = source.combine_chunks()
+    buckets = bucket_of(doc_id, n_buckets)
+    n = len(buckets)
+    pid = np.empty(n, dtype=np.int32)
+    cid = np.empty(n, dtype=np.int64)
+    de = source.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    salt_hash: np.ndarray | None = None
+    for ci, s in enumerate(de.dictionary.to_pylist()):
+        mask = codes == ci
+        if s not in lut:
+            raise KeyError(f"source {s!r} absent from chunk plan")
+        p, base, salts = lut[s]
+        bk = buckets[mask]
+        pid[mask] = p[bk]
+        salt = np.zeros(mask.sum(), dtype=np.int64)
+        multi = salts[bk] > 1
+        if multi.any():
+            if salt_hash is None:
+                salt_hash = hash_utf8(doc_id, seed=SALT_SEED)
+            sh = salt_hash[np.flatnonzero(mask)[multi]]
+            salt[multi] = (sh % salts[bk][multi].astype(np.uint64)).astype(np.int64)
+        cid[mask] = base[bk] + salt
+    if (pid < 0).any():
+        raise KeyError("row hashed to a bucket absent from the chunk plan")
+    return pid, cid.astype(np.int32)
+
+
+def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
+    """Attach (partition_id, chunk_id) columns (generic/compat path).
+
+    The encode job does NOT use this — assignment is fused into its pack
+    kernel (engine._pack_tokens) to avoid a second pass over the token
+    arrays. This DataFrame-level variant serves streaming/tests and any
+    caller that wants the assignment alone.
     """
     spark = df.sparkSession
-    map_df = spark.createDataFrame(
-        plan.mapping,
-        "source string, bucket int, partition_id int, chunk_base int, n_salts int",
-    )
-    joined = df.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(plan.n_buckets)).cast("int")
-    ).join(F.broadcast(map_df), ["source", "bucket"], "inner")
-    return joined.withColumn(
-        "chunk_id",
-        (
-            F.col("chunk_base")
-            + F.when(
-                F.col("n_salts") > 1,
-                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.col("n_salts")),
-            ).otherwise(F.lit(0))
-        ).cast("int"),
-    ).drop("bucket", "chunk_base", "n_salts")
+    lut_b = spark.sparkContext.broadcast(plan.lookup())
+    n_buckets = plan.n_buckets
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", partition_id int, chunk_id int"
+
+    def fn(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            pid, cid = assign_arrays(
+                t.column("doc_id"), t.column("source"), lut_b.value, n_buckets
+            )
+            t = t.append_column("partition_id", pa.array(pid, pa.int32()))
+            t = t.append_column("chunk_id", pa.array(cid, pa.int32()))
+            yield from t.to_batches()
+
+    return df.mapInArrow(fn, out_ddl)

@@ -46,10 +46,7 @@ def stream_encode(
                 "raise BATCH_STRIDE or target_tokens"
             )
         base = batch_id * BATCH_STRIDE
-        assigned = layout.assign_chunks(batch_df, plan).withColumn(
-            "chunk_id", (engine.F.col("chunk_id") + base).cast("int")
-        )
-        enc = engine._grouped_encode(assigned, plan.n_chunks)
+        enc = engine._grouped_encode(batch_df, plan, chunk_id_offset=base)
         run_id = f"stream{batch_id:08d}"
         enc_dir = f"{output_dir}/encoded/run={run_id}"
         enc.write.mode("overwrite").parquet(enc_dir)

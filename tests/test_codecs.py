@@ -108,7 +108,7 @@ def test_selector_str(case):
 def test_selector_picks_sensibly():
     constant = np.full(100_000, 42, dtype=np.int32)
     const_choice = choose_int(constant)
-    assert const_choice.codec_id.startswith(("rle", "for", "dict"))
+    assert const_choice.codec_id.startswith(("rle", "for", "dict", "delta"))
     assert const_choice.enc_bytes < 200  # ~0 bits/value either way
     ramp = np.arange(100_000, dtype=np.int32)
     assert choose_int(ramp).codec_id.startswith(("delta", "rle"))
