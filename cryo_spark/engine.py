@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import layout
+from . import hashing, layout
 from .codecs import choose_int, choose_str, decode_any, encode_any
 from .codecs.bits import get_blob, put_blob
 
@@ -73,12 +73,13 @@ _ENCODED_PA_SCHEMA = pa.schema(
 
 _PACKED_DDL = (
     "doc_id string, tok_bin binary, n_tok int, source string, "
-    "partition_id int, chunk_id int"
+    "partition_id int, chunk_id int, shuffle_key int"
 )
 
 
 def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
-                 chunk_id_offset: int = 0):
+                 chunk_id_offset: int = 0,
+                 part_keys: np.ndarray | None = None):
     """Kernel factory: assign (partition_id, chunk_id) + pack tokens to binary.
 
     One fused pre-shuffle pass. Assignment is a numpy hash + gather
@@ -118,6 +119,10 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                     pid, cid = pid[sel], cid[sel]
             if chunk_id_offset:
                 cid = cid + np.int32(chunk_id_offset)
+            if part_keys is not None:
+                skey = part_keys[cid % len(part_keys)]
+            else:
+                skey = cid
             offs = tokens.offsets.to_numpy().astype(np.int64)
             vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
             base = offs[0]
@@ -129,11 +134,43 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
             )
             yield pa.RecordBatch.from_arrays(
                 [doc_id, tok_bin, n_tok, source,
-                 pa.array(pid, pa.int32()), pa.array(cid, pa.int32())],
-                names=["doc_id", "tok_bin", "n_tok", "source", "partition_id", "chunk_id"],
+                 pa.array(pid, pa.int32()), pa.array(cid, pa.int32()),
+                 pa.array(skey.astype(np.int32), pa.int32())],
+                names=["doc_id", "tok_bin", "n_tok", "source",
+                       "partition_id", "chunk_id", "shuffle_key"],
             )
 
     return fn
+
+
+def _encode_partition(batches):
+    """mapInArrow kernel: group one shuffle partition's rows by chunk in numpy.
+
+    The repartition on (partition_id, chunk_id) guarantees every chunk's
+    rows land in exactly one Spark partition, so grouping inside the
+    partition is correct — and skips the JVM per-group sort + row
+    conversion machinery of groupBy().applyInArrow() (measured ~1.9s of
+    the reduce stage at local[16] with a no-op kernel, vs ~0.5s of
+    actual codec work). A partition holds ~1-4 chunks (target_tokens ×
+    int32 ≈ 8 MiB each), so materializing it is bounded regardless of
+    total data size.
+    """
+    tbl = pa.Table.from_batches(list(batches), schema=pa.schema([
+        ("doc_id", pa.string()), ("tok_bin", pa.binary()), ("n_tok", pa.int32()),
+        ("source", pa.string()), ("partition_id", pa.int32()), ("chunk_id", pa.int32()),
+        ("shuffle_key", pa.int32()),
+    ]))
+    if tbl.num_rows == 0:
+        return
+    cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(cid, kind="stable")
+    sorted_cid = cid[order]
+    bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(cid)]))
+    tbl = tbl.take(pa.array(order)).combine_chunks()
+    for s, e in zip(starts, ends):
+        yield from _encode_chunk(tbl.slice(s, int(e - s))).to_batches()
 
 
 def _encode_chunk(t: pa.Table) -> pa.Table:
@@ -256,13 +293,15 @@ def _grouped_encode(df: DataFrame, plan: layout.ChunkPlan,
     n_chunks = plan.n_chunks
     n_parts = max(16, min(n_chunks, spark.sparkContext.defaultParallelism * 4))
     lut_b = spark.sparkContext.broadcast(plan.lookup())
+    # invert Spark's murmur3 placement: chunk cid lands in partition
+    # cid % n_parts exactly — round-robin, no hash-placement skew
+    part_keys = hashing.partition_keys(n_parts)
     packed = df.mapInArrow(
-        _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset), _PACKED_DDL
+        _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset, part_keys),
+        _PACKED_DDL,
     )
-    packed = packed.repartition(n_parts, "partition_id", "chunk_id")
-    return packed.groupBy("partition_id", "chunk_id").applyInArrow(
-        _encode_chunk, ENCODED_DDL
-    )
+    packed = packed.repartition(n_parts, "shuffle_key")
+    return packed.mapInArrow(_encode_partition, ENCODED_DDL)
 
 
 def decode(enc_df: DataFrame) -> DataFrame:

@@ -73,3 +73,56 @@ def hash_utf8(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
 def bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int, seed: int = 0) -> np.ndarray:
     """Stable bucket in [0, n_buckets) per string."""
     return (hash_utf8(arr, seed=seed) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def murmur3_int32(x: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Spark-compatible Murmur3_x86_32 of int32 values (F.hash / HashPartitioning).
+
+    Bit-exact with Catalyst's ``Murmur3Hash`` on IntegerType (verified
+    against ``F.hash`` and ``spark_partition_id``), which lets the
+    planner *invert* Spark's shuffle placement — see partition_keys().
+    """
+
+    def rotl(v: np.ndarray, r: int) -> np.ndarray:
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    with np.errstate(over="ignore"):
+        k = x.astype(np.uint32) * np.uint32(0xCC9E2D51)
+        k = rotl(k, 15) * np.uint32(0x1B873593)
+        h = np.uint32(seed) ^ k
+        h = rotl(h, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(4)  # length in bytes
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def partition_keys(n_parts: int) -> np.ndarray:
+    """int32 keys k[r] with ``pmod(murmur3(k[r]), n_parts) == r`` for each r.
+
+    ``df.repartition(n_parts, col)`` places a row in partition
+    ``pmod(F.hash(col), n_parts)``; emitting ``k[cid % n_parts]`` as the
+    shuffle column therefore round-robins chunks over partitions with
+    ZERO placement skew — hash placement alone leaves a Poisson tail
+    (max/mean ≈ 1.8 at 1000 chunks / 64 partitions) that directly
+    multiplies reduce-stage wall time.
+    """
+    keys = np.full(n_parts, -1, dtype=np.int64)
+    found = 0
+    base = 0
+    batch = max(1024, 4 * n_parts)
+    while found < n_parts:
+        cand = np.arange(base, base + batch, dtype=np.int32)
+        res = murmur3_int32(cand).astype(np.int64) % n_parts
+        res[res < 0] += n_parts
+        for c, r in zip(cand, res):
+            if keys[r] < 0:
+                keys[r] = c
+                found += 1
+                if found == n_parts:
+                    break
+        base += batch
+    return keys.astype(np.int32)

@@ -135,7 +135,7 @@ def _hist_kernel(n_buckets: int):
         for b in batches:
             t = pa.Table.from_batches([b])
             buckets = bucket_of(t.column("doc_id"), n_buckets)
-            n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False)
+            n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
             src = t.column("source").combine_chunks()
             # group rows by source (few distinct values), bincount within
             de = src.dictionary_encode()
@@ -143,7 +143,10 @@ def _hist_kernel(n_buckets: int):
             for ci, s in enumerate(de.dictionary.to_pylist()):
                 mask = codes == ci
                 h = acc.setdefault(s, np.zeros(n_buckets, dtype=np.int64))
-                np.add.at(h, buckets[mask], n_tok[mask])
+                # weighted bincount ≈ 30x faster than np.add.at scatter;
+                # float64 weights are exact for token counts < 2^53
+                h += np.bincount(buckets[mask], weights=n_tok[mask],
+                                 minlength=n_buckets).astype(np.int64)
         names, bs, ts = [], [], []
         for s, h in acc.items():
             nz = np.flatnonzero(h)
