@@ -30,7 +30,7 @@ from . import registry
 from .bits import storage_width, zstd_compress
 
 SAMPLE_TARGET = 1 << 15  # values sampled for estimation
-_TRIAL_ZSTD_LEVEL = 3  # entropy probe level: ranks like level 6, ~3x faster
+_TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
 
 
 @dataclass
