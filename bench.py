@@ -171,7 +171,7 @@ def main() -> None:
     from cryo_spark import suite
 
     spark = get_spark(app="cryo_bench_queries", master=master,
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=eff_cores)
     # decode timing on the just-written output
     from cryo_spark import engine
 

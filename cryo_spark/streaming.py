@@ -49,7 +49,10 @@ def stream_encode(
         enc = engine._grouped_encode(batch_df, plan, chunk_id_offset=base)
         run_id = f"stream{batch_id:08d}"
         enc_dir = f"{output_dir}/encoded/run={run_id}"
-        enc.write.mode("overwrite").parquet(enc_dir)
+        enc.write.mode("overwrite") \
+            .option("compression", "uncompressed") \
+            .option("parquet.enable.dictionary", "false") \
+            .parquet(enc_dir)
         written = batch_df.sparkSession.read.parquet(enc_dir)
         written.select(*engine.MANIFEST_COLUMNS).write.mode("overwrite").parquet(
             f"{output_dir}/manifest/run={run_id}"
