@@ -246,7 +246,11 @@ def run_scaling(sf: float) -> None:
                 env={**os.environ},
             )
             line = out.stdout.strip().splitlines()[-1]
-            levels[n].append(json.loads(line))
+            rec = json.loads(line)
+            levels[n].append(rec)
+            os.makedirs("BENCH", exist_ok=True)
+            with open("BENCH/scaling_runs.jsonl", "a") as f:
+                f.write(json.dumps({"level": n, **rec}) + "\n")
     runs = {n: [t for r in rs for t in r["all_tokens_per_sec"]]
             for n, rs in levels.items()}
     thr = {n: max(ts) for n, ts in runs.items()}
@@ -275,26 +279,27 @@ def run_scaling(sf: float) -> None:
     _write_baseline_md(result, runs)
 
 
+def _calib_spin(_arg):
+    import numpy as np
+    import time as _t
+
+    x = np.arange(2_000_000, dtype=np.int64)[::-1].copy()
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < 2.0:
+        np.sort(x)
+        n += 1
+    return n
+
+
 def _raw_cpu_calibration() -> float:
     """Measured raw-CPU speedup 4 -> 16 processes (hardware ceiling /4 = 1.0 ideal)."""
     import multiprocessing as mp
 
-    def spin(_):
-        import numpy as np
-        import time as _t
-
-        x = np.arange(2_000_000, dtype=np.int64)[::-1].copy()
-        t0 = _t.perf_counter()
-        n = 0
-        while _t.perf_counter() - t0 < 2.0:
-            np.sort(x)
-            n += 1
-        return n
-
     totals = {}
     for procs in (4, 16):
         with mp.Pool(procs) as p:
-            totals[procs] = sum(p.map(spin, range(procs)))
+            totals[procs] = sum(p.map(_calib_spin, range(procs)))
     return round(totals[16] / max(totals[4], 1), 3)
 
 

@@ -645,20 +645,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     band-signature groupBy replaces the quadratic all-pairs join.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    shingles = d.select(
+    # minhash per permutation entirely map-side: min over a duplicate-
+    # bearing multiset equals min over the set, so no explode/distinct/
+    # groupBy shuffle is needed — at scale this stage is a pure scan
+    shingled = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(length(text) - 5, 0)), "
-                "i -> substring(text, i + 1, 5))"
-            )
-        ).alias("shingle"),
-    ).distinct()
-    minhashes = shingles.groupBy("doc_id").agg(
+        F.expr(
+            "transform(sequence(0, greatest(length(text) - 5, 0)), "
+            "i -> substring(text, i + 1, 5))"
+        ).alias("sh"),
+    )
+    minhashes = shingled.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"h{p}")
+            F.expr(f"array_min(transform(sh, s -> xxhash64(s, {p})))").alias(f"h{p}")
             for p in range(32)
-        ]
+        ],
     )
     bands = minhashes.select(
         "doc_id",
@@ -689,31 +691,23 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document from word-hash bit votes."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
-    ).filter(F.length("w") > 0)
-    words = words.withColumn("h", F.xxhash64("w"))
-    # per-bit votes: sum(+1 / -1) over words, vectorized via array ops
-    # (63 bits: keeps the reassembled hash a non-negative BIGINT)
-    bits = words.select(
+    # fully map-side: word hashes, per-bit +-1 votes, and the hash
+    # reassembly are one aggregate over the row's word array — no
+    # explode, no collect_list, no shuffle (63 bits: keeps the
+    # reassembled hash a non-negative BIGINT)
+    sim = d.select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, 62), b -> "
-            "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)"
-        ).alias("votes"),
-    )
-    agg = bits.groupBy("doc_id").agg(
-        F.expr(
-            "aggregate(collect_list(votes), "
-            "array_repeat(0, 63), (acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
-        ).alias("votes")
-    )
-    sim = agg.select(
-        "doc_id",
-        F.expr(
-            "aggregate(zip_with(votes, sequence(0, 62), "
-            "(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
-            "0L, (a, x) -> a + x)"
+            "aggregate("
+            "  transform(filter(split(lower(text), ' ', -1), w -> length(w) > 0),"
+            "            w -> xxhash64(w)),"
+            "  array_repeat(0, 63),"
+            "  (acc, h) -> zip_with(acc, sequence(0, 62), (a, b) -> a + "
+            "    CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END),"
+            "  votes -> aggregate(zip_with(votes, sequence(0, 62), "
+            "    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
+            "    0L, (a, x) -> a + x)"
+            ")"
         ).alias("simhash"),
     )
     return sim.orderBy("doc_id")
