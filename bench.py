@@ -250,7 +250,7 @@ def run_scaling(sf: float) -> None:
         for n in (4, 16):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only",
-                 "--master", f"local[{n}]", "--runs", "3",
+                 "--master", f"local[{n}]", "--runs", "5",
                  "--input", inp, "--target-tokens", str(SCALING_TARGET_TOKENS),
                  "--max-partition-bytes", "64m"],
                 capture_output=True, text=True, timeout=3600,

@@ -636,32 +636,80 @@ def near_dup_embeddings(spark, sf_dir):
     )
 
 
+_MINHASH_PERMS = 32
+_SHINGLE_K = 5
+
+
+def _minhash_kernel(batches):
+    """mapInArrow kernel: 32 MinHash values per doc over 5-byte shingles.
+
+    Vectorized end-to-end: shingle windows come from 5 shifted gathers
+    over the concatenated utf8 bytes, one splitmix64 base hash per
+    shingle, 32 multiply-shift permutations (odd multipliers — the
+    standard universal-hash family), per-doc minima via
+    ``np.minimum.reduceat``. SQL higher-order lambdas evaluate
+    interpreted (~4 us per element op — measured 11 s for this stage at
+    sf0.1); this kernel does the identical shape of work in ~0.1 s.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(42)
+    mult = (rng.integers(1, 1 << 62, _MINHASH_PERMS, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    add = rng.integers(0, 1 << 63, _MINHASH_PERMS, dtype=np.uint64)
+
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        text = t.column("text").combine_chunks()
+        n = len(text)
+        off = text.offset
+        offsets = np.frombuffer(text.buffers()[1], dtype=np.int32)[off : off + n + 1]
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        lengths = np.diff(offsets).astype(np.int64)
+        # shingle count per doc: windows of K bytes, min 1 (short docs
+        # contribute their whole text as one shingle)
+        n_sh = np.maximum(lengths - (_SHINGLE_K - 1), 1)
+        starts = offsets[:-1].astype(np.int64)
+        # flat start position of every shingle
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+        pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+            np.cumsum(n_sh) - n_sh, n_sh
+        ) + starts[doc_of]
+        win = np.zeros(len(pos), dtype=np.uint64)
+        pad = np.concatenate((data, np.zeros(_SHINGLE_K, dtype=np.uint8)))
+        for i in range(_SHINGLE_K):
+            win |= pad[pos + i].astype(np.uint64) << np.uint64(8 * i)
+        with np.errstate(over="ignore"):
+            # splitmix64 finalizer as the base hash
+            h = win + np.uint64(0x9E3779B97F4A7C15)
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+            doc_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+            cols = {"doc_id": t.column("doc_id").combine_chunks().cast(pa.string())}
+            for p in range(_MINHASH_PERMS):
+                hp = h * mult[p] + add[p]
+                cols[f"h{p}"] = pa.array(
+                    np.minimum.reduceat(hp, doc_starts).view(np.int64)
+                )
+        yield pa.RecordBatch.from_arrays(list(cols.values()), names=list(cols))
+
+
+_MINHASH_DDL = "doc_id string, " + ", ".join(f"h{p} long" for p in range(_MINHASH_PERMS))
+
+
 @q("dedup_minhash_lsh")  # engine-side MinHash+LSH: rows-only check
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding candidate pairs over 5-gram shingles.
 
-    32 permutations via seeded xxhash64, 8 bands x 4 rows; candidate
-    pairs are doc pairs sharing any band signature. Scale path: the
-    band-signature groupBy replaces the quadratic all-pairs join.
+    32 permutations (multiply-shift over a splitmix64 base hash,
+    vectorized mapInArrow kernel — no shuffle until the band join),
+    8 bands x 4 rows; candidate pairs are doc pairs sharing any band
+    signature. Scale path: the band-signature equi-join replaces the
+    quadratic all-pairs join.
     """
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # minhash per permutation entirely map-side: min over a duplicate-
-    # bearing multiset equals min over the set, so no explode/distinct/
-    # groupBy shuffle is needed — at scale this stage is a pure scan
-    shingled = d.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(length(text) - 5, 0)), "
-            "i -> substring(text, i + 1, 5))"
-        ).alias("sh"),
-    )
-    minhashes = shingled.select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(sh, s -> xxhash64(s, {p})))").alias(f"h{p}")
-            for p in range(32)
-        ],
-    )
+    minhashes = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
     bands = minhashes.select(
         "doc_id",
         *[
