@@ -329,8 +329,9 @@ def _write_baseline_md(result: dict, runs: dict) -> None:
         "sandbox proxy for N vs 4N executors (each Spark task occupies "
         "~2 processes here: JVM thread + python worker, so local[16] "
         "already saturates the 32 vCPUs). Levels interleaved 4/16/4/16 "
-        "across fresh JVMs, 1 discarded warmup + 2 timed runs each, 4 "
-        "timed runs per level. Full end-to-end freeze: parquet scan -> "
+        "across fresh JVMs, 1 discarded warmup per JVM, "
+        f"{result['runs_per_level']} timed runs per level. "
+        "Full end-to-end freeze: parquet scan -> "
         "assign+pack -> shuffle -> per-chunk codec encode -> parquet "
         "write of the encoded table. Shuffle/scratch dirs and outputs are "
         "on tmpfs: the sandbox has one virtio disk shared by all cores, "
