@@ -15,9 +15,14 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
   manifest, skip-existing resume, atomic commit, metrics.
 """
 
-from .engine import decode, encode, freeze
+from .engine import collect, decode, encode, export, freeze
 from .fixtures import generate_sequences, write_sequences
+from .schema import compute_used_columns, hex_columns
 
 __version__ = "0.1.0"
 
-__all__ = ["encode", "decode", "freeze", "generate_sequences", "write_sequences"]
+__all__ = [
+    "encode", "decode", "freeze", "collect", "export",
+    "compute_used_columns", "hex_columns",
+    "generate_sequences", "write_sequences",
+]

@@ -237,30 +237,62 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
     return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
 
 
-def _decode_chunk(t: pa.Table) -> pa.Table:
-    """Inverse of :func:`_encode_chunk`: encoded column rows -> data rows."""
+def _decode_chunk(t: pa.Table, columns: list[str]) -> pa.Table:
+    """Inverse of :func:`_encode_chunk`: encoded column rows -> data rows.
+
+    Only ``columns`` are materialized; every column of a chunk was
+    encoded in the same doc_id-sorted row order, so any subset stays
+    positionally aligned.
+    """
     payloads = {
         t.column("column")[i].as_py(): t.column("payload")[i].as_py()
         for i in range(t.num_rows)
     }
-    buf = memoryview(payloads["tokens"])
-    lens_blob, pos = get_blob(buf, 0)
-    vals_blob, pos = get_blob(buf, pos)
-    lengths = decode_any(bytes(lens_blob)).astype(np.int64)
-    flat = decode_any(bytes(vals_blob))
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets), pa.array(flat, type=pa.int32())
-    )
-    return pa.table(
-        {
-            "doc_id": decode_any(payloads["doc_id"]),
-            "tokens": tokens,
-            "n_tok": pa.array(decode_any(payloads["n_tok"]), type=pa.int32()),
-            "source": decode_any(payloads["source"]),
-        }
-    )
+    out: dict = {}
+    for name in columns:
+        if name == "tokens":
+            buf = memoryview(payloads["tokens"])
+            lens_blob, pos = get_blob(buf, 0)
+            vals_blob, pos = get_blob(buf, pos)
+            lengths = decode_any(bytes(lens_blob)).astype(np.int64)
+            flat = decode_any(bytes(vals_blob))
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            out[name] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, type=pa.int32())
+            )
+        elif name == "n_tok":
+            out[name] = pa.array(decode_any(payloads[name]), type=pa.int32())
+        else:
+            out[name] = decode_any(payloads[name])
+    return pa.table(out)
+
+
+def _decode_partition(columns: list[str]):
+    """mapInArrow kernel: group encoded rows by chunk, decode each.
+
+    Same partition-local grouping as _encode_partition — the upstream
+    repartition on (partition_id, chunk_id) co-locates every chunk.
+    """
+
+    def fn(batches):
+        tbl = pa.Table.from_batches(list(batches), schema=pa.schema([
+            ("partition_id", pa.int32()), ("chunk_id", pa.int32()),
+            ("column", pa.string()), ("payload", pa.binary()),
+        ]))
+        if tbl.num_rows == 0:
+            return
+        cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        sorted_cid = cid[order]
+        bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cid)]))
+        tbl = tbl.take(pa.array(order)).combine_chunks()
+        for s, e in zip(starts, ends):
+            yield from _decode_chunk(tbl.slice(s, int(e - s)), columns).to_batches()
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -304,13 +336,32 @@ def _grouped_encode(df: DataFrame, plan: layout.ChunkPlan,
     return packed.mapInArrow(_encode_partition, ENCODED_DDL)
 
 
-def decode(enc_df: DataFrame) -> DataFrame:
-    """Decode the encoded-chunk table back to bit-identical sequences."""
-    cols = ["partition_id", "chunk_id", "column", "payload"]
+def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Decode the encoded-chunk table back to bit-identical sequences.
+
+    ``columns`` projects the decode: unwanted columns' payload rows are
+    filtered BEFORE the shuffle, so their bytes never move — decode-side
+    column pruning, the mirror of the reference's lazy acquisition
+    (/root/reference/crates/freeze/src/datasets/transactions.rs:123-134).
+    """
+    from . import schema as schema_mod
+
+    all_cols = [c for c, _, _ in schema_mod.SEQUENCES_COLUMNS]
+    columns = all_cols if columns is None else schema_mod.compute_used_columns(
+        all_cols, columns=columns
+    )
+    needed = set(columns) | ({"tokens"} & set(columns))
+    spark = enc_df.sparkSession
+    n_parts = max(16, spark.sparkContext.defaultParallelism * 2)
+    ddl = ", ".join(
+        f"{name} {typ}" for name, typ, _ in schema_mod.SEQUENCES_COLUMNS
+        if name in set(columns)
+    )
     return (
-        enc_df.select(*cols)
-        .groupBy("partition_id", "chunk_id")
-        .applyInArrow(_decode_chunk, SEQUENCES_DDL)
+        enc_df.select("partition_id", "chunk_id", "column", "payload")
+        .filter(F.col("column").isin(list(needed)))
+        .repartition(n_parts, "partition_id", "chunk_id")
+        .mapInArrow(_decode_partition(columns), ddl)
     )
 
 
@@ -358,11 +409,17 @@ def freeze(
     output_dir: str,
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
     overwrite: bool = False,
+    dry_run: bool = False,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
     Returns a summary dict (cryo's FreezeSummary analog,
     /root/reference/crates/freeze/src/types/summaries.rs:21-31).
+    ``dry_run`` plans and reports without executing (cryo's --dry-run,
+    /root/reference/crates/freeze/src/freeze.rs:44-46). A JSON report
+    is written per run — incomplete first, finalized after, like the
+    reference's report lifecycle
+    (/root/reference/crates/freeze/src/types/reports.rs:51-89).
     """
     t_start = time.perf_counter()
     df = spark.read.parquet(input_path)
@@ -381,6 +438,14 @@ def freeze(
             }
     missing = sorted(planned - done)
     n_skipped = len(planned) - len(missing)
+    if dry_run:
+        return dict(
+            dry_run=True, n_chunks=plan.n_chunks, n_planned=len(planned),
+            n_to_encode=len(missing), n_skipped=n_skipped,
+            n_salted_buckets=plan.n_salted_buckets,
+            target_tokens=target_tokens,
+            wall_s=time.perf_counter() - t_start,
+        )
     if not missing:
         return dict(
             n_chunks=plan.n_chunks, n_encoded=0, n_skipped=n_skipped,
@@ -389,6 +454,11 @@ def freeze(
         )
 
     run_id = uuid.uuid4().hex[:12]
+    _write_report(output_dir, run_id, dict(
+        version="cryo_spark " + "0.1.0", status="incomplete",
+        input_path=input_path, target_tokens=target_tokens,
+        n_chunks=plan.n_chunks, n_to_encode=len(missing), n_skipped=n_skipped,
+    ))
     keep_mask = None
     if done:
         keep_mask = np.zeros(plan.n_chunks, dtype=bool)
@@ -427,7 +497,7 @@ def freeze(
         .first()[0]
         or 0
     )
-    return dict(
+    summary = dict(
         n_chunks=plan.n_chunks,
         n_encoded=len(missing),
         n_skipped=n_skipped,
@@ -439,3 +509,101 @@ def freeze(
         tokens_per_sec=tokens / enc_wall if enc_wall > 0 else 0.0,
         run=run_id,
     )
+    _write_report(output_dir, run_id, dict(
+        version="cryo_spark 0.1.0", status="completed",
+        input_path=input_path, target_tokens=target_tokens, **summary,
+    ))
+    return summary
+
+
+def _write_report(output_dir: str, run_id: str, payload: dict) -> None:
+    """Per-run JSON report, incomplete-then-final (reports.rs:51-89 analog).
+
+    Local-path implementation; on a cluster with an object-store
+    output_dir this would go through the Hadoop FS API — the manifest
+    table (not this report) is the machine-read source of truth.
+    """
+    import json
+    import os
+
+    try:
+        os.makedirs(f"{output_dir}/report", exist_ok=True)
+        with open(f"{output_dir}/report/run={run_id}.json", "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # non-local output_dir: reports are best-effort
+
+
+# ---------------------------------------------------------------------------
+# collect / export: dataset-in-hand APIs (cryo.collect + csv/json sinks)
+# ---------------------------------------------------------------------------
+
+def collect(
+    spark: SparkSession,
+    source: str | DataFrame,
+    columns: list[str] | None = None,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+    sort: bool | list[str] = False,
+    hex: bool = False,
+) -> DataFrame:
+    """Projected (optionally sorted) dataset as one DataFrame, no sink.
+
+    The cryo.collect analog (/root/reference/crates/python/python/cryo/
+    _collect.py:53-143 — collect validates 1 datatype x 1 partition and
+    returns the DataFrame without writing). ``source`` is either a
+    sequences parquet path or an encoded output dir (detected by its
+    manifest), in which case the projection is pushed into the decode so
+    unwanted columns' payloads are never shuffled. Projection follows
+    the reference's include/exclude/columns algebra (schema.py).
+    """
+    from . import schema as schema_mod
+
+    all_cols = [c for c, _, _ in schema_mod.SEQUENCES_COLUMNS]
+    used = schema_mod.compute_used_columns(
+        all_cols, columns=columns, include=include, exclude=exclude
+    )
+    if isinstance(source, DataFrame):
+        df = source.select(*used)
+    elif read_manifest(spark, source) is not None:
+        df = decode(read_encoded(spark, source), columns=used)
+    else:
+        df = spark.read.parquet(source).select(*used)
+    if sort:
+        keys = [c for c in (sort if isinstance(sort, list) else ["doc_id"]) if c in used]
+        if keys:
+            df = df.orderBy(*keys)
+    if hex:
+        df = schema_mod.hex_columns(df)
+    return df
+
+
+def export(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "error",
+) -> None:
+    """csv / json / parquet sink with representation fix-ups.
+
+    The reference forces Hex for binary columns in csv/json sinks
+    (/root/reference/crates/cli/src/parse/schemas.rs:37-40, export.rs:50-67);
+    csv additionally cannot carry arrays, so array columns are written
+    as JSON strings — both are pure projections, applied only for the
+    text sinks.
+    """
+    from pyspark.sql.types import ArrayType
+
+    from . import schema as schema_mod
+
+    out = df
+    if format in ("csv", "json"):
+        out = schema_mod.hex_columns(out)
+    if format == "csv":
+        for f in out.schema.fields:
+            if isinstance(f.dataType, ArrayType):
+                out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    writer = out.write.mode(mode)
+    if format == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, format)(path)
