@@ -1,0 +1,69 @@
+"""spark-submit entrypoint for the freeze (encode) job.
+
+Cluster usage (north rule: runs via spark-submit --py-files on a
+multi-executor cluster):
+
+    python -m zipfile -c cryo_spark.zip cryo_spark/
+    spark-submit --py-files cryo_spark.zip jobs/freeze_job.py \
+        --input s3://bucket/sequences --output s3://bucket/encoded \
+        --target-tokens 2097152
+
+The job is resumable: re-submitting after an interruption recomputes
+only chunks missing from the manifest (cryo's skip-existing,
+/root/reference/crates/freeze/src/freeze.rs:96-99). ``--overwrite``
+re-encodes everything; ``--dry-run`` prints the plan and exits.
+
+Local smoke:
+
+    spark-submit --py-files /tmp/cryo_spark.zip jobs/freeze_job.py \
+        --input /tmp/seqs --output /tmp/out --master 'local[4]'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="sequences parquet path")
+    ap.add_argument("--output", required=True, help="output dir (encoded/ manifest/ report/)")
+    ap.add_argument("--target-tokens", type=int, default=2 << 20)
+    ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--decode-verify", action="store_true",
+                    help="decode the committed output and verify row count")
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit provides)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("cryo_spark_freeze")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+
+    # resolve cryo_spark whether shipped via --py-files or on PYTHONPATH
+    import cryo_spark
+    from cryo_spark.session import ship_package
+
+    ship_package(spark)
+    summary = cryo_spark.freeze(
+        spark, args.input, args.output,
+        target_tokens=args.target_tokens,
+        overwrite=args.overwrite,
+        dry_run=args.dry_run,
+    )
+    if args.decode_verify and not args.dry_run:
+        from cryo_spark import engine
+
+        n = cryo_spark.decode(engine.read_encoded(spark, args.output)).count()
+        summary["decoded_rows"] = n
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
