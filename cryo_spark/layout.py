@@ -169,18 +169,9 @@ def _hist_kernel(n_buckets: int):
     return fn
 
 
-def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
-    """Compute deterministic chunk boundaries; two driver jobs, small collects."""
-    total_tokens = int(
-        df.agg(F.sum("n_tok").alias("t")).first()["t"] or 0
-    )
-    needed = max(1, math.ceil(total_tokens / target_tokens))
-    n_buckets = min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
-
+def _finish_plan(hist_df: DataFrame, n_buckets: int, target_tokens: int) -> ChunkPlan:
     hist_rows = (
-        df.select("doc_id", "n_tok", "source")
-        .mapInArrow(_hist_kernel(n_buckets), _HIST_DDL)
-        .groupBy("source", "bucket")
+        hist_df.groupBy("source", "bucket")
         .agg(F.sum("tokens").alias("tokens"))
         .collect()
     )
@@ -194,6 +185,52 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> Ch
         partition_of_source=partition_of_source,
         mapping=mapping,
     )
+
+
+def _n_buckets_for(total_tokens: int, target_tokens: int) -> int:
+    needed = max(1, math.ceil(total_tokens / target_tokens))
+    return min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
+
+
+def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
+    """Compute deterministic chunk boundaries; two driver jobs, small collects."""
+    total_tokens = int(
+        df.agg(F.sum("n_tok").alias("t")).first()["t"] or 0
+    )
+    n_buckets = _n_buckets_for(total_tokens, target_tokens)
+    hist_df = df.select("doc_id", "n_tok", "source").mapInArrow(
+        _hist_kernel(n_buckets), _HIST_DDL
+    )
+    return _finish_plan(hist_df, n_buckets, target_tokens)
+
+
+def plan_chunks_arrow(
+    spark, input_path: str, target_tokens: int = DEFAULT_TARGET_TOKENS
+) -> ChunkPlan:
+    """plan_chunks over the Arrow-native source (sources.arrow_scan).
+
+    Same histogram/sweep — only the scan differs: column pruning happens
+    in the pyarrow reader, the token arrays are never decoded.
+    """
+    from . import sources
+
+    def sum_kernel(batches):
+        total = 0
+        for b in batches:
+            total += int(pa.Table.from_batches([b]).column("n_tok")
+                         .combine_chunks().to_numpy(zero_copy_only=False).sum())
+        yield pa.RecordBatch.from_arrays([pa.array([total], pa.int64())], names=["t"])
+
+    total_tokens = int(
+        sources.arrow_scan(spark, input_path, ["n_tok"], sum_kernel, "t long")
+        .agg(F.sum("t")).first()[0] or 0
+    )
+    n_buckets = _n_buckets_for(total_tokens, target_tokens)
+    hist_df = sources.arrow_scan(
+        spark, input_path, ["doc_id", "n_tok", "source"],
+        _hist_kernel(n_buckets), _HIST_DDL,
+    )
+    return _finish_plan(hist_df, n_buckets, target_tokens)
 
 
 def assign_arrays(
