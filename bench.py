@@ -246,7 +246,7 @@ def run_scaling(sf: float) -> None:
     """
     inp = scaling_input()
     levels: dict[int, list] = {4: [], 16: []}
-    for _ in range(2):
+    for _ in range(3):
         for n in (4, 16):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only",

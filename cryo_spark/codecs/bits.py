@@ -58,23 +58,38 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0 or width == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
     if width % 8 == 0:
         nbytes = width // 8
-        lanes = v.view(np.uint8).reshape(n, 8)[:, :nbytes]
+        if width <= 32:
+            # 4-byte lanes: values fitting 32 bits stay in a uint32
+            # temp — half the memory traffic of the generic path (the
+            # dominant case: token ids and FoR deltas are < 2^32)
+            v = values.astype(np.uint32, copy=False) if values.dtype != np.uint32 \
+                else values
+            v = np.ascontiguousarray(v)
+            lanes = v.view(np.uint8).reshape(n, 4)[:, :nbytes]
+        else:
+            v = np.ascontiguousarray(values, dtype=np.uint64)
+            lanes = v.view(np.uint8).reshape(n, 8)[:, :nbytes]
         return np.ascontiguousarray(lanes.T).tobytes()  # plane-major
+    v = np.ascontiguousarray(values, dtype=np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
 def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns uint64 ndarray of length n."""
+    """Inverse of :func:`pack_bits`; returns an unsigned ndarray of length n
+    (uint32 for byte-aligned widths <= 32, else uint64)."""
     if n == 0 or width == 0:
         return np.zeros(n, dtype=np.uint64)
     if width % 8 == 0:
         nbytes = width // 8
         planes = np.frombuffer(buf, dtype=np.uint8, count=n * nbytes).reshape(nbytes, n)
+        if width <= 32:
+            lanes = np.zeros((n, 4), dtype=np.uint8)
+            lanes[:, :nbytes] = planes.T
+            return lanes.reshape(-1).view(np.uint32)
         lanes = np.zeros((n, 8), dtype=np.uint8)
         lanes[:, :nbytes] = planes.T
         return lanes.reshape(-1).view(np.uint64)
