@@ -1,0 +1,97 @@
+"""CLI: ``python -m cryo_spark <command> [opts]``.
+
+Mirrors the reference's command surface (cryo <datasets> [opts],
+/root/reference/crates/cli/src/run.rs:9-26 and args
+/root/reference/crates/cli/src/args.rs) for the engine's two entry
+points plus a decode/export path:
+
+    python -m cryo_spark freeze  --input seqs/ --output out/ [--target-tokens N]
+                                 [--overwrite] [--dry-run] [--master local[8]]
+    python -m cryo_spark collect --input seqs/|out/ [--columns a,b|all]
+                                 [--include-columns x] [--exclude-columns y]
+                                 [--sort] [--hex] [--limit N]
+                                 [--format csv|json|parquet --output path]
+
+Projection flags follow the reference's include/exclude/columns algebra
+(/root/reference/crates/freeze/src/types/schemas.rs:326-356) including
+the ``all`` marker; csv/json sinks hex-force binary columns
+(/root/reference/crates/cli/src/parse/schemas.rs:37-40).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _split(v: str | None) -> list[str] | None:
+    return None if v is None else [s.strip() for s in v.split(",") if s.strip()]
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m cryo_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    fz = sub.add_parser("freeze", help="encode with manifest + resume")
+    fz.add_argument("--input", required=True)
+    fz.add_argument("--output", required=True)
+    fz.add_argument("--target-tokens", type=int, default=2 << 20)
+    fz.add_argument("--overwrite", action="store_true")
+    fz.add_argument("--dry-run", action="store_true")
+    fz.add_argument("--master", default=None)
+
+    co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
+    co.add_argument("--input", required=True,
+                    help="sequences parquet OR a frozen output dir (auto-detected)")
+    co.add_argument("--columns", default=None, help="comma list or 'all'")
+    co.add_argument("--include-columns", default=None)
+    co.add_argument("--exclude-columns", default=None)
+    co.add_argument("--sort", action="store_true")
+    co.add_argument("--hex", action="store_true")
+    co.add_argument("--limit", type=int, default=10)
+    co.add_argument("--format", default=None, choices=["csv", "json", "parquet"])
+    co.add_argument("--output", default=None)
+    co.add_argument("--master", default=None)
+
+    args = ap.parse_args(argv)
+
+    from cryo_spark.session import get_spark
+
+    spark = get_spark(app=f"cryo_spark_{args.cmd}", master=args.master)
+    try:
+        if args.cmd == "freeze":
+            import cryo_spark
+
+            summary = cryo_spark.freeze(
+                spark, args.input, args.output,
+                target_tokens=args.target_tokens,
+                overwrite=args.overwrite, dry_run=args.dry_run,
+            )
+            print(json.dumps(summary))
+            return 0
+
+        import cryo_spark
+
+        df = cryo_spark.collect(
+            spark, args.input,
+            columns=_split(args.columns),
+            include=_split(args.include_columns),
+            exclude=_split(args.exclude_columns),
+            sort=args.sort, hex=args.hex,
+        )
+        if args.format:
+            if not args.output:
+                ap.error("--format requires --output")
+            cryo_spark.export(df, args.output, format=args.format)
+            print(json.dumps({"written": args.output, "format": args.format}))
+        else:
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
