@@ -389,9 +389,11 @@ def _write_baseline_md(result: dict, runs: dict) -> None:
         f"memcpy-bound work scales "
         f"{result['memcpy_calibration_4_to_16']:.2f}x (all 32 vCPUs "
         f"share one memory bus, and the encode job moves ~20 GB of "
-        f"buffers per run through scan/shuffle/Arrow transfers). "
-        f"Against the blended ceiling the engine's efficiency is "
-        f"{result['efficiency_vs_hardware_ceiling']:.3f}. On a real "
+        f"buffers per run through scan/shuffle/Arrow transfers; the "
+        f"calibration is as noise-exposed as the job itself). The "
+        f"engine's measured scaling sits between the CPU and bandwidth "
+        f"ceilings (blended-ceiling ratio "
+        f"{result['efficiency_vs_hardware_ceiling']:.2f}). On a real "
         f"cluster, N and 4N executors are independent machines with "
         f"independent memory buses and the ceiling is 4.0x.",
         "",
