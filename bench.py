@@ -176,7 +176,7 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    enc_stats = run_encode(master, sf)
+    enc_stats = run_encode(master, sf, runs=3)
     queries["encode_freeze"] = round(time.perf_counter() - t0, 3)
 
     from cryo_spark.session import get_spark
