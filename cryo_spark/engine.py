@@ -339,7 +339,15 @@ def _pack_kernel(spark: SparkSession, plan: layout.ChunkPlan,
 
 
 def _n_parts(spark: SparkSession, n_chunks: int) -> int:
-    return max(16, min(n_chunks, spark.sparkContext.defaultParallelism * 4))
+    """Reduce-side partition count.
+
+    2x parallelism (python-task dispatch is serialized per executor at
+    ~12ms/task, so fewer+fatter reduce tasks win), floored so one
+    partition never materializes more than ~64 chunks (~512 MB packed)
+    in the encode kernel regardless of total data size.
+    """
+    par = spark.sparkContext.defaultParallelism
+    return max(16, min(n_chunks, max(par * 2, n_chunks // 64)))
 
 
 def _encode_packed(packed: DataFrame, spark: SparkSession,

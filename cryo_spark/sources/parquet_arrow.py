@@ -31,7 +31,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
-DEFAULT_TASK_BYTES = 96 << 20  # compressed bytes per scan task
+DEFAULT_TASK_BYTES = 192 << 20  # compressed bytes per scan task
 
 
 def supports(input_path: str) -> bool:
