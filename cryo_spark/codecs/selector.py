@@ -109,6 +109,11 @@ def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
     pre = sorted((k for k in est if k != "plain"), key=est.get)[:_PREFILTER_TOP]
     if "for" not in pre:
         pre.append("for")
+    # plain+zstd never-lose floor: always trial it (sample memcpy + the
+    # zstd probe already paid for the others) so a chunk where plain+zstd
+    # beats every structured codec's zstd variant can still win the full
+    # encode — preserves the match-or-beat-parquet-zstd guarantee.
+    pre.append("plain")
 
     trials: list[tuple[float, str]] = []
     for name in pre:

@@ -59,7 +59,13 @@ def hash_utf8(arr: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
     with np.errstate(over="ignore"):
         h = np.full(n, np.uint64(seed) * _P1 ^ _P2, dtype=np.uint64)
         for i in range(n_words):
-            h = _rotl(h ^ (words[:, i] * _P1), 31) * _P2
+            # Only rows whose bytes actually extend into word i take this
+            # mix step; otherwise the hash of a string would depend on the
+            # longest string in its batch (planner and executor batch rows
+            # differently, so that would break the parallelism-invariance
+            # contract the whole chunk layout rests on).
+            mixed = _rotl(h ^ (words[:, i] * _P1), 31) * _P2
+            h = np.where(lengths > 8 * i, mixed, h)
         h ^= np.uint64(0x165667B19E3779F9) + lengths.astype(np.uint64)
         # avalanche (xxhash64 finalizer)
         h ^= h >> np.uint64(33)

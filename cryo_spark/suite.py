@@ -677,8 +677,15 @@ def _minhash_kernel(batches):
         ) + starts[doc_of]
         win = np.zeros(len(pos), dtype=np.uint64)
         pad = np.concatenate((data, np.zeros(_SHINGLE_K, dtype=np.uint8)))
+        # Absolute end offset of the doc that owns each shingle: docs
+        # shorter than K get one clamped window, and the gather below must
+        # NOT read past the doc's end into the next doc's bytes (zero
+        # padding only exists at the very end of the buffer) — otherwise a
+        # short doc's signature would depend on its batch neighbors.
+        ends = offsets[1:].astype(np.int64)[doc_of]
         for i in range(_SHINGLE_K):
-            win |= pad[pos + i].astype(np.uint64) << np.uint64(8 * i)
+            byte = np.where(pos + i < ends, pad[pos + i], np.uint8(0))
+            win |= byte.astype(np.uint64) << np.uint64(8 * i)
         with np.errstate(over="ignore"):
             # splitmix64 finalizer as the base hash
             h = win + np.uint64(0x9E3779B97F4A7C15)
