@@ -43,16 +43,52 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_input(sf: float) -> str:
-    """Deterministic synthetic sequences table sized by sf (cached, sharded)."""
+def _cache_valid(path: str, n: int) -> bool:
+    """True iff ``path`` is a complete parquet table of exactly n rows.
+
+    Reads every footer: a writer killed mid-run leaves a directory that
+    ``os.path.exists`` happily reuses but Spark dies on (the round-1
+    driver bench failed exactly this way — ParquetFooterReader on a
+    truncated cached shard)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    try:
+        files = (sorted(glob.glob(f"{path}/*.parquet"))
+                 if os.path.isdir(path) else [path])
+        if not files:
+            return False
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files) == n
+    except Exception:
+        return False
+
+
+def _cached_input(n: int, shards: int) -> str:
+    """Deterministic sequences table, cached with validation + atomic publish."""
     from cryo_spark.fixtures import write_sequences
 
-    n = max(1_000, int(1_000_000 * sf))
     path = f"{BENCH_TMP}/sequences_n{n}"
-    if not os.path.exists(path):
-        os.makedirs(BENCH_TMP, exist_ok=True)
-        write_sequences(path, n=n, seed=42, shards=32)
+    if _cache_valid(path, n):
+        return path
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_sequences(tmp, n=n, seed=42, shards=shards)
+    try:
+        os.rename(tmp, path)  # atomic publish: never a half-written cache
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+    if not _cache_valid(path, n):
+        raise RuntimeError(f"bench input cache at {path} failed validation")
     return path
+
+
+def bench_input(sf: float) -> str:
+    """Deterministic synthetic sequences table sized by sf (cached, sharded)."""
+    n = max(1_000, int(1_000_000 * sf))
+    return _cached_input(n, shards=32)
 
 
 # Scaling-protocol input: big enough that per-job fixed costs (driver
@@ -65,13 +101,7 @@ SCALING_TARGET_TOKENS = 1 << 21
 
 
 def scaling_input() -> str:
-    from cryo_spark.fixtures import write_sequences
-
-    path = f"{BENCH_TMP}/sequences_n{SCALING_N_DOCS}"
-    if not os.path.exists(path):
-        os.makedirs(BENCH_TMP, exist_ok=True)
-        write_sequences(path, n=SCALING_N_DOCS, seed=42, shards=64)
-    return path
+    return _cached_input(SCALING_N_DOCS, shards=64)
 
 
 # Shuffle dirs and bench outputs live on tmpfs: the sandbox has ONE
@@ -104,8 +134,11 @@ def run_encode(master: str, sf: float, runs: int = 1, warmup: bool = True,
     results = []
     total = runs + (1 if warmup else 0)
     out = ""
+    # per-invocation namespace: fixed out-dir names let a concurrently
+    # killed invocation poison (or delete) another's output mid-read
+    ns = f"{SHM_DIR}/out_{os.getpid()}_{master.replace('[', '_').rstrip(']')}"
     for i in range(total):
-        out = f"{SHM_DIR}/out_{master.replace('[', '_').rstrip(']')}_{i}"
+        out = f"{ns}_{i}"
         shutil.rmtree(out, ignore_errors=True)
         s = freeze(spark, inp, out, target_tokens=target_tokens)
         if i < total - 1:  # keep the last output for decode benchmarking
@@ -174,10 +207,18 @@ def main() -> None:
     master = args.master or f"local[{eff_cores}]"
     t_total = time.perf_counter()
     queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
-    t0 = time.perf_counter()
-    enc_stats = run_encode(master, sf, runs=3)
-    queries["encode_freeze"] = round(time.perf_counter() - t0, 3)
+    enc_stats = None
+    for attempt in range(2):  # one retry: a transient fs hiccup must not
+        t0 = time.perf_counter()  # cost the round its only bench artifact
+        try:
+            enc_stats = run_encode(master, sf, runs=3)
+            queries["encode_freeze"] = round(time.perf_counter() - t0, 3)
+            break
+        except Exception as e:  # noqa: BLE001
+            errors["encode_freeze"] = f"{type(e).__name__}: {e}"[:300]
+            shutil.rmtree(BENCH_TMP, ignore_errors=True)  # drop poisoned cache
 
     from cryo_spark.session import get_spark
     from cryo_spark import suite
@@ -187,41 +228,49 @@ def main() -> None:
     # decode timing on the just-written output
     from cryo_spark import engine
 
-    out_dir = enc_stats.get("out_dir")
+    out_dir = enc_stats.get("out_dir") if enc_stats else None
     if out_dir and os.path.exists(out_dir):
         t0 = time.perf_counter()
-        dec = engine.decode(engine.read_encoded(spark, out_dir))
-        n_dec = dec.count()
-        queries["decode_full"] = round(time.perf_counter() - t0, 3)
+        try:
+            dec = engine.decode(engine.read_encoded(spark, out_dir))
+            dec.count()
+            queries["decode_full"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors["decode_full"] = f"{type(e).__name__}: {e}"[:300]
         shutil.rmtree(out_dir, ignore_errors=True)
     for name in QUERY_SUBSET:
         fn = suite.QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     spark.stop()
 
     total = time.perf_counter() - t_total
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_encode_plus_queries_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "encode_tokens_per_sec": round(enc_stats["tokens_per_sec"]),
-                "encode_tokens": enc_stats["tokens"],
-                "enc_bytes": enc_stats["enc_bytes"],
-                "raw_bytes": enc_stats["raw_bytes"],
-                "compression_ratio": round(
-                    enc_stats["enc_bytes"] / max(1, enc_stats["raw_bytes"]), 4
-                ),
-                "n_chunks": enc_stats["n_chunks"],
-            }
+    rec = {
+        "metric": "e2e_encode_plus_queries_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    if enc_stats:
+        rec.update(
+            encode_tokens_per_sec=round(enc_stats["tokens_per_sec"]),
+            encode_tokens=enc_stats["tokens"],
+            enc_bytes=enc_stats["enc_bytes"],
+            raw_bytes=enc_stats["raw_bytes"],
+            compression_ratio=round(
+                enc_stats["enc_bytes"] / max(1, enc_stats["raw_bytes"]), 4
+            ),
+            n_chunks=enc_stats["n_chunks"],
         )
-    )
+    if errors:
+        rec["errors"] = errors
+    print(json.dumps(rec))
 
 
 def run_scaling(sf: float) -> None:

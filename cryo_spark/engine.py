@@ -444,6 +444,40 @@ def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
     return enc.join(F.broadcast(keys), ["run", "partition_id", "chunk_id"], "left_semi")
 
 
+def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
+    """Fold the manifest's committed chunk ids into a packed bitset.
+
+    The fold runs executor-side (mapInArrow, one blob per partition) and
+    the driver ORs blobs streamed via toLocalIterator — driver memory is
+    O(n_chunks/8) bytes regardless of manifest row count. At the
+    10^12-sequence target (~10^8 chunks) that is a 12 MB bitmap where a
+    Python set of (partition_id, chunk_id) tuples would be ~10 GB.
+    """
+    nbytes = (n_chunks + 7) // 8
+
+    def fold(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            cid = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cid = cid[(cid >= 0) & (cid < n_chunks)]
+            if len(cid):
+                seen = True
+                np.bitwise_or.at(bits, cid >> 3,
+                                 (np.uint8(1) << (cid & 7).astype(np.uint8)))
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bits.tobytes()], pa.binary())], names=["bits"])
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in man.select("chunk_id").mapInArrow(fold, "bits binary").toLocalIterator():
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
 def freeze(
     spark: SparkSession,
     input_path: str,
@@ -470,29 +504,29 @@ def freeze(
         plan = layout.plan_chunks_arrow(spark, input_path, target_tokens)
     else:
         plan = layout.plan_chunks(spark.read.parquet(input_path), target_tokens)
-    planned = {(s_pid_cb[2], s_pid_cb[3] + i)
-               for s_pid_cb in plan.mapping for i in range(s_pid_cb[4])}
-
-    done: set[tuple[int, int]] = set()
+    # Relational resume: planned chunk ids are exactly [0, n_chunks) (the
+    # sweep numbers them contiguously, layout.py); done-ness comes back
+    # from the manifest as a packed bitmap folded executor-side — no
+    # driver-side key sets (SURVEY §7's anti-join, in bitmap form).
+    done_bits: np.ndarray | None = None
+    n_done = 0
     if not overwrite:
         man = read_manifest(spark, output_dir)
         if man is not None:
-            done = {
-                (r["partition_id"], r["chunk_id"])
-                for r in man.filter(F.col("status") == "ok")
-                .select("partition_id", "chunk_id").distinct().collect()
-            }
-    missing = sorted(planned - done)
-    n_skipped = len(planned) - len(missing)
+            done_bits = _done_chunk_bitmap(
+                man.filter(F.col("status") == "ok"), plan.n_chunks)
+            n_done = int(np.unpackbits(done_bits).sum())
+    n_missing = plan.n_chunks - n_done
+    n_skipped = n_done
     if dry_run:
         return dict(
-            dry_run=True, n_chunks=plan.n_chunks, n_planned=len(planned),
-            n_to_encode=len(missing), n_skipped=n_skipped,
+            dry_run=True, n_chunks=plan.n_chunks, n_planned=plan.n_chunks,
+            n_to_encode=n_missing, n_skipped=n_skipped,
             n_salted_buckets=plan.n_salted_buckets,
             target_tokens=target_tokens,
             wall_s=time.perf_counter() - t_start,
         )
-    if not missing:
+    if not n_missing:
         return dict(
             n_chunks=plan.n_chunks, n_encoded=0, n_skipped=n_skipped,
             wall_s=time.perf_counter() - t_start, tokens=0, enc_bytes=0,
@@ -503,12 +537,12 @@ def freeze(
     _write_report(output_dir, run_id, dict(
         version="cryo_spark " + "0.1.0", status="incomplete",
         input_path=input_path, target_tokens=target_tokens,
-        n_chunks=plan.n_chunks, n_to_encode=len(missing), n_skipped=n_skipped,
+        n_chunks=plan.n_chunks, n_to_encode=n_missing, n_skipped=n_skipped,
     ))
     keep_mask = None
-    if done:
-        keep_mask = np.zeros(plan.n_chunks, dtype=bool)
-        keep_mask[[cid for _pid, cid in missing]] = True
+    if n_done:
+        keep_mask = ~np.unpackbits(
+            done_bits, bitorder="little")[: plan.n_chunks].astype(bool)
     if use_arrow:
         enc = _grouped_encode_arrow(spark, input_path, plan, keep_mask)
     else:
@@ -548,7 +582,7 @@ def freeze(
     )
     summary = dict(
         n_chunks=plan.n_chunks,
-        n_encoded=len(missing),
+        n_encoded=n_missing,
         n_skipped=n_skipped,
         wall_s=time.perf_counter() - t_start,
         encode_wall_s=enc_wall,
