@@ -140,9 +140,36 @@ def enc_chunk_manifest(spark, sf_dir):
     ).orderBy("partition_id", "chunk_id", "column")
 
 
-@q("enc_compression_summary")  # codec-dependent: rows-only check
+@q(
+    "enc_compression_summary",
+    """
+    WITH d AS (SELECT n_chars % 64 + 1 AS n_tok, source FROM documents)
+    SELECT * FROM (
+      SELECT 'tokens' AS "column", CAST(sum(n_tok) AS BIGINT) AS n_values,
+             CAST(4 * sum(n_tok) + 4 * count(*) AS BIGINT) AS raw_bytes,
+             true AS compresses FROM d
+      UNION ALL
+      SELECT 'n_tok', CAST(count(*) AS BIGINT),
+             CAST(4 * count(*) AS BIGINT), true FROM d
+      UNION ALL
+      SELECT 'doc_id', CAST(count(*) AS BIGINT),
+             CAST(20 * count(*) AS BIGINT), true FROM d
+      UNION ALL
+      SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(sum(length(source)) + 4 * count(*) AS BIGINT), true FROM d
+    )
+    """,
+)
 def enc_compression_summary(spark, sf_dir):
-    """Headline compression metrics; asserts enc <= raw on payload columns."""
+    """Per-column encode accounting, oracle-checked.
+
+    ``n_values``/``raw_bytes`` are recomputable arithmetic (int32 values
+    = 4 bytes each; strings = utf8 bytes + int32 offsets; doc_id is the
+    fixed 16-char 'doc-%012d'); ``compresses`` asserts the plain-floor
+    guarantee enc_bytes <= raw_bytes per column — if any codec choice
+    ever loses to raw, the oracle comparison fails. (The enc_bytes
+    magnitudes themselves are engine lineage: enc_chunk_manifest,
+    rows-only.)"""
     from . import engine
 
     seqs = sequences_from_documents(spark, sf_dir)
@@ -150,14 +177,10 @@ def enc_compression_summary(spark, sf_dir):
     return (
         enc.groupBy("column")
         .agg(
+            F.sum("n_values").cast("long").alias("n_values"),
             F.sum("raw_bytes").cast("long").alias("raw_bytes"),
-            F.sum("enc_bytes").cast("long").alias("enc_bytes"),
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            (F.sum("enc_bytes") <= F.sum("raw_bytes")).alias("compresses"),
         )
-        .withColumn(
-            "compresses", (F.col("enc_bytes") <= F.col("raw_bytes")).cast("boolean")
-        )
-        .orderBy("column")
     )
 
 
@@ -636,136 +659,432 @@ def near_dup_embeddings(spark, sf_dir):
     )
 
 
-_MINHASH_PERMS = 32
+# ---------------------------------------------------------------------------
+# MinHash / SimHash / LSH dedup — portable mod-prime arithmetic
+#
+# Every hash below is pure integer arithmetic over a prime field
+# (shingle poly-hash, multiply-mod-prime permutations, LCG-parity bit
+# draws), so a DuckDB oracle recomputes the IDENTICAL values in SQL and
+# the whole pipeline — signatures, band join, jaccard verify, connected
+# components — is hash-equality-checked, not rows-only. The numpy
+# mapInArrow kernels do the same work vectorized (SQL higher-order
+# lambdas evaluate interpreted at ~4 us/element-op — measured 11 s for
+# the minhash stage at sf0.1 vs ~0.1 s for the kernel).
+# ---------------------------------------------------------------------------
+
+_J_PRIME = 1_000_003  # field prime: products stay < 2^63 in both engines
+_SH_BASE = 131
 _SHINGLE_K = 5
+_MINHASH_PERMS = 32
+_MH_MULT = [pow(48271, p + 1, _J_PRIME) for p in range(_MINHASH_PERMS)]
+_MH_ADD = [(7919 * p + 13) % _J_PRIME for p in range(_MINHASH_PERMS)]
+_SIM_BITS = 32
+_SIM_MULT = [pow(48271, 101 + b, _J_PRIME) for b in range(_SIM_BITS)]
+_SIM_ADD = [(104729 * b + 7) % _J_PRIME for b in range(_SIM_BITS)]
+_LSH_BANDS, _LSH_ROWS = 8, 4
+# Jaccard verify threshold 0.6 as an exact integer compare (the sf
+# corpora have a clean gap: planted near-dups >= 0.96, background
+# <= 0.39 5-gram jaccard — measured at sf0.01 and sf0.1)
+_JAC_NUM, _JAC_DEN = 3, 5
+
+
+def _flat_shingle_hashes(text):
+    """Flat (hash, owning-doc, shingles-per-doc) for an arrow utf8 column.
+
+    Shingles are 5-byte windows hashed with a base-131 polynomial mod
+    _J_PRIME — vectorized: 5 shifted gathers over the concatenated
+    buffer, masked at each doc's end so short docs (one zero-padded
+    window) hash only their own bytes, never a batch neighbor's.
+    Byte values equal codepoints on this all-ASCII corpus, which is what
+    lets the DuckDB oracle recompute identical hashes via unicode().
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if text.type != pa.string():
+        text = text.cast(pa.string())
+    n = len(text)
+    off = text.offset
+    offsets = np.frombuffer(text.buffers()[1], dtype=np.int32)[off : off + n + 1]
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offsets).astype(np.int64)
+    n_sh = np.maximum(lengths - (_SHINGLE_K - 1), 1)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+    starts = offsets[:-1].astype(np.int64)
+    pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
+        np.cumsum(n_sh) - n_sh, n_sh
+    ) + starts[doc_of]
+    ends = offsets[1:].astype(np.int64)[doc_of]
+    pad = np.concatenate((data, np.zeros(_SHINGLE_K, dtype=np.uint8)))
+    acc = np.zeros(len(pos), dtype=np.int64)
+    for j in range(_SHINGLE_K):
+        byte = np.where(pos + j < ends, pad[pos + j], np.uint8(0)).astype(np.int64)
+        acc += byte * (_SH_BASE**j)
+    return acc % _J_PRIME, doc_of, n_sh
 
 
 def _minhash_kernel(batches):
     """mapInArrow kernel: 32 MinHash values per doc over 5-byte shingles.
 
-    Vectorized end-to-end: shingle windows come from 5 shifted gathers
-    over the concatenated utf8 bytes, one splitmix64 base hash per
-    shingle, 32 multiply-shift permutations (odd multipliers — the
-    standard universal-hash family), per-doc minima via
-    ``np.minimum.reduceat``. SQL higher-order lambdas evaluate
-    interpreted (~4 us per element op — measured 11 s for this stage at
-    sf0.1); this kernel does the identical shape of work in ~0.1 s.
+    Permutations are multiply-mod-prime (a perfect permutation of the
+    field for any nonzero multiplier — the classic universal family);
+    per-doc minima via ``np.minimum.reduceat``. Deliberately the same
+    arithmetic the DuckDB oracle runs, so signatures hash-compare.
     """
     import numpy as np
     import pyarrow as pa
 
-    rng = np.random.default_rng(42)
-    mult = (rng.integers(1, 1 << 62, _MINHASH_PERMS, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    add = rng.integers(0, 1 << 63, _MINHASH_PERMS, dtype=np.uint64)
-
     for b in batches:
         t = pa.Table.from_batches([b])
-        text = t.column("text").combine_chunks()
-        n = len(text)
-        off = text.offset
-        offsets = np.frombuffer(text.buffers()[1], dtype=np.int32)[off : off + n + 1]
-        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
-        lengths = np.diff(offsets).astype(np.int64)
-        # shingle count per doc: windows of K bytes, min 1 (short docs
-        # contribute their whole text as one shingle)
-        n_sh = np.maximum(lengths - (_SHINGLE_K - 1), 1)
-        starts = offsets[:-1].astype(np.int64)
-        # flat start position of every shingle
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
-        pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
-            np.cumsum(n_sh) - n_sh, n_sh
-        ) + starts[doc_of]
-        win = np.zeros(len(pos), dtype=np.uint64)
-        pad = np.concatenate((data, np.zeros(_SHINGLE_K, dtype=np.uint8)))
-        # Absolute end offset of the doc that owns each shingle: docs
-        # shorter than K get one clamped window, and the gather below must
-        # NOT read past the doc's end into the next doc's bytes (zero
-        # padding only exists at the very end of the buffer) — otherwise a
-        # short doc's signature would depend on its batch neighbors.
-        ends = offsets[1:].astype(np.int64)[doc_of]
-        for i in range(_SHINGLE_K):
-            byte = np.where(pos + i < ends, pad[pos + i], np.uint8(0))
-            win |= byte.astype(np.uint64) << np.uint64(8 * i)
-        with np.errstate(over="ignore"):
-            # splitmix64 finalizer as the base hash
-            h = win + np.uint64(0x9E3779B97F4A7C15)
-            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h ^= h >> np.uint64(31)
-            doc_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
-            cols = {"doc_id": t.column("doc_id").combine_chunks().cast(pa.string())}
-            for p in range(_MINHASH_PERMS):
-                hp = h * mult[p] + add[p]
-                cols[f"h{p}"] = pa.array(
-                    np.minimum.reduceat(hp, doc_starts).view(np.int64)
-                )
+        if t.num_rows == 0:
+            continue
+        h, _doc_of, n_sh = _flat_shingle_hashes(t.column("text"))
+        doc_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+        cols = {"doc_id": t.column("doc_id").combine_chunks().cast(pa.int64())}
+        for p in range(_MINHASH_PERMS):
+            hp = (h * _MH_MULT[p] + _MH_ADD[p]) % _J_PRIME
+            cols[f"h{p}"] = pa.array(np.minimum.reduceat(hp, doc_starts))
         yield pa.RecordBatch.from_arrays(list(cols.values()), names=list(cols))
 
 
-_MINHASH_DDL = "doc_id string, " + ", ".join(f"h{p} long" for p in range(_MINHASH_PERMS))
+_MINHASH_DDL = "doc_id long, " + ", ".join(f"h{p} long" for p in range(_MINHASH_PERMS))
 
 
-@q("dedup_minhash_lsh")  # engine-side MinHash+LSH: rows-only check
+def _sql_shingles(col: str = "text") -> str:
+    """DuckDB list of the same shingle hashes _flat_shingle_hashes makes."""
+    terms = " + ".join(
+        f"{_SH_BASE**j}::BIGINT * (CASE WHEN i+{j} <= length({col}) "
+        f"THEN unicode({col}[i+{j}]) ELSE 0 END)"
+        for j in range(_SHINGLE_K)
+    )
+    return (
+        f"list_transform(range(1, greatest(length({col}) - {_SHINGLE_K - 2}, 2)), "
+        f"i -> ({terms}) % {_J_PRIME})"
+    )
+
+
+def _sql_minhash_ctes() -> str:
+    """CTE chain computing shingles -> minhash -> bands -> candidate pairs."""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(s, v -> (v*{_MH_MULT[p]}::BIGINT + {_MH_ADD[p]}) % {_J_PRIME})) AS h{p}"
+        for p in range(_MINHASH_PERMS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"[{', '.join(f'h{b * _LSH_ROWS + r}' for r in range(_LSH_ROWS))}] AS sig FROM mh"
+        for b in range(_LSH_BANDS)
+    )
+    return (
+        f"sh AS (SELECT doc_id, {_sql_shingles()} AS s FROM documents), "
+        f"mh AS (SELECT doc_id, {mh_cols} FROM sh), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+        "AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+    )
+
+
+_LSH_BUCKET_CAP = 64
+
+
+def _lsh_candidate_pairs(mh: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
+    """Band-join candidate pairs with a hot-bucket star cap.
+
+    Buckets up to ``cap`` docs pair all-vs-all; larger buckets (a
+    million identical docs share every band signature — the quadratic
+    blowup VERDICT r1 flagged) emit only star edges to the bucket's min
+    doc: O(n) edges whose transitive closure under connected components
+    recovers the same cluster. Band keys are the raw 4-perm signature
+    columns, so the oracle's band join is value-identical (no engine
+    hash involved).
+    """
+    keys = ["band_idx", "s0", "s1", "s2", "s3"]
+    stacked = mh.selectExpr(
+        "doc_id",
+        "stack(" + str(_LSH_BANDS) + ", " + ", ".join(
+            f"{b}, " + ", ".join(f"h{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+            for b in range(_LSH_BANDS)
+        ) + ") AS (band_idx, s0, s1, s2, s3)",
+    )
+    sizes = stacked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("hub")
+    )
+    ann = stacked.join(sizes, keys)
+    small = ann.filter(F.col("bkt_n") <= cap)
+    a = small.select(*keys, F.col("doc_id").alias("doc_a"))
+    b = small.select(*keys, F.col("doc_id").alias("doc_b"))
+    pairs_small = (
+        a.join(b, keys).filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    pairs_big = (
+        ann.filter((F.col("bkt_n") > cap) & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"WITH {_sql_minhash_ctes()} "
+    "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b FROM cand",
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding candidate pairs over 5-gram shingles.
 
-    32 permutations (multiply-shift over a splitmix64 base hash,
-    vectorized mapInArrow kernel — no shuffle until the band join),
-    8 bands x 4 rows; candidate pairs are doc pairs sharing any band
-    signature. Scale path: the band-signature equi-join replaces the
-    quadratic all-pairs join.
+    32 permutations (vectorized mapInArrow kernel — no shuffle until the
+    band join), 8 bands x 4 rows; candidate pairs are doc pairs sharing
+    any full band signature. Scale path: the band equi-join replaces the
+    quadratic all-pairs join; hot buckets are star-capped
+    (_lsh_candidate_pairs). Oracle: DuckDB recomputes the identical
+    signatures and band join arithmetically.
     """
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    minhashes = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
-    bands = minhashes.select(
-        "doc_id",
-        *[
-            F.xxhash64(*[F.col(f"h{b * 4 + r}") for r in range(4)]).alias(f"band{b}")
-            for b in range(8)
-        ],
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    stacked = bands.selectExpr(
-        "doc_id",
-        "stack(8, " + ", ".join(f"{b}, band{b}" for b in range(8)) + ") AS (band_idx, sig)",
-    )
-    pairs = (
-        stacked.alias("x")
-        .join(
-            stacked.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    return _lsh_candidate_pairs(mh)
+
+
+def _jaccard_kernel(batches):
+    """Exact 5-gram-set jaccard for candidate pairs, batch-vectorized.
+
+    Per-row distinct shingle sets become keys ``row * PRIME + hash``;
+    one np.unique over the concatenated a/b keys counts intersections
+    for the whole batch at once — no per-pair Python loop.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        n = t.num_rows
+        if n == 0:
+            continue
+
+        def dkeys(col):
+            h, doc_of, _ = _flat_shingle_hashes(t.column(col))
+            return np.unique(doc_of * _J_PRIME + h)
+
+        ka, kb = dkeys("text_a"), dkeys("text_b")
+        na = np.bincount(ka // _J_PRIME, minlength=n)
+        nb = np.bincount(kb // _J_PRIME, minlength=n)
+        uq, cnt = np.unique(np.concatenate([ka, kb]), return_counts=True)
+        inter = np.bincount((uq // _J_PRIME)[cnt == 2], minlength=n)
+        yield pa.RecordBatch.from_arrays(
+            [
+                t.column("doc_a").combine_chunks().cast(pa.int64()),
+                t.column("doc_b").combine_chunks().cast(pa.int64()),
+                pa.array(inter.astype(np.int64)),
+                pa.array((na + nb - inter).astype(np.int64)),
+            ],
+            names=["doc_a", "doc_b", "inter", "uni"],
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+
+
+def _jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep candidate pairs whose exact shingle-set jaccard >= 0.6.
+
+    The compare is integer (5*inter >= 3*union) so Spark and the SQL
+    oracle agree bit-for-bit. Cost is O(candidate pairs) — the LSH stage
+    already reduced that from O(n^2)."""
+    j = (
+        pairs
+        .join(docs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("text_a")), "doc_a")
+        .join(docs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("text_b")), "doc_b")
+    )
+    scored = j.select("doc_a", "doc_b", "text_a", "text_b").mapInArrow(
+        _jaccard_kernel, "doc_a long, doc_b long, inter long, uni long"
+    )
+    return scored.filter(
+        F.col("inter") * _JAC_DEN >= F.col("uni") * _JAC_NUM
+    ).select("doc_a", "doc_b")
+
+
+def _connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over undirected edges -> (u, label).
+
+    O(diameter) joined iterations (near-dup clusters are tiny-diameter
+    cliques; the cap is a safety net). localCheckpoint truncates the
+    otherwise-exponential lineage each round."""
+    und = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        prop = und.join(
+            labels.select(F.col("u").alias("v"), F.col("label").alias("cand")), "v"
+        ).select("u", F.col("cand").alias("label"))
+        new = (
+            labels.unionByName(prop)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.select("u", F.col("label").alias("label_new"))
+            .join(labels, "u")
+            .filter(F.col("label_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@q(
+    "dedup_clusters",
+    f"WITH RECURSIVE {_sql_minhash_ctes()}, "
+    "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+    "edges AS (SELECT doc_a, doc_b FROM cand "
+    "JOIN shd a ON a.doc_id = cand.doc_a JOIN shd b ON b.doc_id = cand.doc_b "
+    f"WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >= "
+    f"{_JAC_NUM} * len(list_distinct(a.sd || b.sd))), "
+    "und AS (SELECT doc_a AS u, doc_b AS v FROM edges "
+    "UNION ALL SELECT doc_b, doc_a FROM edges "
+    "UNION ALL SELECT doc_a, doc_a FROM edges "
+    "UNION ALL SELECT doc_b, doc_b FROM edges), "
+    "reach AS (SELECT u, v FROM und "
+    "UNION SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u), "
+    "labels AS (SELECT u, min(v) AS label FROM reach GROUP BY u) "
+    "SELECT CAST(label AS BIGINT) AS keeper, "
+    "CAST(count(*) AS BIGINT) AS cluster_size, "
+    "CAST(sum(u) AS BIGINT) AS member_id_sum "
+    "FROM labels GROUP BY label",
+)
+def dedup_clusters(spark, sf_dir):
+    """Full dedup resolution: LSH pairs -> jaccard verify -> clusters.
+
+    The #1 gap VERDICT r1 named: candidate pairs alone don't dedup a
+    corpus. Pipeline: minhash kernel -> band join (hot buckets
+    star-capped) -> exact jaccard >= 0.6 verify -> connected components
+    (min-label propagation) -> keeper = min doc_id per cluster. Output
+    is one row per duplicate cluster; the DuckDB oracle replays the
+    identical arithmetic with a recursive CTE for the closure.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    cand = _lsh_candidate_pairs(mh)
+    edges = _jaccard_verify(d, cand)
+    labels = _connected_components(edges)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.sum("u").cast("long").alias("member_id_sum"),
+    ).select(
+        F.col("label").cast("long").alias("keeper"),
+        "cluster_size",
+        "member_id_sum",
+    )
+
+
+def _simhash_kernel(batches):
+    """mapInArrow kernel: 32-bit SimHash per doc over distinct shingles.
+
+    Bit b's draw for shingle s is the parity of an LCG over the field
+    ((s*A_b + B_b) mod PRIME mod 2); votes accumulate per doc via
+    bincount. Same arithmetic as the SQL oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        n = t.num_rows
+        if n == 0:
+            continue
+        h, doc_of, _ = _flat_shingle_hashes(t.column("text"))
+        keys = np.unique(doc_of * _J_PRIME + h)
+        r, s = keys // _J_PRIME, keys % _J_PRIME
+        sim = np.zeros(n, dtype=np.int64)
+        for bit in range(_SIM_BITS):
+            par = ((s * _SIM_MULT[bit] + _SIM_ADD[bit]) % _J_PRIME) & 1
+            vote = np.bincount(r, weights=2 * par - 1, minlength=n)
+            sim |= (vote > 0).astype(np.int64) << bit
+        yield pa.RecordBatch.from_arrays(
+            [t.column("doc_id").combine_chunks().cast(pa.int64()), pa.array(sim)],
+            names=["doc_id", "simhash"],
+        )
+
+
+def _sql_simhash_ctes() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(sd, "
+        f"v -> 2*((v*{_SIM_MULT[b]}::BIGINT + {_SIM_ADD[b]}) % {_J_PRIME} % 2) - 1)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIM_BITS)
+    )
+    return (
+        f"sh AS (SELECT doc_id, {_sql_shingles()} AS s FROM documents), "
+        "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+        f"sim AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM shd)"
+    )
+
+
+@q(
+    "dedup_simhash",
+    f"WITH {_sql_simhash_ctes()} "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash FROM sim",
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document — numpy kernel, arithmetic oracle.
+
+    Replaces the r1 interpreted-lambda version (~4 us/element-op, plus a
+    needless global sort) with the _minhash_kernel pattern; the portable
+    LCG-parity bit family makes it hash-checkable in DuckDB.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return d.mapInArrow(_simhash_kernel, "doc_id long, simhash long")
+
+
+_SIM_BAND_BITS = 8
+_SIM_HAM_MAX = 8
+
+
+@q(
+    "simhash_hamming_pairs",
+    f"WITH {_sql_simhash_ctes()}, "
+    "b AS (SELECT doc_id, simhash, k AS band_idx, "
+    f"(simhash >> (CAST(k AS INT) * {_SIM_BAND_BITS})) & 255 AS nib "
+    f"FROM sim, range(0, {_SIM_BITS // _SIM_BAND_BITS}) t(k)) "
+    "SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, "
+    "CAST(b2.doc_id AS BIGINT) AS doc_b, "
+    "CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming "
+    "FROM b a JOIN b b2 ON a.band_idx = b2.band_idx AND a.nib = b2.nib "
+    "AND a.doc_id < b2.doc_id "
+    f"WHERE bit_count(xor(a.simhash, b2.simhash)) <= {_SIM_HAM_MAX}",
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: 8-bit band join + hamming cutoff.
+
+    The banding (4 bands of 8 bits; a pair with hamming <= 3 must agree
+    on at least one band) replaces the all-pairs hamming scan — the
+    standard simhash scale path (Manku et al., WWW'07 idiom)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sim = d.mapInArrow(_simhash_kernel, "doc_id long, simhash long")
+    b = sim.select(
+        "doc_id", "simhash", F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS // _SIM_BAND_BITS - 1))).alias("band_idx")
+    ).withColumn("nib", F.expr(f"shiftright(simhash, band_idx * {_SIM_BAND_BITS}) & 255"))
+    x = b.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+                 "band_idx", "nib")
+    y = b.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+                 "band_idx", "nib")
+    return (
+        x.join(y, ["band_idx", "nib"]).filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(F.col("hamming") <= _SIM_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
-
-
-@q("dedup_simhash")  # engine-side SimHash: rows-only check
-def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash per document from word-hash bit votes."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # fully map-side: word hashes, per-bit +-1 votes, and the hash
-    # reassembly are one aggregate over the row's word array — no
-    # explode, no collect_list, no shuffle (63 bits: keeps the
-    # reassembled hash a non-negative BIGINT)
-    sim = d.select(
-        "doc_id",
-        F.expr(
-            "aggregate("
-            "  transform(filter(split(lower(text), ' ', -1), w -> length(w) > 0),"
-            "            w -> xxhash64(w)),"
-            "  array_repeat(0, 63),"
-            "  (acc, h) -> zip_with(acc, sequence(0, 62), (a, b) -> a + "
-            "    CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END),"
-            "  votes -> aggregate(zip_with(votes, sequence(0, 62), "
-            "    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END), "
-            "    0L, (a, x) -> a + x)"
-            ")"
-        ).alias("simhash"),
-    )
-    return sim.orderBy("doc_id")
 
 
 @q(

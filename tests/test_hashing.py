@@ -54,7 +54,7 @@ def test_bucket_of_variable_length_ids_stable_across_batching():
 
 def _minhash_rows(doc_ids, texts):
     batch = pa.RecordBatch.from_arrays(
-        [pa.array(doc_ids, type=pa.string()), pa.array(texts, type=pa.string())],
+        [pa.array(doc_ids, type=pa.int64()), pa.array(texts, type=pa.string())],
         names=["doc_id", "text"],
     )
     (out,) = list(_minhash_kernel(iter([batch])))
@@ -66,20 +66,20 @@ def test_minhash_short_docs_independent_of_neighbors():
     # docs shorter than the shingle width must hash only their own bytes,
     # not spill into the next doc in the concatenated buffer
     short = ["ab", "x", "", "abcd"]
-    sigs_a = _minhash_rows(["a", "b", "c", "d"], short)
-    sigs_b = _minhash_rows(["a", "b", "c", "d"], [short[0], "ZZZZZZZZZZ", short[2], "QQQQ"])
-    assert sigs_a["a"] == sigs_b["a"]  # 'ab' unchanged despite neighbor swap
-    assert sigs_a["c"] == sigs_b["c"]  # empty doc unchanged
+    sigs_a = _minhash_rows([1, 2, 3, 4], short)
+    sigs_b = _minhash_rows([1, 2, 3, 4], [short[0], "ZZZZZZZZZZ", short[2], "QQQQ"])
+    assert sigs_a[1] == sigs_b[1]  # 'ab' unchanged despite neighbor swap
+    assert sigs_a[3] == sigs_b[3]  # empty doc unchanged
     # and batching each doc alone gives the same signature
     for i, t in enumerate(short):
-        solo = _minhash_rows([f"k{i}"], [t])[f"k{i}"]
-        assert solo == sigs_a[["a", "b", "c", "d"][i]], f"doc {t!r} leaks neighbor bytes"
+        solo = _minhash_rows([9], [t])[9]
+        assert solo == sigs_a[i + 1], f"doc {t!r} leaks neighbor bytes"
 
 
 def test_minhash_long_docs_stable_across_batching():
     texts = ["the quick brown fox jumps over the lazy dog " * 3,
              "pack my box with five dozen liquor jugs",
              "sphinx of black quartz judge my vow"]
-    joint = _minhash_rows(["a", "b", "c"], texts)
-    for k, t in zip("abc", texts):
+    joint = _minhash_rows([1, 2, 3], texts)
+    for k, t in zip([1, 2, 3], texts):
         assert _minhash_rows([k], [t])[k] == joint[k]
