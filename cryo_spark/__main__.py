@@ -37,6 +37,11 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--input", required=True)
     fz.add_argument("--output", required=True)
     fz.add_argument("--target-tokens", type=int, default=2 << 20)
+    fz.add_argument("--keys", default=None,
+                    help="key-range spec (reference block grammar: a:b, a:+n, "
+                         "a:b:stride, a:b/n, K/M/B suffixes, 'latest')")
+    fz.add_argument("--n-chunks", type=int, default=None,
+                    help="target this many chunks instead of --target-tokens")
     fz.add_argument("--overwrite", action="store_true")
     fz.add_argument("--dry-run", action="store_true")
     fz.add_argument("--master", default=None)
@@ -45,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
     co.add_argument("--columns", default=None, help="comma list or 'all'")
+    co.add_argument("--keys", default=None, help="key-range spec (see freeze --keys)")
     co.add_argument("--include-columns", default=None)
     co.add_argument("--exclude-columns", default=None)
     co.add_argument("--sort", action="store_true")
@@ -67,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.output,
                 target_tokens=args.target_tokens,
                 overwrite=args.overwrite, dry_run=args.dry_run,
+                keys=args.keys, n_chunks=args.n_chunks,
             )
             print(json.dumps(summary))
             return 0
@@ -78,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             columns=_split(args.columns),
             include=_split(args.include_columns),
             exclude=_split(args.exclude_columns),
-            sort=args.sort, hex=args.hex,
+            sort=args.sort, hex=args.hex, keys=args.keys,
         )
         if args.format:
             if not args.output:

@@ -485,6 +485,8 @@ def freeze(
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
     overwrite: bool = False,
     dry_run: bool = False,
+    keys: str | None = None,
+    n_chunks: int | None = None,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
@@ -499,11 +501,28 @@ def freeze(
     from . import sources
 
     t_start = time.perf_counter()
-    use_arrow = sources.supports(input_path)
+    key_df = None
+    if keys is not None:
+        # Key-range freeze (the reference's block-range requests): the
+        # predicate goes through the Catalyst scan path so the range
+        # envelope reaches parquet as a pushed filter; planning and
+        # encode both see only the requested rows.
+        from . import ranges
+
+        raw = spark.read.parquet(input_path)
+        key_chunks = _parse_keys(keys, lambda: raw.agg(F.max(_key_num())).first()[0])
+        key_df = raw.filter(
+            ranges.key_predicate(key_chunks, _key_num(),
+                                 envelope=F.col("doc_id"), fmt=KEY_FMT)
+        )
+    use_arrow = key_df is None and sources.supports(input_path)
     if use_arrow:
-        plan = layout.plan_chunks_arrow(spark, input_path, target_tokens)
+        plan = layout.plan_chunks_arrow(spark, input_path, target_tokens,
+                                        n_chunks=n_chunks)
     else:
-        plan = layout.plan_chunks(spark.read.parquet(input_path), target_tokens)
+        plan = layout.plan_chunks(
+            key_df if key_df is not None else spark.read.parquet(input_path),
+            target_tokens, n_chunks=n_chunks)
     # Relational resume: planned chunk ids are exactly [0, n_chunks) (the
     # sweep numbers them contiguously, layout.py); done-ness comes back
     # from the manifest as a packed bitmap folded executor-side — no
@@ -546,7 +565,9 @@ def freeze(
     if use_arrow:
         enc = _grouped_encode_arrow(spark, input_path, plan, keep_mask)
     else:
-        enc = _grouped_encode(spark.read.parquet(input_path), plan, keep_mask)
+        enc = _grouped_encode(
+            key_df if key_df is not None else spark.read.parquet(input_path),
+            plan, keep_mask)
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     t_enc = time.perf_counter()
     # payload cells are already zstd-framed by the codecs: snappy re-
@@ -621,6 +642,52 @@ def _write_report(output_dir: str, run_id: str, payload: dict) -> None:
 # collect / export: dataset-in-hand APIs (cryo.collect + csv/json sinks)
 # ---------------------------------------------------------------------------
 
+KEY_FMT = "doc-%012d"  # fixtures' zero-padded key format: lexicographic
+
+
+def _key_num():
+    """Numeric key expression (built lazily: Columns need a live session)."""
+    return F.substring("doc_id", len("doc-") + 1, 12).cast("long")
+
+
+def _parse_keys(spec: str, latest_fn):
+    """Parse a key-range spec, resolving 'latest' lazily (one agg job)."""
+    from . import ranges
+
+    try:
+        return ranges.parse_key_specs(spec, latest=None)
+    except ValueError:
+        return ranges.parse_key_specs(spec, latest=int(latest_fn()))
+
+
+def _chunk_stat_prune(enc: DataFrame, chunks) -> DataFrame:
+    """Prune encoded chunks by manifest min/max doc_id before decode.
+
+    The reference prunes at the file level via its chunk->filename key
+    ranges (crates/freeze/src/types/chunks/chunk_ops.rs); here the same
+    statistics live as manifest columns, so a key-range collect skips
+    whole chunks relationally — no payload is read, let alone decoded.
+    """
+    from . import ranges
+
+    min_n = F.substring("min_doc_id", len("doc-") + 1, 12).cast("long")
+    max_n = F.substring("max_doc_id", len("doc-") + 1, 12).cast("long")
+    terms = []
+    for c in chunks:
+        if isinstance(c, ranges.KeyNumbers):
+            t = None
+            for n in c.numbers:
+                o = (F.lit(n) >= min_n) & (F.lit(n) <= max_n)
+                t = o if t is None else t | o
+        else:
+            t = (max_n >= c.start) & (min_n <= c.end)
+        terms.append(t)
+    pred = terms[0]
+    for t in terms[1:]:
+        pred = pred | t
+    return enc.filter(pred)
+
+
 def collect(
     spark: SparkSession,
     source: str | DataFrame,
@@ -629,6 +696,7 @@ def collect(
     exclude: list[str] | None = None,
     sort: bool | list[str] = False,
     hex: bool = False,
+    keys: str | None = None,
 ) -> DataFrame:
     """Projected (optionally sorted) dataset as one DataFrame, no sink.
 
@@ -639,23 +707,58 @@ def collect(
     manifest), in which case the projection is pushed into the decode so
     unwanted columns' payloads are never shuffled. Projection follows
     the reference's include/exclude/columns algebra (schema.py).
+
+    ``keys`` accepts the reference's block-range grammar over the
+    numeric part of doc_id (ranges.py — ``a:b``, ``a:+n``, ``a:b:stride``,
+    ``a:b/n``, K/M/B suffixes, 'latest'): on a parquet source the range
+    envelope is emitted against the raw string column so it reaches the
+    scan as a pushed filter; on an encoded source whole chunks are
+    pruned via manifest min/max before any payload is decoded.
     """
+    from . import ranges
     from . import schema as schema_mod
 
     all_cols = [c for c, _, _ in schema_mod.SEQUENCES_COLUMNS]
     used = schema_mod.compute_used_columns(
         all_cols, columns=columns, include=include, exclude=exclude
     )
-    if isinstance(source, DataFrame):
+    key_chunks = None
+    if keys is not None and isinstance(source, DataFrame):
+        key_chunks = _parse_keys(keys, lambda: source.agg(F.max(_key_num())).first()[0])
+        df = source.filter(
+            ranges.key_predicate(key_chunks, _key_num(),
+                                 envelope=F.col("doc_id"), fmt=KEY_FMT)
+        ).select(*used)
+    elif isinstance(source, DataFrame):
         df = source.select(*used)
     elif read_manifest(spark, source) is not None:
-        df = decode(read_encoded(spark, source), columns=used)
+        enc = read_encoded(spark, source)
+        if keys is not None:
+            man = read_manifest(spark, source)
+            key_chunks = _parse_keys(
+                keys,
+                lambda: man.agg(
+                    F.max(F.substring("max_doc_id", len("doc-") + 1, 12).cast("long"))
+                ).first()[0],
+            )
+            enc = _chunk_stat_prune(enc, key_chunks)
+        dec_cols = used if key_chunks is None or "doc_id" in used else ["doc_id", *used]
+        df = decode(enc, columns=dec_cols)
+        if key_chunks is not None:
+            df = df.filter(ranges.key_predicate(key_chunks, _key_num())).select(*used)
     else:
-        df = spark.read.parquet(source).select(*used)
+        raw = spark.read.parquet(source)
+        if keys is not None:
+            key_chunks = _parse_keys(keys, lambda: raw.agg(F.max(_key_num())).first()[0])
+            raw = raw.filter(
+                ranges.key_predicate(key_chunks, _key_num(),
+                                     envelope=F.col("doc_id"), fmt=KEY_FMT)
+            )
+        df = raw.select(*used)
     if sort:
-        keys = [c for c in (sort if isinstance(sort, list) else ["doc_id"]) if c in used]
-        if keys:
-            df = df.orderBy(*keys)
+        sort_keys = [c for c in (sort if isinstance(sort, list) else ["doc_id"]) if c in used]
+        if sort_keys:
+            df = df.orderBy(*sort_keys)
     if hex:
         df = schema_mod.hex_columns(df)
     return df

@@ -192,11 +192,21 @@ def _n_buckets_for(total_tokens: int, target_tokens: int) -> int:
     return min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
 
 
-def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> ChunkPlan:
-    """Compute deterministic chunk boundaries; two driver jobs, small collects."""
+def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
+                n_chunks: int | None = None) -> ChunkPlan:
+    """Compute deterministic chunk boundaries; two driver jobs, small collects.
+
+    ``n_chunks`` is the subchunk_by_count analog (reference
+    crates/freeze/src/types/chunks/subchunks.rs:28-33): the target size
+    is derived from the total so the sweep lands near that many chunks
+    (bucket-granular, so approximate where the reference's key-range
+    split is exact).
+    """
     total_tokens = int(
         df.agg(F.sum("n_tok").alias("t")).first()["t"] or 0
     )
+    if n_chunks is not None:
+        target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
     hist_df = df.select("doc_id", "n_tok", "source").mapInArrow(
         _hist_kernel(n_buckets), _HIST_DDL
@@ -205,7 +215,8 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS) -> Ch
 
 
 def plan_chunks_arrow(
-    spark, input_path: str, target_tokens: int = DEFAULT_TARGET_TOKENS
+    spark, input_path: str, target_tokens: int = DEFAULT_TARGET_TOKENS,
+    n_chunks: int | None = None,
 ) -> ChunkPlan:
     """plan_chunks over the Arrow-native source (sources.arrow_scan).
 
@@ -225,6 +236,8 @@ def plan_chunks_arrow(
         sources.arrow_scan(spark, input_path, ["n_tok"], sum_kernel, "t long")
         .agg(F.sum("t")).first()[0] or 0
     )
+    if n_chunks is not None:
+        target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
     hist_df = sources.arrow_scan(
         spark, input_path, ["doc_id", "n_tok", "source"],

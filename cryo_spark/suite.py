@@ -1347,6 +1347,102 @@ def ann_lsh_buckets(spark, sf_dir):
     )
 
 
+_KEY_SPEC = "0.1K:+250:3 400:420/5"  # stride range + evenly-spaced subset
+
+
+def _key_spec_sql() -> str:
+    from .ranges import KeyNumbers, parse_key_specs
+
+    terms = []
+    for c in parse_key_specs(_KEY_SPEC):
+        if isinstance(c, KeyNumbers):
+            terms.append(f"doc_id IN ({', '.join(map(str, c.numbers))})")
+        else:
+            t = f"doc_id BETWEEN {c.start} AND {c.end}"
+            if c.stride != 1:
+                t += f" AND (doc_id - {c.start}) % {c.stride} = 0"
+            terms.append(f"({t})")
+    return " OR ".join(terms)
+
+
+@q(
+    "scan_key_range",
+    f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+    FROM documents WHERE {_key_spec_sql()}
+    """,
+)
+def scan_key_range(spark, sf_dir):
+    """Key-range request surface: the reference's block grammar as a scan.
+
+    Spec ``0.1K:+250:3 400:420/5`` exercises K-suffix, ``+n`` extent,
+    stride, and the evenly-spaced ``/n`` subset
+    (crates/cli/src/parse/blocks.rs:149-272). The BETWEEN envelope
+    reaches the parquet scan as a pushed filter (row-group min/max
+    pruning); the stride is a residual — the split Catalyst makes of
+    any conjunction.
+    """
+    from .ranges import key_predicate, parse_key_specs
+
+    d = _t(spark, sf_dir, "documents")
+    pred = key_predicate(parse_key_specs(_KEY_SPEC), F.col("doc_id"))
+    return d.filter(pred).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "source"
+    )
+
+
+@q(
+    "ann_bucket_topk",
+    f"""
+    WITH bk AS (
+      SELECT vec_id, label, embedding,
+             CAST(CASE WHEN {_PLANE_SQL.format(b=0)} > 0 THEN 1 ELSE 0 END
+               + 2 * CASE WHEN {_PLANE_SQL.format(b=1)} > 0 THEN 1 ELSE 0 END
+               + 4 * CASE WHEN {_PLANE_SQL.format(b=2)} > 0 THEN 1 ELSE 0 END
+               + 8 * CASE WHEN {_PLANE_SQL.format(b=3)} > 0 THEN 1 ELSE 0 END AS INT)
+               AS bucket
+      FROM embeddings
+    )
+    SELECT vec_id, label, bucket FROM (
+      SELECT e.vec_id, e.label, e.bucket,
+             list_cosine_similarity(e.embedding, q.embedding) AS sim
+      FROM bk e CROSS JOIN (SELECT embedding, bucket FROM bk WHERE vec_id = 0) q
+      WHERE e.vec_id != 0 AND bit_count(xor(e.bucket, q.bucket)) <= 1
+    ) t ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_bucket_topk(spark, sf_dir):
+    """Bucketed ANN top-k — the scale path, end-to-end.
+
+    Random-hyperplane LSH bucket (the portable arithmetic of
+    ann_lsh_buckets) + multiprobe: candidates are vectors whose 4-bit
+    bucket is within hamming distance 1 of the query's (5 of 16 buckets
+    probed), then exact cosine top-k over candidates only. At scale the
+    bucket is a partition key, so the probe prunes ~11/16 of the scan;
+    here it replaces the all-pairs candidate set the brute-force
+    baseline (ann_cosine_topk) scans.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for b in range(4):
+        bit = F.when(F.expr(_PLANE_SPARK.format(b=b)) > 0, 1).otherwise(0) * (2**b)
+        bucket = bit if bucket is None else bucket + bit
+    bk = e.withColumn("bucket", bucket.cast("int"))
+    query = bk.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("b"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bk.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("embedding").alias("a"), "bucket")
+        .join(F.broadcast(query))
+        .filter(F.expr("bit_count(bucket ^ qbucket)") <= 1)
+        .select("vec_id", "label", "bucket", F.expr(_COS_SPARK).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "bucket")
+    )
+
+
 @q(
     "token_count_regex",
     """
