@@ -22,7 +22,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+REMEMBER_FILENAME = "remembered_command.json"
 
 
 def _split(v: str | None) -> list[str] | None:
@@ -31,7 +34,7 @@ def _split(v: str | None) -> list[str] | None:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m cryo_spark")
-    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=False)
 
     fz = sub.add_parser("freeze", help="encode with manifest + resume")
     fz.add_argument("--input", required=True)
@@ -45,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--overwrite", action="store_true")
     fz.add_argument("--dry-run", action="store_true")
     fz.add_argument("--master", default=None)
+    fz.add_argument("--remember", action="store_true",
+                    help="save this command as the directory default "
+                         "(reference: crates/cli/src/remember.rs:16-57)")
 
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
@@ -59,8 +65,24 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--format", default=None, choices=["csv", "json", "parquet"])
     co.add_argument("--output", default=None)
     co.add_argument("--master", default=None)
+    co.add_argument("--remember", action="store_true",
+                    help="save this command as the directory default")
 
+    argv = sys.argv[1:] if argv is None else argv
     args = ap.parse_args(argv)
+    if args.cmd is None:
+        # no command: run the directory's remembered default, like the
+        # reference invoking its saved command when datatypes are omitted
+        try:
+            with open(REMEMBER_FILENAME) as f:
+                remembered = json.load(f)
+        except OSError:
+            ap.error("specify a command, or save one with --remember first")
+        return main(remembered["command"] + argv)
+    if getattr(args, "remember", False):
+        with open(REMEMBER_FILENAME, "w") as f:
+            json.dump({"version": "cryo_spark 0.1.0",
+                       "command": [a for a in argv if a != "--remember"]}, f)
 
     from cryo_spark.session import get_spark
 

@@ -39,8 +39,8 @@ ENCODED_DDL = (
     "payload binary"
 )
 MANIFEST_COLUMNS = [
-    "partition_id", "chunk_id", "column", "codec_id", "n_rows", "raw_bytes",
-    "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms", "status",
+    "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
+    "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms", "status",
 ]
 SEQUENCES_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
 
@@ -584,23 +584,20 @@ def freeze(
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
     written.select(*MANIFEST_COLUMNS).write.mode("error").parquet(man_dir)
 
+    # ONE pass over the written manifest yields the whole summary —
+    # n_values is a manifest column, so no re-read of the (payload-
+    # bearing) encoded table is needed (VERDICT r1 'What's wrong' #5).
     stats = (
         spark.read.parquet(man_dir)
         .agg(
             F.sum(F.when(F.col("column") == "tokens", F.col("enc_bytes")).otherwise(0)),
             F.sum("enc_bytes"),
             F.sum("raw_bytes"),
-            F.sum(F.when(F.col("column") == "tokens", F.col("n_rows")).otherwise(0)),
+            F.sum(F.when(F.col("column") == "tokens", F.col("n_values")).otherwise(0)),
         )
         .first()
     )
-    tokens = int(
-        spark.read.parquet(enc_dir)
-        .filter(F.col("column") == "tokens")
-        .agg(F.sum("n_values"))
-        .first()[0]
-        or 0
-    )
+    tokens = int(stats[3] or 0)
     summary = dict(
         n_chunks=plan.n_chunks,
         n_encoded=n_missing,

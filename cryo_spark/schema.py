@@ -90,3 +90,21 @@ def hex_columns(df, columns: list[str] | None = None, prefix: bool = True):
         h = F.lower(F.hex(F.col(name)))
         out = out.withColumn(name, F.concat(F.lit("0x"), h) if prefix else h)
     return out
+
+
+def unhex_columns(df, columns: list[str]):
+    """Hex string -> binary decode (0x prefix tolerated).
+
+    Inverse of hex_columns — the reference's hex_string_to_binary
+    (/root/reference/crates/cli/src/parse/parse_utils.rs:4-8: strip
+    optional 0x, decode). Spark-side: ``unhex(regexp_replace(...))``,
+    a pure projection, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    for name in columns:
+        out = out.withColumn(
+            name, F.unhex(F.regexp_replace(F.col(name), "^0x", ""))
+        )
+    return out

@@ -192,7 +192,8 @@ def test_manifest_golden_schema(spark, sequences_path, tmp_path):
     got = {f.name: f.dataType.simpleString() for f in man.schema.fields}
     expected = {
         "partition_id": "int", "chunk_id": "int", "column": "string",
-        "codec_id": "string", "n_rows": "bigint", "raw_bytes": "bigint",
+        "codec_id": "string", "n_rows": "bigint", "n_values": "bigint",
+        "raw_bytes": "bigint",
         "enc_bytes": "bigint", "min_doc_id": "string", "max_doc_id": "string",
         "wall_ms": "double", "status": "string",
     }

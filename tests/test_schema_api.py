@@ -151,3 +151,40 @@ def test_parallelism_invariance(spark, sequences_path):
     pb = {(r["chunk_id"], r["column"]): r["payload"] for r in b.collect()}
     assert pa_.keys() == pb.keys()
     assert all(pa_[k] == pb[k] for k in pa_)
+
+
+def test_unhex_columns_roundtrip(spark):
+    from cryo_spark import schema as schema_mod
+
+    df = spark.createDataFrame([(b"\x01\xabz",), (b"",)], ["payload"])
+    hexed = schema_mod.hex_columns(df)
+    vals = [r["payload"] for r in hexed.collect()]
+    assert vals == ["0x01ab7a", "0x"]
+    back = schema_mod.unhex_columns(hexed, ["payload"])
+    assert [r["payload"] for r in back.collect()] == [bytearray(b"\x01\xabz"), bytearray(b"")]
+    # prefix-less hex decodes too (parse_utils.rs semantics)
+    noprefix = schema_mod.hex_columns(df, prefix=False)
+    back2 = schema_mod.unhex_columns(noprefix, ["payload"])
+    assert [r["payload"] for r in back2.collect()] == [bytearray(b"\x01\xabz"), bytearray(b"")]
+
+
+def test_remember_cli(tmp_path, sequences_path):
+    # subprocess: the CLI owns (and stops) its own SparkSession
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+    run = lambda *a: subprocess.run(
+        [sys.executable, "-m", "cryo_spark", *a], cwd=tmp_path, env=env,
+        capture_output=True, text=True, timeout=240)
+    r1 = run("collect", "--input", sequences_path, "--limit", "2",
+             "--keys", "5:+2", "--remember", "--master", "local[2]")
+    assert r1.returncode == 0, r1.stderr[-500:]
+    saved = _json.load(open(tmp_path / "remembered_command.json"))
+    assert "--remember" not in saved["command"]
+    # bare invocation replays the remembered command
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert r2.stdout.count("doc-") == 2
