@@ -341,13 +341,16 @@ def _pack_kernel(spark: SparkSession, plan: layout.ChunkPlan,
 def _n_parts(spark: SparkSession, n_chunks: int) -> int:
     """Reduce-side partition count.
 
-    2x parallelism (python-task dispatch is serialized per executor at
-    ~12ms/task, so fewer+fatter reduce tasks win), floored so one
-    partition never materializes more than ~64 chunks (~512 MB packed)
-    in the encode kernel regardless of total data size.
+    Data-driven first (one partition per ~32 chunks, ~256 MB packed —
+    python-task dispatch is serialized per executor at ~12 ms/task, so
+    fewer+fatter reduce tasks win), floored at 2x parallelism for small
+    jobs. On sized workloads the data term dominates, making the count
+    IDENTICAL at every cluster size — N- and 4N-executor runs then pay
+    the same dispatch overhead and split the same partitions, which is
+    exactly what the scaling protocol wants to measure.
     """
     par = spark.sparkContext.defaultParallelism
-    return max(16, min(n_chunks, max(par * 2, n_chunks // 64)))
+    return max(16, min(n_chunks, max(par * 2, n_chunks // 32)))
 
 
 def _encode_packed(packed: DataFrame, spark: SparkSession,

@@ -55,28 +55,87 @@ def _files(input_path: str) -> list[str]:
     )
 
 
-def plan_scan_tasks(
-    input_path: str, target_bytes: int = DEFAULT_TASK_BYTES
-) -> list[tuple[str, int, int]]:
-    """(path, rg_start, rg_count) tasks of ~target_bytes compressed each.
+def scan_meta(input_path: str) -> list[tuple[str, list[int]]]:
+    """(path, per-row-group uncompressed bytes) from the parquet footers.
 
-    Row groups are the split unit (parquet's own independence boundary),
-    so a huge single file still fans out — the analog of cryo's
-    subchunk_by_size over the key space
-    (/root/reference/crates/freeze/src/types/chunks/subchunks.rs:13-33).
+    One footer read per file on the driver — the same planning metadata
+    an Iceberg/Delta manifest would hand over without touching footers.
     """
-    tasks: list[tuple[str, int, int]] = []
+    return [
+        (
+            path,
+            [md.row_group(rg).total_byte_size for rg in range(md.num_row_groups)],
+        )
+        for path in _files(input_path)
+        for md in [pq.ParquetFile(path).metadata]
+    ]
+
+
+def column_bytes(input_path: str, column: str) -> int:
+    """Total uncompressed bytes of one column across the table (footers only)."""
+    total = 0
     for path in _files(input_path):
         md = pq.ParquetFile(path).metadata
-        start = 0
-        acc = 0
         for rg in range(md.num_row_groups):
-            acc += md.row_group(rg).total_byte_size
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema.split(".")[0] == column:
+                    total += col.total_uncompressed_size
+    return total
+
+
+def pack_tasks(
+    meta: list[tuple[str, list[int]]], target_bytes: int
+) -> list[tuple[list[str], list[int], list[int]]]:
+    """Greedy-pack row-group runs into ~target_bytes tasks, spanning files.
+
+    A task is (paths, rg_starts, rg_counts) — parallel lists of file
+    segments. Spanning files matters both ways: a 10 GB file fans out
+    over row groups, and a directory of 64 small shards packs into a
+    handful of tasks instead of one python dispatch per shard
+    (~12 ms/task serialized per executor — the dominant non-scaling
+    cost the r1 scaling bench measured).
+    """
+    tasks: list[tuple[list[str], list[int], list[int]]] = []
+    cur: tuple[list[str], list[int], list[int]] = ([], [], [])
+    acc = 0
+
+    def flush():
+        nonlocal cur, acc
+        if cur[0]:
+            tasks.append(cur)
+        cur, acc = ([], [], []), 0
+
+    for path, rg_sizes in meta:
+        start = None
+        for rg, sz in enumerate(rg_sizes):
+            if start is None:
+                start = rg
+            acc += sz
             if acc >= target_bytes:
-                tasks.append((path, start, rg - start + 1))
-                start, acc = rg + 1, 0
-        if start < md.num_row_groups:
-            tasks.append((path, start, md.num_row_groups - start))
+                cur[0].append(path)
+                cur[1].append(start)
+                cur[2].append(rg - start + 1)
+                start = None
+                flush()
+        if start is not None:
+            cur[0].append(path)
+            cur[1].append(start)
+            cur[2].append(len(rg_sizes) - start)
+    flush()
+    return tasks
+
+
+def plan_scan_tasks(
+    input_path: str, target_bytes: int = DEFAULT_TASK_BYTES
+) -> list[tuple[list[str], list[int], list[int]]]:
+    """Tasks of ~target_bytes (uncompressed) each; row groups are the
+    split unit (parquet's own independence boundary) — the analog of
+    cryo's subchunk_by_size over the key space
+    (/root/reference/crates/freeze/src/types/chunks/subchunks.rs:13-33).
+    """
+    tasks = pack_tasks(scan_meta(input_path), target_bytes)
     return tasks
 
 
@@ -89,23 +148,37 @@ def arrow_scan(
     target_bytes: int = DEFAULT_TASK_BYTES,
 ) -> DataFrame:
     """Distributed pyarrow scan feeding ``kernel`` (an iterator-of-batches
-    transform, same contract as a mapInArrow function)."""
-    tasks = plan_scan_tasks(input_path, target_bytes)
+    transform, same contract as a mapInArrow function).
+
+    Task count is wave-aligned: rounded up to a multiple of the cluster
+    parallelism so the last scheduling wave is full at every level —
+    e.g. 64 shards on 16 cores would otherwise run 4 full waves at
+    local[16] but leave local[4]'s task count identical, paying the same
+    serialized python dispatch at a quarter of the useful work.
+    """
+    meta = scan_meta(input_path)
+    total = sum(sum(s) for _, s in meta)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_desired = max(1, -(-total // target_bytes))
+    n_tasks = -(-n_desired // par) * par  # round up to full waves
+    tasks = pack_tasks(meta, max(1, -(-total // n_tasks)))
     tdf = spark.createDataFrame(
-        tasks, "path string, rg_start int, rg_count int"
+        [(list(p), list(s), list(c)) for p, s, c in tasks],
+        "paths array<string>, rg_starts array<int>, rg_counts array<int>",
     ).repartition(max(1, len(tasks)))  # no-column repartition = round-robin
 
     def read_tasks(task_batches):
         for tb in task_batches:
-            paths = tb.column("path").to_pylist()
-            starts = tb.column("rg_start").to_pylist()
-            counts = tb.column("rg_count").to_pylist()
-            for path, start, count in zip(paths, starts, counts):
-                pf = pq.ParquetFile(path)
-                t = pf.read_row_groups(
-                    list(range(start, start + count)),
-                    columns=columns, use_threads=False,
-                )
-                yield from kernel(t.to_batches())
+            for row in range(tb.num_rows):
+                paths = tb.column("paths")[row].as_py()
+                starts = tb.column("rg_starts")[row].as_py()
+                counts = tb.column("rg_counts")[row].as_py()
+                for path, start, count in zip(paths, starts, counts):
+                    pf = pq.ParquetFile(path)
+                    t = pf.read_row_groups(
+                        list(range(start, start + count)),
+                        columns=columns, use_threads=False,
+                    )
+                    yield from kernel(t.to_batches())
 
     return tdf.mapInArrow(read_tasks, out_ddl)
