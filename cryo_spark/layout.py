@@ -225,12 +225,11 @@ def plan_chunks_arrow(
     """
     from . import sources
 
-    # Token-count ESTIMATE from parquet footers: the tokens column's
-    # uncompressed bytes / 4 (int32). n_buckets only needs order-of-
-    # magnitude accuracy (16 buckets of headroom per expected chunk), so
-    # this replaces a whole scan job — at the 2.1B-token bench input
-    # that job was ~64 serialized python dispatches of pure overhead.
-    total_tokens = max(1, sources.column_bytes(input_path, "tokens") // 4)
+    # EXACT token total from parquet footers (num_values of the tokens
+    # column — the statistic an Iceberg manifest carries). Replaces a
+    # whole scan job: at the 2.1B-token bench input that job was ~64
+    # serialized python dispatches of pure overhead.
+    total_tokens = max(1, sources.column_values(input_path, "tokens"))
     if n_chunks is not None:
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)

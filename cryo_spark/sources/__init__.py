@@ -1,3 +1,3 @@
-from .parquet_arrow import arrow_scan, column_bytes, pack_tasks, plan_scan_tasks, scan_meta, supports
+from .parquet_arrow import arrow_scan, column_values, pack_tasks, plan_scan_tasks, scan_meta, supports
 
-__all__ = ["arrow_scan", "column_bytes", "pack_tasks", "plan_scan_tasks", "scan_meta", "supports"]
+__all__ = ["arrow_scan", "column_values", "pack_tasks", "plan_scan_tasks", "scan_meta", "supports"]

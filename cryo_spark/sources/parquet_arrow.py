@@ -71,8 +71,13 @@ def scan_meta(input_path: str) -> list[tuple[str, list[int]]]:
     ]
 
 
-def column_bytes(input_path: str, column: str) -> int:
-    """Total uncompressed bytes of one column across the table (footers only)."""
+def column_values(input_path: str, column: str) -> int:
+    """EXACT leaf-value count of one column across the table, footers only.
+
+    Parquet column-chunk metadata records num_values per row group — for
+    the tokens list column that is the total token count, so planning
+    needs no scan job at all (the same statistic an Iceberg manifest
+    carries)."""
     total = 0
     for path in _files(input_path):
         md = pq.ParquetFile(path).metadata
@@ -81,7 +86,7 @@ def column_bytes(input_path: str, column: str) -> int:
             for c in range(g.num_columns):
                 col = g.column(c)
                 if col.path_in_schema.split(".")[0] == column:
-                    total += col.total_uncompressed_size
+                    total += col.num_values
     return total
 
 
