@@ -55,16 +55,32 @@ def _files(input_path: str) -> list[str]:
     )
 
 
-def scan_meta(input_path: str) -> list[tuple[str, list[int]]]:
-    """(path, per-row-group uncompressed bytes) from the parquet footers.
+def scan_meta(input_path: str, columns: list[str] | None = None
+              ) -> list[tuple[str, list[int]]]:
+    """(path, per-row-group bytes of the REQUESTED columns) from footers.
 
     One footer read per file on the driver — the same planning metadata
     an Iceberg/Delta manifest would hand over without touching footers.
+    Column-aware sizing matters: the planning histogram reads only
+    (doc_id, n_tok, source) ≈ 3% of the bytes, so sizing its tasks by
+    full-row bytes would dispatch ~10x more python tasks than the work
+    deserves.
     """
+
+    def rg_bytes(g):
+        if columns is None:
+            return g.total_byte_size
+        want = set(columns)
+        return sum(
+            g.column(c).total_uncompressed_size
+            for c in range(g.num_columns)
+            if g.column(c).path_in_schema.split(".")[0] in want
+        )
+
     return [
         (
             path,
-            [md.row_group(rg).total_byte_size for rg in range(md.num_row_groups)],
+            [rg_bytes(md.row_group(rg)) for rg in range(md.num_row_groups)],
         )
         for path in _files(input_path)
         for md in [pq.ParquetFile(path).metadata]
@@ -161,7 +177,7 @@ def arrow_scan(
     local[16] but leave local[4]'s task count identical, paying the same
     serialized python dispatch at a quarter of the useful work.
     """
-    meta = scan_meta(input_path)
+    meta = scan_meta(input_path, columns)
     total = sum(sum(s) for _, s in meta)
     par = max(1, spark.sparkContext.defaultParallelism)
     n_desired = max(1, -(-total // target_bytes))
