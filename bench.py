@@ -300,8 +300,7 @@ def run_scaling(sf: float) -> None:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only",
                  "--master", f"local[{n}]", "--runs", "5",
-                 "--input", inp, "--target-tokens", str(SCALING_TARGET_TOKENS),
-                 "--max-partition-bytes", "64m"],
+                 "--input", inp, "--target-tokens", str(SCALING_TARGET_TOKENS)],
                 capture_output=True, text=True, timeout=3600,
                 env={**os.environ},
             )

@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
                          "a:b:stride, a:b/n, K/M/B suffixes, 'latest')")
     fz.add_argument("--n-chunks", type=int, default=None,
                     help="target this many chunks instead of --target-tokens")
+    fz.add_argument("--partition-by", default=None,
+                    help="comma list of encoded-table key columns to "
+                         "partition the output directories by")
     fz.add_argument("--overwrite", action="store_true")
     fz.add_argument("--dry-run", action="store_true")
     fz.add_argument("--master", default=None)
@@ -96,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
                 target_tokens=args.target_tokens,
                 overwrite=args.overwrite, dry_run=args.dry_run,
                 keys=args.keys, n_chunks=args.n_chunks,
+                partition_by=_split(args.partition_by),
             )
             print(json.dumps(summary))
             return 0

@@ -490,6 +490,7 @@ def freeze(
     dry_run: bool = False,
     keys: str | None = None,
     n_chunks: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
@@ -576,10 +577,16 @@ def freeze(
     # payload cells are already zstd-framed by the codecs: snappy re-
     # compression + dictionary-page attempts on multi-MB binary values
     # measured 2.4x slower at identical on-disk size
-    enc.write.mode("error") \
+    writer = enc.write.mode("error") \
         .option("compression", "uncompressed") \
-        .option("parquet.enable.dictionary", "false") \
-        .parquet(enc_dir)
+        .option("parquet.enable.dictionary", "false")
+    if partition_by:
+        # the reference's partition_by: one output directory per value
+        # combination (crates/freeze/src/types/partitions.rs:290-337);
+        # here via Spark's native partitioned layout over the encoded
+        # table's key columns (e.g. ["partition_id"] = per-source dirs)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(enc_dir)
     enc_wall = time.perf_counter() - t_enc
 
     # manifest rows derive from the committed files (payload column pruned)

@@ -220,3 +220,18 @@ def test_done_bitmap_million_chunks(spark):
     want = np.zeros(n_chunks, dtype=bool)
     want[::3] = True
     assert np.array_equal(got, want)
+
+
+def test_freeze_partition_by(spark, sequences_path, tmp_path):
+    """partition_by parity (partitions.rs:290-337): encoded output lands
+    in one directory per key value; decode still round-trips."""
+    import os
+
+    out = str(tmp_path / "fz_pby")
+    engine.freeze(spark, sequences_path, out, target_tokens=TARGET,
+                  partition_by=["partition_id"])
+    run_dir = next(d for d in os.listdir(f"{out}/encoded") if d.startswith("run="))
+    subdirs = sorted(os.listdir(f"{out}/encoded/{run_dir}"))
+    assert any(d.startswith("partition_id=") for d in subdirs), subdirs
+    dec = engine.decode(engine.read_encoded(spark, out))
+    assert dec.count() == spark.read.parquet(sequences_path).count()
