@@ -808,22 +808,33 @@ def _lsh_candidate_pairs(mh: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame
             for b in range(_LSH_BANDS)
         ) + ") AS (band_idx, s0, s1, s2, s3)",
     )
-    sizes = stacked.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("hub")
+    # bucket size + hub via a window: ONE shuffle on the band keys; the
+    # self-join reuses that partitioning. ``ann`` (8 narrow sig rows per
+    # doc, ~0.5% of corpus bytes) is persisted so the minhash kernel and
+    # the text scan run ONCE — un-persisted, every join branch re-runs
+    # the whole scan+kernel (observed 3x in the executed plan).
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    w = Window.partitionBy(*keys)
+    ann = (
+        stacked.withColumn("bkt_n", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ann = stacked.join(sizes, keys)
-    small = ann.filter(F.col("bkt_n") <= cap)
-    a = small.select(*keys, F.col("doc_id").alias("doc_a"))
-    b = small.select(*keys, F.col("doc_id").alias("doc_b"))
-    pairs_small = (
-        a.join(b, keys).filter(F.col("doc_a") < F.col("doc_b"))
+    # one self-join covers both regimes: small buckets pair all-vs-all,
+    # oversized buckets keep only star edges from the hub (= bucket min)
+    x = ann.select(*keys, "bkt_n", "hub", F.col("doc_id").alias("doc_a"))
+    y = ann.select(*keys, F.col("doc_id").alias("doc_b"))
+    return (
+        x.join(y, keys)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & ((F.col("bkt_n") <= cap) | (F.col("doc_a") == F.col("hub")))
+        )
         .select("doc_a", "doc_b")
+        .distinct()
     )
-    pairs_big = (
-        ann.filter((F.col("bkt_n") > cap) & (F.col("doc_id") != F.col("hub")))
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    return pairs_small.unionByName(pairs_big).distinct()
 
 
 @q(
