@@ -168,7 +168,10 @@ QUERY_SUBSET = [
     "dedup_exact",
     "text_quality_score",
     "ann_cosine_topk",
+    "ann_bucket_topk",
+    "scan_key_range",
     "dedup_minhash_lsh",
+    "dedup_clusters",
 ]
 
 

@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--target-tokens", type=int, default=2 << 20)
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--keys", default=None,
+                    help="key-range spec (a:b, a:+n, a:b:stride, a:b/n, K/M/B, latest)")
+    ap.add_argument("--n-chunks", type=int, default=None)
+    ap.add_argument("--partition-by", default=None,
+                    help="comma list of encoded key columns for partitioned output dirs")
     ap.add_argument("--decode-verify", action="store_true",
                     help="decode the committed output and verify row count")
     ap.add_argument("--master", default=None,
@@ -55,6 +60,10 @@ def main() -> None:
         target_tokens=args.target_tokens,
         overwrite=args.overwrite,
         dry_run=args.dry_run,
+        keys=args.keys,
+        n_chunks=args.n_chunks,
+        partition_by=[c.strip() for c in args.partition_by.split(",")]
+        if args.partition_by else None,
     )
     if args.decode_verify and not args.dry_run:
         from cryo_spark import engine
