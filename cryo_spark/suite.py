@@ -1288,7 +1288,12 @@ _NGRAM_SQL = (
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Character 3-gram Jaccard similarity over a deterministic pair sample."""
+    """Character 3-gram Jaccard similarity over a deterministic pair sample.
+
+    Standalone oracle query for the jaccard arithmetic. The production
+    use of this machinery is as the verify stage AFTER LSH candidate
+    generation — see dedup_clusters, where exact shingle-set jaccard
+    filters band-join candidates before cluster resolution."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
     a = d.select(F.col("doc_id").alias("doc_a"), F.expr(_NGRAM_SPARK.format(c="text")).alias("ga"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.expr(_NGRAM_SPARK.format(c="text")).alias("gb"))
