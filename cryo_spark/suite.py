@@ -908,8 +908,15 @@ def _jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .join(docs.select(F.col("doc_id").alias("doc_b"),
                           F.col("text").alias("text_b")), "doc_b")
     )
-    scored = j.select("doc_a", "doc_b", "text_a", "text_b").mapInArrow(
-        _jaccard_kernel, "doc_a long, doc_b long, inter long, uni long"
+    # AQE sizes the pair shuffle from the id-only rows (~16 B/pair) and
+    # coalesces to ONE partition, serializing the O(pairs) kernel into a
+    # single task (measured 26 s vs 3 s at sf0.1); spread pairs evenly
+    # across the cluster before the cpu-heavy stage.
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        j.select("doc_a", "doc_b", "text_a", "text_b")
+        .repartition(n_parts)
+        .mapInArrow(_jaccard_kernel, "doc_a long, doc_b long, inter long, uni long")
     )
     return scored.filter(
         F.col("inter") * _JAC_DEN >= F.col("uni") * _JAC_NUM
@@ -920,8 +927,14 @@ def _connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Min-label propagation over undirected edges -> (u, label).
 
     O(diameter) joined iterations (near-dup clusters are tiny-diameter
-    cliques; the cap is a safety net). localCheckpoint truncates the
-    otherwise-exponential lineage each round."""
+    cliques; the cap is a safety net). The edge list is eagerly
+    localCheckpoint-ed ONCE up front: it is re-read every iteration (and
+    twice by the undirected union), and without the checkpoint each of
+    the ~O(diameter) rounds re-runs the entire upstream pipeline (text
+    scan -> minhash kernel -> band join -> jaccard verify) — measured
+    165 s vs ~10 s at sf0.1. Per-round lineage growth is truncated by
+    the in-loop localCheckpoint."""
+    edges = edges.localCheckpoint()
     und = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
         edges.selectExpr("doc_b AS u", "doc_a AS v")
     )
