@@ -216,7 +216,9 @@ def main() -> None:
     for attempt in range(2):  # one retry: a transient fs hiccup must not
         t0 = time.perf_counter()  # cost the round its only bench artifact
         try:
-            enc_stats = run_encode(master, sf, runs=3)
+            # 5 timed runs: at sf0.1 the encode wall is ~2 s, so a median
+            # of 3 is one noise-spike away from a 2x-off headline number
+            enc_stats = run_encode(master, sf, runs=5)
             queries["encode_freeze"] = round(time.perf_counter() - t0, 3)
             break
         except Exception as e:  # noqa: BLE001
@@ -263,6 +265,7 @@ def main() -> None:
     if enc_stats:
         rec.update(
             encode_tokens_per_sec=round(enc_stats["tokens_per_sec"]),
+            encode_tokens_per_sec_runs=enc_stats["all_tokens_per_sec"],
             encode_tokens=enc_stats["tokens"],
             enc_bytes=enc_stats["enc_bytes"],
             raw_bytes=enc_stats["raw_bytes"],
