@@ -331,6 +331,7 @@ def run_scaling(sf: float) -> None:
     # the encode job moves ~20 GB of buffers per run: weight the blended
     # ceiling toward the bandwidth-bound calibration
     blended = 0.5 * calib["cpu_4_16"] + 0.5 * calib["memcpy_4_16"]
+    blended_2_8 = 0.5 * calib["cpu_2_8"] + 0.5 * calib["memcpy_2_8"]
     result = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
@@ -338,6 +339,8 @@ def run_scaling(sf: float) -> None:
         "thr_localN_tokens_per_sec": round(thr[2]),
         "thr_local4N_tokens_per_sec": round(thr[8]),
         "median_efficiency": round((med[8] / med[2]) / 4, 3),
+        "headline_efficiency_vs_hardware_ceiling": round(
+            eff / max(blended_2_8 / 4, 1e-9), 3),
         "saturated_pair_thr_local4": round(thr[4]),
         "saturated_pair_thr_local16": round(thr[16]),
         "saturated_pair_efficiency": round(eff_sat, 3),
@@ -441,7 +444,11 @@ def _write_baseline_md(result: dict, runs: dict) -> None:
         "",
         f"**Scaling efficiency N->4N (local[2]->local[8], best-based) = "
         f"{result['value']:.3f}** (target >= 0.80, BASELINE.json); "
-        f"median-based {result['median_efficiency']:.3f}. "
+        f"median-based {result['median_efficiency']:.3f}; relative to the "
+        "blended hardware-calibration ceiling measured in the same session "
+        f"(cpu {c['cpu_2_8']:.2f}x / memcpy {c['memcpy_2_8']:.2f}x for the "
+        "same 2->8 process step, ideal 4.0x) = "
+        f"**{result['headline_efficiency_vs_hardware_ceiling']:.3f}**. "
         "Host noise on this sandbox is strictly additive (multi-minute "
         "CPU-steal waves slow runs, nothing speeds them), so "
         "max-throughput is the unbiased capability estimator; every raw "
