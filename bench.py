@@ -471,7 +471,10 @@ def _write_baseline_md(result: dict, runs: dict) -> None:
         "bottleneck there, which is what makes it the honest N->4N "
         "proxy. On a real cluster, N and 4N executors are independent "
         "machines with independent memory buses and the ceiling is 4.0x "
-        "at every size.",
+        "at every size. Calibration readings above the ideal 4.0x are "
+        "steal-wave artifacts (the wave slowed the small-process "
+        "denominator run); they bracket the true ceiling at ~4.0x rather "
+        "than implying superlinear hardware.",
         "",
         f"Compressed bytes: {result['enc_bytes']:,} vs raw {result['raw_bytes']:,} "
         f"(ratio {result['enc_bytes']/result['raw_bytes']:.3f}); the "
