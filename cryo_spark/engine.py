@@ -77,6 +77,39 @@ _PACKED_DDL = (
 )
 
 
+def _frame_validity(payload: bytes, arr) -> bytes:
+    """Prefix a column payload with its null bitmap.
+
+    Layout: flag byte (0 = no nulls, payload follows verbatim; 1 = a
+    little-endian packed validity-bit blob precedes the payload). The
+    codecs stay null-free — they see null slots as zero/empty filler —
+    and decode restores the bitmap, so null vs empty survives the round
+    trip bit-identically (the reference's Option<T> columns, e.g.
+    /root/reference/crates/freeze/src/types/dataframes/creation.rs:60-101,
+    keep the same distinction)."""
+    if getattr(arr, "null_count", 0) == 0:
+        return b"\x00" + payload
+    bits = np.packbits(
+        arr.is_valid().to_numpy(zero_copy_only=False), bitorder="little"
+    )
+    parts: list[bytes] = [b"\x01"]
+    put_blob(parts, bits.tobytes())
+    parts.append(payload)
+    return b"".join(parts)
+
+
+def _split_validity(payload, n_rows: int):
+    """Inverse of :func:`_frame_validity` -> (valid_mask | None, rest)."""
+    buf = memoryview(payload)
+    if buf[0] == 0:
+        return None, buf[1:]
+    blob, pos = get_blob(buf[1:], 0)
+    valid = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8), bitorder="little"
+    )[:n_rows].astype(bool)
+    return valid, buf[1:][pos:]
+
+
 def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                  chunk_id_offset: int = 0,
                  part_keys: np.ndarray | None = None):
@@ -126,11 +159,21 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
             offs = tokens.offsets.to_numpy().astype(np.int64)
             vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
             base = offs[0]
+            # null token arrays keep their validity on the binary column
+            # (a null list row must decode back as null, not empty)
+            validity = None
+            if tokens.null_count:
+                validity = pa.py_buffer(np.packbits(
+                    tokens.is_valid().to_numpy(zero_copy_only=False),
+                    bitorder="little",
+                ).tobytes())
             tok_bin = pa.Array.from_buffers(
                 pa.binary(),
                 len(tokens),
-                [None, pa.py_buffer(((offs - base) * 4).astype(np.int32).tobytes()),
+                [validity,
+                 pa.py_buffer(((offs - base) * 4).astype(np.int32).tobytes()),
                  pa.py_buffer(vals[base:].tobytes() if base else vals.tobytes())],
+                null_count=tokens.null_count,
             )
             yield pa.RecordBatch.from_arrays(
                 [doc_id, tok_bin, n_tok, source,
@@ -180,6 +223,8 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
     cid = int(t.column("chunk_id")[0].as_py())
     n_rows = t.num_rows
     doc_id = t.column("doc_id").combine_chunks()
+    if doc_id.null_count:
+        raise ValueError("doc_id must be non-null (it is the key space)")
     min_doc = doc_id[0].as_py()
     max_doc = doc_id[n_rows - 1].as_py()
 
@@ -208,7 +253,7 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
     parts: list[bytes] = []
     put_blob(parts, lens_choice.payload)
     put_blob(parts, vals_choice.payload)
-    payload = b"".join(parts)
+    payload = _frame_validity(b"".join(parts), tok_bin)
     emit(
         "tokens",
         f"{vals_choice.codec_id}|lens={lens_choice.codec_id}",
@@ -220,18 +265,22 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
 
     # --- n_tok ----------------------------------------------------------------
     t0 = time.perf_counter()
-    n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False).astype(np.int32)
+    n_tok_arr = t.column("n_tok").combine_chunks()
+    n_tok = (
+        n_tok_arr.fill_null(0)
+        .to_numpy(zero_copy_only=False).astype(np.int32)
+    )
     ch = choose_int(n_tok)
-    emit("n_tok", ch.codec_id, ch.payload, n_rows, int(n_tok.nbytes),
-         (time.perf_counter() - t0) * 1000)
+    emit("n_tok", ch.codec_id, _frame_validity(ch.payload, n_tok_arr),
+         n_rows, int(n_tok.nbytes), (time.perf_counter() - t0) * 1000)
 
     # --- string columns (Arrow arrays straight into the string codecs) -------
     for column, arr in (("doc_id", doc_id), ("source", t.column("source").combine_chunks())):
         t0 = time.perf_counter()
-        ch = choose_str(arr)
+        ch = choose_str(arr.fill_null("") if arr.null_count else arr)
         raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
-        emit(column, ch.codec_id, ch.payload, n_rows, raw,
-             (time.perf_counter() - t0) * 1000)
+        emit(column, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
+             raw, (time.perf_counter() - t0) * 1000)
 
     cols = {name: [r[name] for r in out] for name in _ENCODED_PA_SCHEMA.names}
     return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
@@ -248,23 +297,38 @@ def _decode_chunk(t: pa.Table, columns: list[str]) -> pa.Table:
         t.column("column")[i].as_py(): t.column("payload")[i].as_py()
         for i in range(t.num_rows)
     }
+    n_rows = int(t.column("n_rows")[0].as_py())
     out: dict = {}
     for name in columns:
+        valid, buf = _split_validity(payloads[name], n_rows)
         if name == "tokens":
-            buf = memoryview(payloads["tokens"])
             lens_blob, pos = get_blob(buf, 0)
             vals_blob, pos = get_blob(buf, pos)
             lengths = decode_any(bytes(lens_blob)).astype(np.int64)
             flat = decode_any(bytes(vals_blob))
             offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
             np.cumsum(lengths, out=offsets[1:])
+            # a null mask on the offsets array marks null list rows
+            # (null != empty: the round trip preserves the distinction)
+            mask = None
+            if valid is not None:
+                mask = np.concatenate((~valid, [False]))
             out[name] = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(flat, type=pa.int32())
+                pa.array(offsets, mask=mask), pa.array(flat, type=pa.int32())
             )
         elif name == "n_tok":
-            out[name] = pa.array(decode_any(payloads[name]), type=pa.int32())
+            vals = decode_any(bytes(buf))
+            out[name] = pa.array(
+                vals, type=pa.int32(),
+                mask=None if valid is None else ~valid,
+            )
         else:
-            out[name] = decode_any(payloads[name])
+            arr = decode_any(bytes(buf))
+            if valid is not None:
+                arr = pc.if_else(
+                    pa.array(valid), arr, pa.scalar(None, pa.string())
+                )
+            out[name] = arr
     return pa.table(out)
 
 
@@ -278,7 +342,8 @@ def _decode_partition(columns: list[str]):
     def fn(batches):
         tbl = pa.Table.from_batches(list(batches), schema=pa.schema([
             ("partition_id", pa.int32()), ("chunk_id", pa.int32()),
-            ("column", pa.string()), ("payload", pa.binary()),
+            ("column", pa.string()), ("n_rows", pa.int64()),
+            ("payload", pa.binary()),
         ]))
         if tbl.num_rows == 0:
             return
@@ -402,7 +467,7 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         if name in set(columns)
     )
     return (
-        enc_df.select("partition_id", "chunk_id", "column", "payload")
+        enc_df.select("partition_id", "chunk_id", "column", "n_rows", "payload")
         .filter(F.col("column").isin(list(needed)))
         .repartition(n_parts, "partition_id", "chunk_id")
         .mapInArrow(_decode_partition(columns), ddl)

@@ -64,27 +64,52 @@ class ChunkPlan:
     # rows: (source, bucket, partition_id, chunk_base, n_salts)
     mapping: list[tuple[str, int, int, int, int]]
 
-    def lookup(self) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Dense per-source arrays indexed by bucket: (pid, chunk_base, n_salts).
+    def lookup(self) -> dict[str | None, tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+        """Dense per-source arrays indexed by bucket: (pid, chunk_base,
+        n_salts, first_chunk).
 
         The executor-side assignment structure — O(1) gather per row,
         shipped once per executor via ``sc.broadcast``. Unplanned
-        buckets carry pid = -1 so kernels can detect data that was not
-        in the planning histogram.
+        buckets carry pid = -1; rows hashing there are zero-token rows
+        (the histogram weighs buckets by tokens, so only weight-0
+        buckets go unplanned) and fall back to the source's first
+        chunk — deterministic and weightless, so balance is unaffected.
         """
-        out: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        out: dict[str | None, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
         for source, bucket, pid, base, salts in self.mapping:
             if source not in out:
                 out[source] = (
                     np.full(self.n_buckets, -1, dtype=np.int32),
                     np.zeros(self.n_buckets, dtype=np.int32),
                     np.ones(self.n_buckets, dtype=np.int32),
+                    base,
                 )
-            p, b, s = out[source]
+            p, b, s, first = out[source]
             p[bucket] = pid
             b[bucket] = base
             s[bucket] = salts
+            if base < first:
+                out[source] = (p, b, s, base)
         return out
+
+
+def _source_groups(src: pa.Array):
+    """Yield (source_value_or_None, row_mask) per distinct source.
+
+    Null sources are a first-class group: dictionary indices leave nulls
+    as nulls, and a naive ``to_numpy().astype(int)`` turns them into
+    garbage codes that silently drop the rows from both the histogram
+    and the assignment (planner and assigner must see identical groups).
+    """
+    de = src.dictionary_encode()
+    n_dict = len(de.dictionary)
+    codes = (
+        de.indices.fill_null(n_dict)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    values = de.dictionary.to_pylist() + ([None] if src.null_count else [])
+    for ci, s in enumerate(values):
+        yield s, codes == ci
 
 
 def sweep(
@@ -96,10 +121,11 @@ def sweep(
     Pure driver-side function of the histogram — unit-testable and the
     seat of determinism.
     """
-    by_source: dict[str, list[tuple[int, int]]] = {}
+    by_source: dict[str | None, list[tuple[int, int]]] = {}
     for source, bucket, tokens in hist:
         by_source.setdefault(source, []).append((bucket, tokens))
-    sources = sorted(by_source)
+    # None (null source) sorts first, deterministically
+    sources = sorted(by_source, key=lambda s: (s is not None, s or ""))
     partition_of_source = {s: i for i, s in enumerate(sources)}
 
     mapping: list[tuple[str, int, int, int, int]] = []
@@ -131,17 +157,20 @@ def _hist_kernel(n_buckets: int):
     """mapInArrow kernel: per-task (source, bucket) -> sum(n_tok) bincount."""
 
     def fn(batches):
-        acc: dict[str, np.ndarray] = {}
+        acc: dict[str | None, np.ndarray] = {}
         for b in batches:
             t = pa.Table.from_batches([b])
+            if t.column("doc_id").null_count:
+                raise ValueError("doc_id must be non-null (it is the key space)")
             buckets = bucket_of(t.column("doc_id"), n_buckets)
-            n_tok = t.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            n_tok = (
+                t.column("n_tok").combine_chunks()
+                .fill_null(0)  # null n_tok weighs 0 in the balance plan
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            )
             src = t.column("source").combine_chunks()
             # group rows by source (few distinct values), bincount within
-            de = src.dictionary_encode()
-            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            for ci, s in enumerate(de.dictionary.to_pylist()):
-                mask = codes == ci
+            for s, mask in _source_groups(src):
                 h = acc.setdefault(s, np.zeros(n_buckets, dtype=np.int64))
                 # weighted bincount ≈ 30x faster than np.add.at scatter;
                 # float64 weights are exact for token counts < 2^53
@@ -150,6 +179,10 @@ def _hist_kernel(n_buckets: int):
         names, bs, ts = [], [], []
         for s, h in acc.items():
             nz = np.flatnonzero(h)
+            if not len(nz):
+                # a source whose every row is zero-token must still own a
+                # chunk, or its rows have nowhere to go at assign time
+                nz = np.array([0], dtype=np.int64)
             names.extend([s] * len(nz))
             bs.append(nz.astype(np.int32))
             ts.append(h[nz])
@@ -254,28 +287,34 @@ def assign_arrays(
     """
     if isinstance(source, pa.ChunkedArray):
         source = source.combine_chunks()
+    if (isinstance(doc_id, (pa.Array, pa.ChunkedArray)) and doc_id.null_count):
+        raise ValueError("doc_id must be non-null (it is the key space)")
     buckets = bucket_of(doc_id, n_buckets)
     n = len(buckets)
-    pid = np.empty(n, dtype=np.int32)
-    cid = np.empty(n, dtype=np.int64)
-    de = source.dictionary_encode()
-    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pid = np.full(n, -1, dtype=np.int32)
+    cid = np.zeros(n, dtype=np.int64)
     salt_hash: np.ndarray | None = None
-    for ci, s in enumerate(de.dictionary.to_pylist()):
-        mask = codes == ci
+    for s, mask in _source_groups(source):
         if s not in lut:
             raise KeyError(f"source {s!r} absent from chunk plan")
-        p, base, salts = lut[s]
+        p, base, salts, first_chunk = lut[s]
         bk = buckets[mask]
-        pid[mask] = p[bk]
-        salt = np.zeros(mask.sum(), dtype=np.int64)
+        row_pid = p[bk]
+        row_cid = base[bk].astype(np.int64)
+        unplanned = row_pid < 0
+        if unplanned.any():
+            # weight-0 buckets (all-zero-token rows) — see lookup()
+            row_pid[unplanned] = p[p >= 0][0] if (p >= 0).any() else 0
+            row_cid[unplanned] = first_chunk
+        salt = np.zeros(int(mask.sum()), dtype=np.int64)
         multi = salts[bk] > 1
         if multi.any():
             if salt_hash is None:
                 salt_hash = hash_utf8(doc_id, seed=SALT_SEED)
             sh = salt_hash[np.flatnonzero(mask)[multi]]
             salt[multi] = (sh % salts[bk][multi].astype(np.uint64)).astype(np.int64)
-        cid[mask] = base[bk] + salt
+        pid[mask] = row_pid
+        cid[mask] = row_cid + salt
     if (pid < 0).any():
         raise KeyError("row hashed to a bucket absent from the chunk plan")
     return pid, cid.astype(np.int32)

@@ -235,3 +235,63 @@ def test_freeze_partition_by(spark, sequences_path, tmp_path):
     assert any(d.startswith("partition_id=") for d in subdirs), subdirs
     dec = engine.decode(engine.read_encoded(spark, out))
     assert dec.count() == spark.read.parquet(sequences_path).count()
+
+
+def test_null_and_empty_rows_round_trip(spark, tmp_path):
+    """Nulls and empties a real corpus contains must survive bit-identically.
+
+    Covers: null token arrays (distinct from empty ones), empty arrays,
+    null n_tok, null source (its own planner/assigner group — the
+    reference's Option<T> columns keep the same distinction,
+    /root/reference/crates/freeze/src/types/dataframes/creation.rs:60-101),
+    and all-zero-token sources (weight-0 buckets fall back to the
+    source's first chunk instead of KeyError-ing the whole job).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 200
+    rows = []
+    for i in range(n):
+        tokens = None if i % 17 == 0 else list(range(i % 7))
+        n_tok = None if i % 29 == 0 else (0 if tokens is None else len(tokens))
+        source = None if i % 23 == 0 else f"s{i % 3}"
+        rows.append((f"d{i:04d}", tokens, n_tok, source))
+    # an all-zero-token source: every one of its buckets has weight 0
+    rows += [(f"z{i:02d}", [], 0, "zero_only") for i in range(10)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+        "source": pa.array([r[3] for r in rows]),
+    })
+    inp = str(tmp_path / "nulls.parquet")
+    pq.write_table(t, inp)
+    out = str(tmp_path / "nulls_out")
+    s = engine.freeze(spark, inp, out, target_tokens=50)
+    assert s["n_encoded"] == s["n_chunks"] > 0
+    dec = engine.decode(engine.read_encoded(spark, out))
+    got = {
+        r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+        for r in dec.collect()
+    }
+    assert len(got) == len(rows)
+    for doc_id, tokens, n_tok, source in rows:
+        assert got[doc_id] == (tokens, n_tok, source), doc_id
+
+
+def test_null_doc_id_rejected(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(["a", None, "c"]),
+        "tokens": pa.array([[1], [2], [3]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1, 1], type=pa.int32()),
+        "source": pa.array(["s", "s", "s"]),
+    })
+    inp = str(tmp_path / "nullid.parquet")
+    pq.write_table(t, inp)
+    with pytest.raises(Exception, match="doc_id must be non-null"):
+        engine.freeze(spark, inp, str(tmp_path / "nullid_out"),
+                      target_tokens=50)
