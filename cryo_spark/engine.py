@@ -156,6 +156,14 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                 skey = part_keys[cid % len(part_keys)]
             else:
                 skey = cid
+            if tokens.values.null_count:
+                # a null ELEMENT inside a token array has no int32
+                # representation; to_numpy would silently turn it into
+                # NaN->garbage — fail fast instead of corrupting
+                raise ValueError(
+                    "null token elements are not supported "
+                    "(tokens must be array<int32> with non-null items)"
+                )
             offs = tokens.offsets.to_numpy().astype(np.int64)
             vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
             base = offs[0]
@@ -213,7 +221,31 @@ def _encode_partition(batches):
     ends = np.concatenate((bounds, [len(cid)]))
     tbl = tbl.take(pa.array(order)).combine_chunks()
     for s, e in zip(starts, ends):
-        yield from _encode_chunk(tbl.slice(s, int(e - s))).to_batches()
+        chunk = tbl.slice(s, int(e - s))
+        try:
+            yield from _encode_chunk(chunk).to_batches()
+        except Exception as e_:  # noqa: BLE001 — chunk-level fault isolation
+            # one poisoned chunk must not kill a 10^12-sequence job: emit
+            # a failed manifest row instead (the reference counts errored
+            # partitions the same way, crates/freeze/src/freeze.rs:149-168
+            # / types/summaries.rs:21-31); resume retries it because only
+            # status='ok' rows mark a chunk done
+            yield from _failed_chunk_row(chunk, e_).to_batches()
+
+
+def _failed_chunk_row(chunk: pa.Table, err: Exception) -> pa.Table:
+    row = dict(
+        partition_id=int(chunk.column("partition_id")[0].as_py()),
+        chunk_id=int(chunk.column("chunk_id")[0].as_py()),
+        column="tokens", codec_id=f"error:{type(err).__name__}",
+        n_rows=chunk.num_rows, n_values=0, raw_bytes=0, enc_bytes=0,
+        min_doc_id="", max_doc_id="",
+        wall_ms=0.0, status=f"failed: {err}"[:200], payload=b"",
+    )
+    return pa.table({k: [v] for k, v in row.items()}, schema=_ENCODED_PA_SCHEMA)
+
+
+_FAULT_SENTINEL = "__cryo_spark_fault__"  # fault-injection doc_id for tests
 
 
 def _encode_chunk(t: pa.Table) -> pa.Table:
@@ -227,6 +259,13 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
         raise ValueError("doc_id must be non-null (it is the key space)")
     min_doc = doc_id[0].as_py()
     max_doc = doc_id[n_rows - 1].as_py()
+    if (
+        min_doc <= _FAULT_SENTINEL <= max_doc
+        and pc.any(pc.equal(doc_id, _FAULT_SENTINEL)).as_py()
+    ):
+        # deterministic, data-driven failure path so chunk-level fault
+        # isolation (_encode_partition) is testable end-to-end
+        raise RuntimeError("fault-injection sentinel doc_id present")
 
     out: list[dict] = []
 
@@ -671,12 +710,19 @@ def freeze(
         F.sum("raw_bytes").alias("raw_bytes"),
         F.sum(F.when(F.col("column") == "tokens", F.col("n_values"))
               .otherwise(0)).alias("tokens"),
+        # a failed chunk emits exactly one manifest row (_failed_chunk_row),
+        # so a conditional sum counts failed chunks (observe() does not
+        # allow DISTINCT aggregates)
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0))
+        .alias("n_failed"),
     ).write.mode("error").parquet(man_dir)
     stats = obs.get
     tokens = int(stats["tokens"] or 0)
+    n_failed = int(stats["n_failed"] or 0)
     summary = dict(
         n_chunks=plan.n_chunks,
-        n_encoded=n_missing,
+        n_encoded=n_missing - n_failed,
+        n_failed=n_failed,
         n_skipped=n_skipped,
         wall_s=time.perf_counter() - t_start,
         encode_wall_s=enc_wall,

@@ -295,3 +295,58 @@ def test_null_doc_id_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="doc_id must be non-null"):
         engine.freeze(spark, inp, str(tmp_path / "nullid_out"),
                       target_tokens=50)
+
+
+def test_failed_chunk_isolated_and_retried(spark, tmp_path):
+    """One poisoned chunk fails alone; the job completes, the manifest
+    records it, decode sees only committed chunks, and a rerun retries
+    exactly the failed chunk (the reference's completed/errored/skipped
+    accounting, /root/reference/crates/freeze/src/types/summaries.rs:21-31).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(f"d{i:04d}", list(range(5)), 5, "s0") for i in range(100)]
+    rows.append((engine._FAULT_SENTINEL, [1, 2], 2, "s0"))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows]),
+        "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+        "source": pa.array([r[3] for r in rows]),
+    })
+    inp = str(tmp_path / "fault.parquet")
+    pq.write_table(t, inp)
+    out = str(tmp_path / "fault_out")
+    s = engine.freeze(spark, inp, out, target_tokens=50)
+    assert s["n_failed"] == 1
+    assert s["n_encoded"] == s["n_chunks"] - 1
+    man = engine.read_manifest(spark, out)
+    failed = man.filter(F.col("status") != "ok").collect()
+    assert len(failed) == 1 and "fault-injection" in failed[0]["status"]
+    # decode sees only committed chunks; no empty-payload crash
+    dec_ids = {r["doc_id"] for r in
+               engine.decode(engine.read_encoded(spark, out)).collect()}
+    assert engine._FAULT_SENTINEL not in dec_ids
+    # every doc outside the failed chunk round-trips
+    assert len(dec_ids) == len(rows) - failed[0]["n_rows"]
+    # rerun: only the failed chunk is retried (it fails again)
+    s2 = engine.freeze(spark, inp, out, target_tokens=50)
+    assert s2["n_skipped"] == s["n_chunks"] - 1
+    assert s2["n_failed"] == 1 and s2["n_encoded"] == 0
+
+
+def test_null_token_elements_rejected(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([[1, None], [2]], type=pa.list_(pa.int32())),
+        "n_tok": pa.array([2, 1], type=pa.int32()),
+        "source": pa.array(["s", "s"]),
+    })
+    inp = str(tmp_path / "nullel.parquet")
+    pq.write_table(t, inp)
+    with pytest.raises(Exception, match="null token elements"):
+        engine.freeze(spark, inp, str(tmp_path / "nullel_out"),
+                      target_tokens=50)
