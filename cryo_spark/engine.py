@@ -541,7 +541,12 @@ def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
     (/root/reference/crates/freeze/src/types/dataframes/export.rs:13-23)
     done relationally.
     """
-    enc = spark.read.parquet(_encoded_path(output_dir))
+    try:
+        enc = spark.read.parquet(_encoded_path(output_dir))
+    except Exception:
+        # an empty-input freeze commits nothing: no encoded dir is a
+        # valid (empty) output, not an error
+        return spark.createDataFrame([], ENCODED_DDL + ", run string")
     man = read_manifest(spark, output_dir)
     if man is None:
         return enc.limit(0)

@@ -350,3 +350,23 @@ def test_null_token_elements_rejected(spark, tmp_path):
     with pytest.raises(Exception, match="null token elements"):
         engine.freeze(spark, inp, str(tmp_path / "nullel_out"),
                       target_tokens=50)
+
+
+def test_empty_input_freeze_and_read(spark, tmp_path):
+    """A zero-row table freezes to a no-op and reads back as empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tok": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+    })
+    inp = str(tmp_path / "empty.parquet")
+    pq.write_table(t, inp)
+    out = str(tmp_path / "empty_out")
+    s = engine.freeze(spark, inp, out, target_tokens=50)
+    assert s["n_chunks"] == 0 and s["tokens"] == 0
+    dec = engine.decode(engine.read_encoded(spark, out))
+    assert dec.count() == 0
