@@ -375,21 +375,31 @@ def _decode_partition(columns: list[str]):
     """mapInArrow kernel: group encoded rows by chunk, decode each.
 
     Same partition-local grouping as _encode_partition — the upstream
-    repartition on (partition_id, chunk_id) co-locates every chunk.
+    repartition on (run, chunk_id) co-locates every chunk. ``run`` is
+    part of the group key: chunk ids are plan-relative, so two runs in
+    one output dir (e.g. disjoint --keys ranges) both number from 0 and
+    grouping by chunk_id alone would merge their payload rows (one
+    run's columns silently overwrite the other's).
     """
 
     def fn(batches):
-        tbl = pa.Table.from_batches(list(batches), schema=pa.schema([
-            ("partition_id", pa.int32()), ("chunk_id", pa.int32()),
-            ("column", pa.string()), ("n_rows", pa.int64()),
-            ("payload", pa.binary()),
-        ]))
+        batches = list(batches)
+        if not batches:
+            return
+        # schema from the batches themselves: nullability of `run`
+        # differs between the lit("") and real-column paths
+        tbl = pa.Table.from_batches(batches)
         if tbl.num_rows == 0:
             return
         cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(cid, kind="stable")
-        sorted_cid = cid[order]
-        bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+        run_codes = (
+            tbl.column("run").combine_chunks().dictionary_encode()
+            .indices.fill_null(-1)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((cid, run_codes))
+        key = run_codes[order] * (np.int64(cid.max()) + 1) + cid[order]
+        bounds = np.flatnonzero(np.diff(key)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(cid)]))
         tbl = tbl.take(pa.array(order)).combine_chunks()
@@ -505,10 +515,15 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         f"{name} {typ}" for name, typ, _ in schema_mod.SEQUENCES_COLUMNS
         if name in set(columns)
     )
+    run_col = (
+        F.col("run") if "run" in enc_df.columns
+        else F.lit("").alias("run")  # in-memory encode(): single plan
+    )
     return (
-        enc_df.select("partition_id", "chunk_id", "column", "n_rows", "payload")
+        enc_df.select(run_col.alias("run"), "partition_id", "chunk_id",
+                      "column", "n_rows", "payload")
         .filter(F.col("column").isin(list(needed)))
-        .repartition(n_parts, "partition_id", "chunk_id")
+        .repartition(n_parts, "run", "partition_id", "chunk_id")
         .mapInArrow(_decode_partition(columns), ddl)
     )
 
@@ -640,13 +655,23 @@ def freeze(
     # sweep numbers them contiguously, layout.py); done-ness comes back
     # from the manifest as a packed bitmap folded executor-side — no
     # driver-side key sets (SURVEY §7's anti-join, in bitmap form).
+    # Chunk ids are PLAN-relative, so only manifest rows from runs of the
+    # SAME plan may mark a chunk done: two --keys ranges frozen into one
+    # output dir both start numbering at 0, and an unscoped bitmap makes
+    # the second run silently skip chunks the first one encoded (measured:
+    # 18 of 19 chunks of a disjoint key range dropped). plan_id is a
+    # fingerprint of the full chunk mapping, so it also changes when the
+    # input itself changed enough to move chunk boundaries.
+    plan_fp = _plan_fingerprint(plan)
     done_bits: np.ndarray | None = None
     n_done = 0
     if not overwrite:
         man = read_manifest(spark, output_dir)
         if man is not None:
-            done_bits = _done_chunk_bitmap(
-                man.filter(F.col("status") == "ok"), plan.n_chunks)
+            ok = man.filter(F.col("status") == "ok")
+            if "plan_id" in man.columns:
+                ok = ok.filter(F.col("plan_id") == plan_fp)
+            done_bits = _done_chunk_bitmap(ok, plan.n_chunks)
             n_done = int(np.unpackbits(done_bits).sum())
     n_missing = plan.n_chunks - n_done
     n_skipped = n_done
@@ -707,7 +732,9 @@ def freeze(
     written = spark.read.parquet(enc_dir)
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
     obs = Observation("freeze_summary")
-    written.select(*MANIFEST_COLUMNS).observe(
+    written.select(*MANIFEST_COLUMNS).withColumn(
+        "plan_id", F.lit(plan_fp)
+    ).observe(
         obs,
         F.sum(F.when(F.col("column") == "tokens", F.col("enc_bytes"))
               .otherwise(0)).alias("tok_enc_bytes"),
@@ -742,6 +769,15 @@ def freeze(
         input_path=input_path, target_tokens=target_tokens, **summary,
     ))
     return summary
+
+
+def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
+    """Stable id of a chunk plan — equal iff the chunk layout is equal."""
+    import hashlib
+
+    key = repr((plan.n_buckets, plan.target_tokens, plan.n_chunks,
+                sorted(plan.mapping, key=repr)))
+    return hashlib.md5(key.encode()).hexdigest()[:16]
 
 
 def _write_report(output_dir: str, run_id: str, payload: dict) -> None:

@@ -370,3 +370,23 @@ def test_empty_input_freeze_and_read(spark, tmp_path):
     assert s["n_chunks"] == 0 and s["tokens"] == 0
     dec = engine.decode(engine.read_encoded(spark, out))
     assert dec.count() == 0
+
+
+def test_key_range_freezes_share_output_dir(spark, sequences_path, tmp_path):
+    """Two disjoint --keys ranges frozen into ONE output dir must both
+    land: chunk ids are plan-relative, so resume is scoped by plan_id
+    (without it, run 2's bitmap sees run 1's chunk ids as done and
+    silently drops most of the second range)."""
+    out = str(tmp_path / "kr_shared")
+    s1 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET,
+                       keys="0:5000")
+    s2 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET,
+                       keys="5000:10000")
+    assert s1["n_encoded"] == s1["n_chunks"] > 0
+    assert s2["n_encoded"] == s2["n_chunks"] > 0 and s2["n_skipped"] == 0
+    dec = engine.decode(engine.read_encoded(spark, out))
+    assert dec.count() == spark.read.parquet(sequences_path).count()
+    # re-running either range now skips everything (same plan -> resume)
+    s3 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET,
+                       keys="0:5000")
+    assert s3["n_encoded"] == 0 and s3["n_skipped"] == s1["n_chunks"]
