@@ -1008,6 +1008,54 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_apply",
+    f"WITH RECURSIVE {_sql_minhash_ctes()}, "
+    "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+    "edges AS (SELECT doc_a, doc_b FROM cand "
+    "JOIN shd a ON a.doc_id = cand.doc_a JOIN shd b ON b.doc_id = cand.doc_b "
+    f"WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >= "
+    f"{_JAC_NUM} * len(list_distinct(a.sd || b.sd))), "
+    "und AS (SELECT doc_a AS u, doc_b AS v FROM edges "
+    "UNION ALL SELECT doc_b, doc_a FROM edges "
+    "UNION ALL SELECT doc_a, doc_a FROM edges "
+    "UNION ALL SELECT doc_b, doc_b FROM edges), "
+    "reach AS (SELECT u, v FROM und "
+    "UNION SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u), "
+    "labels AS (SELECT u, min(v) AS label FROM reach GROUP BY u), "
+    "drops AS (SELECT u FROM labels WHERE u != label) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS doc_id_sum, "
+    "CAST(sum(length(text)) AS BIGINT) AS text_bytes "
+    "FROM documents WHERE CAST(doc_id AS BIGINT) NOT IN (SELECT u FROM drops)",
+)
+def dedup_apply(spark, sf_dir):
+    """The deduplicated corpus: drop every non-keeper cluster member.
+
+    The operator a training pipeline actually runs after resolution —
+    dedup_clusters' labels become a drop list (u != label) anti-joined
+    against the corpus; survivors = uniques + one keeper per cluster.
+    Output is the surviving corpus' summary (count, id-sum, bytes) so
+    the oracle hash-checks membership without shipping full text.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    cand = _lsh_candidate_pairs(mh)
+    edges = _jaccard_verify(d, cand)
+    labels = _connected_components(edges)
+    drops = labels.filter(F.col("u") != F.col("label")).select(
+        F.col("u").alias("doc_id")
+    )
+    kept = d.join(F.broadcast(drops), "doc_id", "left_anti")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        F.sum(F.length("text")).cast("long").alias("text_bytes"),
+    )
+
+
 def _simhash_kernel(batches):
     """mapInArrow kernel: 32-bit SimHash per doc over distinct shingles.
 
