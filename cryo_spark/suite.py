@@ -961,21 +961,28 @@ def _connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def _sql_cluster_ctes() -> str:
+    """Shared CTE chain: candidate pairs -> jaccard edges -> closure labels."""
+    return (
+        f"{_sql_minhash_ctes()}, "
+        "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+        "edges AS (SELECT doc_a, doc_b FROM cand "
+        "JOIN shd a ON a.doc_id = cand.doc_a JOIN shd b ON b.doc_id = cand.doc_b "
+        f"WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >= "
+        f"{_JAC_NUM} * len(list_distinct(a.sd || b.sd))), "
+        "und AS (SELECT doc_a AS u, doc_b AS v FROM edges "
+        "UNION ALL SELECT doc_b, doc_a FROM edges "
+        "UNION ALL SELECT doc_a, doc_a FROM edges "
+        "UNION ALL SELECT doc_b, doc_b FROM edges), "
+        "reach AS (SELECT u, v FROM und "
+        "UNION SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u), "
+        "labels AS (SELECT u, min(v) AS label FROM reach GROUP BY u)"
+    )
+
+
 @q(
     "dedup_clusters",
-    f"WITH RECURSIVE {_sql_minhash_ctes()}, "
-    "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
-    "edges AS (SELECT doc_a, doc_b FROM cand "
-    "JOIN shd a ON a.doc_id = cand.doc_a JOIN shd b ON b.doc_id = cand.doc_b "
-    f"WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >= "
-    f"{_JAC_NUM} * len(list_distinct(a.sd || b.sd))), "
-    "und AS (SELECT doc_a AS u, doc_b AS v FROM edges "
-    "UNION ALL SELECT doc_b, doc_a FROM edges "
-    "UNION ALL SELECT doc_a, doc_a FROM edges "
-    "UNION ALL SELECT doc_b, doc_b FROM edges), "
-    "reach AS (SELECT u, v FROM und "
-    "UNION SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u), "
-    "labels AS (SELECT u, min(v) AS label FROM reach GROUP BY u) "
+    f"WITH RECURSIVE {_sql_cluster_ctes()} "
     "SELECT CAST(label AS BIGINT) AS keeper, "
     "CAST(count(*) AS BIGINT) AS cluster_size, "
     "CAST(sum(u) AS BIGINT) AS member_id_sum "
@@ -1010,19 +1017,7 @@ def dedup_clusters(spark, sf_dir):
 
 @q(
     "dedup_apply",
-    f"WITH RECURSIVE {_sql_minhash_ctes()}, "
-    "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
-    "edges AS (SELECT doc_a, doc_b FROM cand "
-    "JOIN shd a ON a.doc_id = cand.doc_a JOIN shd b ON b.doc_id = cand.doc_b "
-    f"WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >= "
-    f"{_JAC_NUM} * len(list_distinct(a.sd || b.sd))), "
-    "und AS (SELECT doc_a AS u, doc_b AS v FROM edges "
-    "UNION ALL SELECT doc_b, doc_a FROM edges "
-    "UNION ALL SELECT doc_a, doc_a FROM edges "
-    "UNION ALL SELECT doc_b, doc_b FROM edges), "
-    "reach AS (SELECT u, v FROM und "
-    "UNION SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u), "
-    "labels AS (SELECT u, min(v) AS label FROM reach GROUP BY u), "
+    f"WITH RECURSIVE {_sql_cluster_ctes()}, "
     "drops AS (SELECT u FROM labels WHERE u != label) "
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(CAST(doc_id AS BIGINT)) AS BIGINT) AS doc_id_sum, "
