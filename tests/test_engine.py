@@ -390,3 +390,24 @@ def test_key_range_freezes_share_output_dir(spark, sequences_path, tmp_path):
     s3 = engine.freeze(spark, sequences_path, out, target_tokens=TARGET,
                        keys="0:5000")
     assert s3["n_encoded"] == 0 and s3["n_skipped"] == s1["n_chunks"]
+
+
+def test_plan_determinism_with_nulls(spark, tmp_path):
+    """Chunk plans over null-bearing sources are partitioning-invariant
+    (None sorts first deterministically in the sweep)."""
+    import pandas as pd
+
+    n = 3000
+    pdf = pd.DataFrame({
+        "doc_id": [f"doc-{i:012d}" for i in range(n)],
+        "tokens": [np.arange(i % 50, dtype=np.int32) for i in range(n)],
+        "n_tok": np.array([i % 50 for i in range(n)], dtype=np.int32),
+        "source": pd.array(
+            [None if i % 11 == 0 else f"s{i % 2}" for i in range(n)],
+            dtype="string"),
+    })
+    df = spark.createDataFrame(pdf, engine.SEQUENCES_DDL)
+    p1 = layout.plan_chunks(df, 10_000)
+    p2 = layout.plan_chunks(df.repartition(7), 10_000)
+    assert p1.mapping == p2.mapping and p1.n_chunks == p2.n_chunks
+    assert None in p1.partition_of_source
