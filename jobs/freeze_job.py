@@ -50,8 +50,17 @@ def main() -> None:
         builder = builder.master(args.master)
     spark = builder.getOrCreate()
 
-    # resolve cryo_spark whether shipped via --py-files or on PYTHONPATH
-    import cryo_spark
+    # resolve cryo_spark whether shipped via --py-files, on PYTHONPATH,
+    # or sitting next to this job file (repo checkout run directly)
+    try:
+        import cryo_spark
+    except ModuleNotFoundError:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import cryo_spark
     from cryo_spark.session import ship_package
 
     ship_package(spark)
