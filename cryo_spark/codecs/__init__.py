@@ -8,8 +8,10 @@ Public surface:
 
 from .registry import (
     CODECS,
+    FLT_CODECS,
     INT_CODECS,
     STR_CODECS,
+    FLT_KIND,
     INT_KIND,
     STR_KIND,
     ZSTD_LEVEL,
@@ -18,16 +20,19 @@ from .registry import (
     raw_size,
     split_codec_id,
 )
-from .selector import Choice, choose_int, choose_str
+from .selector import Choice, choose_float, choose_int, choose_str
 
 __all__ = [
     "CODECS",
+    "FLT_CODECS",
     "INT_CODECS",
     "STR_CODECS",
+    "FLT_KIND",
     "INT_KIND",
     "STR_KIND",
     "ZSTD_LEVEL",
     "Choice",
+    "choose_float",
     "choose_int",
     "choose_str",
     "decode_any",

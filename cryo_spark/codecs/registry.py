@@ -18,13 +18,14 @@ import struct
 
 import numpy as np
 
-from . import ints, strings
+from . import floats, ints, strings
 from .bits import zstd_compress, zstd_decompress
 
 _MAGIC = b"CSK1"
 
 INT_KIND = "int"
 STR_KIND = "str"
+FLT_KIND = "float"
 
 # name -> (encode, decode, kind)
 CODECS = {
@@ -38,10 +39,14 @@ CODECS = {
     "strplain": (strings.encode_strplain, strings.decode_strplain, STR_KIND),
     "strdict": (strings.encode_strdict, strings.decode_strdict, STR_KIND),
     "strfsst": (strings.encode_strfsst, strings.decode_strfsst, STR_KIND),
+    "fplain": (floats.encode_fplain, floats.decode_fplain, FLT_KIND),
+    "fbss": (floats.encode_fbss, floats.decode_fbss, FLT_KIND),
+    "falp": (floats.encode_falp, floats.decode_falp, FLT_KIND),
 }
 
 INT_CODECS = [n for n, (_, _, k) in CODECS.items() if k == INT_KIND]
 STR_CODECS = [n for n, (_, _, k) in CODECS.items() if k == STR_KIND]
+FLT_CODECS = [n for n, (_, _, k) in CODECS.items() if k == FLT_KIND]
 
 # Entropy-stage level. Measured on the bench token distributions: the
 # byte-plane payloads our codecs emit compress as well (often slightly
@@ -96,7 +101,7 @@ def decode_any(buf: bytes | memoryview):
 
 def raw_size(values, kind: str) -> int:
     """Uncompressed byte size of the logical values (for ratio reporting)."""
-    if kind == INT_KIND:
+    if kind in (INT_KIND, FLT_KIND):
         return int(np.asarray(values).nbytes)
     data, lengths = strings.to_bytes_lengths(values)
     return int(data.nbytes + lengths.nbytes // 2)  # utf8 bytes + int32 offsets

@@ -215,3 +215,55 @@ def choose_str(values, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:
                          variants=(True, best is None))
     assert best is not None
     return best
+
+
+def choose_float(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL) -> Choice:
+    """Pick the cheapest float codec (falp / fbss / fplain).
+
+    Sample trials with the fast-zstd probe rank the candidates; the
+    winner is fully encoded. falp is all-or-nothing per chunk (its
+    decimal-exactness precondition can hold on the sample but fail on
+    the full chunk), so a full-encode ValueError falls through to the
+    next-ranked codec. A raw fplain floor caps the result at raw bytes.
+    """
+    sample = _sample(values)
+    scale = len(values) / max(1, len(sample))
+    est: dict[str, float] = {}
+    trials: list[tuple[float, str]] = []
+    for name in ("falp", "fbss", "fplain"):
+        enc, _, _ = registry.CODECS[name]
+        try:
+            p = enc(sample)
+        except ValueError:  # falp on non-decimal data
+            continue
+        z = zstd_compress(p, level=_TRIAL_ZSTD_LEVEL)
+        trials.append((len(p) * scale, name))
+        trials.append((len(z) * scale, name + "+zstd"))
+        est[name + "~trial"] = len(p) * scale
+        est[name + "+zstd~trial"] = len(z) * scale
+    trials.sort()
+
+    best: Choice | None = None
+    tried_bases: list[str] = []
+    for _, codec_id in trials:
+        base, _ = registry.split_codec_id(codec_id)
+        if base in tried_bases:
+            continue
+        if best is not None and len(tried_bases) >= 1:
+            break
+        tried_bases.append(base)
+        try:
+            payload = registry.CODECS[base][0](values)
+        except ValueError:
+            continue
+        best = _consider(best, base, payload, est, zstd_level)
+
+    # fplain floor, both variants: guarantees the match-or-beat-
+    # parquet-zstd contract unconditionally (floats are not in the
+    # freeze hot path, so the extra raw-bytes zstd pass is cheap
+    # relative to the guarantee it buys)
+    if "fplain" not in tried_bases:
+        payload = registry.CODECS["fplain"][0](values)
+        best = _consider(best, "fplain", payload, est, zstd_level)
+    assert best is not None
+    return best

@@ -184,6 +184,74 @@ def enc_compression_summary(spark, sf_dir):
     )
 
 
+_EMB_RT_DDL = "n_rows long, n_values long, n_mismatch long, n_oversize long"
+
+
+def _emb_roundtrip_kernel(batches):
+    """mapInArrow: per-batch float-codec encode→decode fidelity audit.
+
+    Flattens each batch's embedding vectors zero-copy (ListArray child,
+    honoring offsets), runs the float codec auto-selector (falp / fbss /
+    fplain — codecs/floats.py), decodes, and compares RAW BIT PATTERNS
+    (never float ==, so NaN payloads and -0.0 count). Emits one audit
+    row per batch; n_mismatch/n_oversize must aggregate to 0.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from cryo_spark.codecs import choose_float, decode_any
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        col = batch.column(0)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float32)
+        choice = choose_float(vals)
+        out = decode_any(choice.payload)
+        mism = int((out.view(np.uint32) != vals.view(np.uint32)).sum())
+        oversize = int(choice.enc_bytes > vals.nbytes + 64)  # fplain floor + frame
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n_rows": [batch.num_rows],
+                "n_values": [len(vals)],
+                "n_mismatch": [mism],
+                "n_oversize": [oversize],
+            }
+        )
+
+
+@q(
+    "enc_roundtrip_embeddings",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(embedding)) AS BIGINT) AS n_values,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(0 AS BIGINT) AS n_oversize
+    FROM embeddings
+    """,
+)
+def enc_roundtrip_embeddings(spark, sf_dir):
+    """Float-column encode→decode round-trip over the embeddings table.
+
+    The engine's codec menu extended to float32 vectors (dict/RLE/FoR
+    have float analogs in byte-stream-split and ALP decimal scaling —
+    floats.py). The oracle pins row/value counts and asserts zero bit
+    mismatches and zero chunks over the raw-size floor: a lossy or
+    expanding float codec fails the hash comparison.
+    """
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    per = e.mapInArrow(_emb_roundtrip_kernel, _EMB_RT_DDL)
+    return per.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_values").cast("long").alias("n_values"),
+        F.sum("n_mismatch").cast("long").alias("n_mismatch"),
+        F.sum("n_oversize").cast("long").alias("n_oversize"),
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================

@@ -13,8 +13,10 @@ import pyarrow as pa
 import pytest
 
 from cryo_spark.codecs import (
+    FLT_CODECS,
     INT_CODECS,
     STR_CODECS,
+    choose_float,
     choose_int,
     choose_str,
     decode_any,
@@ -133,3 +135,92 @@ def test_fsst_compresses_shared_prefixes():
     raw = sum(len(s) for s in values)
     assert len(blob) < raw  # learned symbols beat raw utf8
     assert decode_any(blob).to_pylist() == values
+
+
+# ---------------------------------------------------------------------------
+# float codecs (embedding columns)
+# ---------------------------------------------------------------------------
+
+FLT_CASES = {
+    "empty": np.array([], dtype=np.float32),
+    "singleton": np.array([3.25], dtype=np.float32),
+    "constant": np.full(1000, 0.5, dtype=np.float32),
+    "uniform": RNG.random(10_000).astype(np.float32),
+    "gaussian_f64": RNG.normal(0, 1, 5000),
+    "decimal3": np.round(RNG.random(10_000), 3).astype(np.float32),
+    "decimal2_f64": np.round(RNG.normal(0, 100, 5000), 2),
+    "specials": np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-38, -1e38], dtype=np.float32
+    ),
+    "nan_payloads": np.array([0x7FC00001, 0x7FC0BEEF, 0xFFC00001], dtype=np.uint32)
+    .view(np.float32)
+    .copy(),
+    "denormals": np.array([1e-42, -1e-42, 5e-324], dtype=np.float64).astype(np.float32),
+}
+
+# falp requires a decimal scaling that round-trips bit-exactly. For
+# float32 that holds for ANY finite chunk with |v| < 2^53/10^14 ~ 90
+# (14 decimal places out-resolve an f4 ULP), so "uniform" qualifies;
+# float64 noise, non-finite values and sub-1e-14 denormals do not.
+_FALP_OK = {"empty", "singleton", "constant", "uniform", "decimal3", "decimal2_f64"}
+
+
+def _bits(a: np.ndarray) -> np.ndarray:
+    return a.view(np.uint32 if a.dtype == np.float32 else np.uint64)
+
+
+@pytest.mark.parametrize("codec", FLT_CODECS)
+@pytest.mark.parametrize("case", list(FLT_CASES))
+def test_float_roundtrip_bit_identical(codec, case):
+    values = FLT_CASES[case]
+    if codec == "falp" and case not in _FALP_OK:
+        with pytest.raises(ValueError):
+            encode_any(codec, values)
+        return
+    for codec_id in (codec, codec + "+zstd"):
+        blob = encode_any(codec_id, values)
+        out = decode_any(blob)
+        assert out.dtype == values.dtype, f"{codec_id}/{case}: dtype mismatch"
+        np.testing.assert_array_equal(
+            _bits(out), _bits(values), err_msg=f"{codec_id}/{case}: bits differ"
+        )
+        assert encode_any(codec_id, values) == blob
+
+
+@pytest.mark.parametrize("case", list(FLT_CASES))
+def test_selector_float(case):
+    values = FLT_CASES[case]
+    choice = choose_float(values)
+    out = decode_any(choice.payload)
+    np.testing.assert_array_equal(_bits(out), _bits(values))
+    assert choice.enc_bytes == len(choice.payload)
+    # floor: never worse than fplain+zstd (the parquet-zstd analog)
+    assert choice.enc_bytes <= len(encode_any("fplain+zstd", values))
+
+
+def test_float_selector_picks_sensibly():
+    # decimal-quantized embeddings: falp's scaled ints crush raw floats
+    dec = np.round(RNG.random(100_000), 3).astype(np.float32)
+    choice = choose_float(dec)
+    assert choice.codec_id.startswith("falp")
+    assert choice.enc_bytes < dec.nbytes / 2
+    # full-precision floats: byte-stream-split + zstd still beats raw zstd
+    # (exponent/sign planes are near-constant)
+    smooth = np.sin(np.arange(100_000) / 1000).astype(np.float32)
+    c2 = choose_float(smooth)
+    assert c2.enc_bytes <= len(encode_any("fplain+zstd", smooth))
+
+
+def test_falp_sample_pass_full_fail_falls_back():
+    # the sample stride (every 2nd value) sees only decimal values; the
+    # denormal straggler at an odd index makes falp invalid on the full
+    # chunk — the selector must fall back to fbss/fplain, not raise
+    v = np.round(RNG.random(65_536), 3).astype(np.float32)
+    v[-1] = np.float32(1e-42)
+    assert _bits(v[-1:]).item() != 0  # really a denormal, not flushed to 0
+    with pytest.raises(ValueError):
+        encode_any("falp", v)
+    choice = choose_float(v)
+    assert not choice.codec_id.startswith("falp")
+    out = decode_any(choice.payload)
+    np.testing.assert_array_equal(_bits(out), _bits(v))
