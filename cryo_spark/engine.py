@@ -28,9 +28,10 @@ import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import hashing, layout
-from .codecs import choose_int, choose_str, decode_any, encode_any
+from . import hashing, layout, tablespec
+from .codecs import choose_float, choose_int, choose_str, decode_any, encode_any
 from .codecs.bits import get_blob, put_blob
+from .tablespec import SEQUENCES, ColumnSpec, TableSpec
 
 ENCODED_DDL = (
     "partition_id int, chunk_id int, column string, codec_id string, "
@@ -42,7 +43,7 @@ MANIFEST_COLUMNS = [
     "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
     "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms", "status",
 ]
-SEQUENCES_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+SEQUENCES_DDL = SEQUENCES.spark_ddl()  # "doc_id string, tokens array<int>, ..."
 
 
 # ---------------------------------------------------------------------------
@@ -68,12 +69,6 @@ _ENCODED_PA_SCHEMA = pa.schema(
         ("status", pa.string()),
         ("payload", pa.binary()),
     ]
-)
-
-
-_PACKED_DDL = (
-    "doc_id string, tok_bin binary, n_tok int, source string, "
-    "partition_id int, chunk_id int, shuffle_key int"
 )
 
 
@@ -110,19 +105,55 @@ def _split_validity(payload, n_rows: int):
     return valid, buf[1:][pos:]
 
 
+def _pack_list_binary(arr, col: ColumnSpec):
+    """ListArray -> per-row binary reinterpreting the values buffer.
+
+    Free: offsets scale by the item size (offsets buffer rewritten, 4
+    bytes/row), the data buffer is shared. Null list rows keep their
+    validity on the binary column (null must decode back as null, not
+    empty); null ELEMENTS have no fixed-width representation — to_numpy
+    would silently turn them into NaN->garbage — so they fail fast.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.values.null_count:
+        raise ValueError(
+            f"null {col.name} elements are not supported "
+            f"({col.name} must be {col.kind} with non-null items)"
+        )
+    item = col.item_dtype
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(item, copy=False)
+    base = offs[0]
+    validity = None
+    if arr.null_count:
+        validity = pa.py_buffer(np.packbits(
+            arr.is_valid().to_numpy(zero_copy_only=False),
+            bitorder="little",
+        ).tobytes())
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(arr),
+        [validity,
+         pa.py_buffer(((offs - base) * item.itemsize).astype(np.int32).tobytes()),
+         pa.py_buffer(vals[base:].tobytes() if base else vals.tobytes())],
+        null_count=arr.null_count,
+    )
+
+
 def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                  chunk_id_offset: int = 0,
-                 part_keys: np.ndarray | None = None):
-    """Kernel factory: assign (partition_id, chunk_id) + pack tokens to binary.
+                 part_keys: np.ndarray | None = None,
+                 spec: TableSpec = SEQUENCES):
+    """Kernel factory: assign (partition_id, chunk_id) + pack lists to binary.
 
     One fused pre-shuffle pass. Assignment is a numpy hash + gather
     against the broadcast chunk-plan lookup (layout.assign_arrays) — no
     JVM join, no per-run broadcast exchange. Packing: shuffling list
     columns is the hidden cost of the naive plan — the post-shuffle
     row->Arrow conversion boxes every element through the JVM
-    ArrowWriter (measured ~8x slower end-to-end). A ListArray's values
-    buffer reinterpreted as per-row binary is free (offsets scale by 4,
-    data buffer shared) and binary rows shuffle at memcpy speed.
+    ArrowWriter (measured ~8x slower end-to-end); binary rows shuffle at
+    memcpy speed (_pack_list_binary).
 
     ``keep_mask`` (bool per chunk_id) implements resume: rows of
     already-committed chunks are dropped here, before any bytes move.
@@ -131,24 +162,19 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
     def fn(batches):
         for b in batches:
             t = pa.Table.from_batches([b]).combine_chunks()
-            pid, cid = layout.assign_arrays(
-                t.column("doc_id"), t.column("source"), lut_b.value, n_buckets
+            key_str = tablespec.key_strings(t, spec)
+            src = (
+                t.column(spec.partition_col).combine_chunks()
+                if spec.partition_col else None
             )
-            tokens = t.column("tokens").combine_chunks()
-            doc_id = t.column("doc_id").combine_chunks()
-            n_tok = t.column("n_tok").combine_chunks()
-            source = t.column("source").combine_chunks()
+            pid, cid = layout.assign_arrays(key_str, src, lut_b.value, n_buckets)
             if keep_mask is not None:
                 keep = keep_mask[cid]
                 if not keep.all():
                     sel = np.flatnonzero(keep)
                     if not len(sel):
                         continue
-                    idx = pa.array(sel)
-                    tokens = tokens.take(idx)
-                    doc_id = doc_id.take(idx)
-                    n_tok = n_tok.take(idx)
-                    source = source.take(idx)
+                    t = t.take(pa.array(sel)).combine_chunks()
                     pid, cid = pid[sel], cid[sel]
             if chunk_id_offset:
                 cid = cid + np.int32(chunk_id_offset)
@@ -156,45 +182,23 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                 skey = part_keys[cid % len(part_keys)]
             else:
                 skey = cid
-            if tokens.values.null_count:
-                # a null ELEMENT inside a token array has no int32
-                # representation; to_numpy would silently turn it into
-                # NaN->garbage — fail fast instead of corrupting
-                raise ValueError(
-                    "null token elements are not supported "
-                    "(tokens must be array<int32> with non-null items)"
-                )
-            offs = tokens.offsets.to_numpy().astype(np.int64)
-            vals = tokens.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
-            base = offs[0]
-            # null token arrays keep their validity on the binary column
-            # (a null list row must decode back as null, not empty)
-            validity = None
-            if tokens.null_count:
-                validity = pa.py_buffer(np.packbits(
-                    tokens.is_valid().to_numpy(zero_copy_only=False),
-                    bitorder="little",
-                ).tobytes())
-            tok_bin = pa.Array.from_buffers(
-                pa.binary(),
-                len(tokens),
-                [validity,
-                 pa.py_buffer(((offs - base) * 4).astype(np.int32).tobytes()),
-                 pa.py_buffer(vals[base:].tobytes() if base else vals.tobytes())],
-                null_count=tokens.null_count,
-            )
+            arrays = [
+                _pack_list_binary(t.column(c.name), c) if c.is_list
+                else t.column(c.name).combine_chunks()
+                for c in spec.columns
+            ]
+            arrays += [pa.array(pid, pa.int32()), pa.array(cid, pa.int32()),
+                       pa.array(skey.astype(np.int32), pa.int32())]
             yield pa.RecordBatch.from_arrays(
-                [doc_id, tok_bin, n_tok, source,
-                 pa.array(pid, pa.int32()), pa.array(cid, pa.int32()),
-                 pa.array(skey.astype(np.int32), pa.int32())],
-                names=["doc_id", "tok_bin", "n_tok", "source",
-                       "partition_id", "chunk_id", "shuffle_key"],
+                arrays,
+                names=[c.name for c in spec.columns]
+                + ["partition_id", "chunk_id", "shuffle_key"],
             )
 
     return fn
 
 
-def _encode_partition(batches):
+def _encode_partition(spec: TableSpec = SEQUENCES):
     """mapInArrow kernel: group one shuffle partition's rows by chunk in numpy.
 
     The repartition on (partition_id, chunk_id) guarantees every chunk's
@@ -206,38 +210,42 @@ def _encode_partition(batches):
     int32 ≈ 8 MiB each), so materializing it is bounded regardless of
     total data size.
     """
-    tbl = pa.Table.from_batches(list(batches), schema=pa.schema([
-        ("doc_id", pa.string()), ("tok_bin", pa.binary()), ("n_tok", pa.int32()),
-        ("source", pa.string()), ("partition_id", pa.int32()), ("chunk_id", pa.int32()),
-        ("shuffle_key", pa.int32()),
-    ]))
-    if tbl.num_rows == 0:
-        return
-    cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(cid, kind="stable")
-    sorted_cid = cid[order]
-    bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(cid)]))
-    tbl = tbl.take(pa.array(order)).combine_chunks()
-    for s, e in zip(starts, ends):
-        chunk = tbl.slice(s, int(e - s))
-        try:
-            yield from _encode_chunk(chunk).to_batches()
-        except Exception as e_:  # noqa: BLE001 — chunk-level fault isolation
-            # one poisoned chunk must not kill a 10^12-sequence job: emit
-            # a failed manifest row instead (the reference counts errored
-            # partitions the same way, crates/freeze/src/freeze.rs:149-168
-            # / types/summaries.rs:21-31); resume retries it because only
-            # status='ok' rows mark a chunk done
-            yield from _failed_chunk_row(chunk, e_).to_batches()
+    schema = spec.packed_pa_schema()
+
+    def fn(batches):
+        tbl = pa.Table.from_batches(list(batches), schema=schema)
+        if tbl.num_rows == 0:
+            return
+        cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        sorted_cid = cid[order]
+        bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cid)]))
+        tbl = tbl.take(pa.array(order)).combine_chunks()
+        for s, e in zip(starts, ends):
+            chunk = tbl.slice(s, int(e - s))
+            try:
+                yield from _encode_chunk(chunk, spec).to_batches()
+            except Exception as e_:  # noqa: BLE001 — chunk-level fault isolation
+                # one poisoned chunk must not kill a 10^12-sequence job:
+                # emit a failed manifest row instead (the reference counts
+                # errored partitions the same way,
+                # crates/freeze/src/freeze.rs:149-168 /
+                # types/summaries.rs:21-31); resume retries it because only
+                # status='ok' rows mark a chunk done
+                yield from _failed_chunk_row(chunk, e_, spec).to_batches()
+
+    return fn
 
 
-def _failed_chunk_row(chunk: pa.Table, err: Exception) -> pa.Table:
+def _failed_chunk_row(chunk: pa.Table, err: Exception,
+                      spec: TableSpec = SEQUENCES) -> pa.Table:
     row = dict(
         partition_id=int(chunk.column("partition_id")[0].as_py()),
         chunk_id=int(chunk.column("chunk_id")[0].as_py()),
-        column="tokens", codec_id=f"error:{type(err).__name__}",
+        column=spec.list_column or spec.key,
+        codec_id=f"error:{type(err).__name__}",
         n_rows=chunk.num_rows, n_values=0, raw_bytes=0, enc_bytes=0,
         min_doc_id="", max_doc_id="",
         wall_ms=0.0, status=f"failed: {err}"[:200], payload=b"",
@@ -248,20 +256,30 @@ def _failed_chunk_row(chunk: pa.Table, err: Exception) -> pa.Table:
 _FAULT_SENTINEL = "__cryo_spark_fault__"  # fault-injection doc_id for tests
 
 
-def _encode_chunk(t: pa.Table) -> pa.Table:
-    """Encode one chunk: rows sorted by doc_id, one output row per column."""
-    t = t.take(pc.sort_indices(t.column("doc_id")))
+def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
+    """Encode one chunk: rows sorted by the key, one output row per column.
+
+    Column dispatch is codec-family by kind (tablespec module docstring):
+    list columns arrive packed as binary (zero-copy un-pack to flat
+    values + lengths), scalars go straight to their family's selector.
+    """
+    key = t.column(spec.key).combine_chunks()
+    if key.null_count:
+        raise ValueError(f"{spec.key} must be non-null (it is the key space)")
+    t = t.take(pc.sort_indices(key))
     pid = int(t.column("partition_id")[0].as_py())
     cid = int(t.column("chunk_id")[0].as_py())
     n_rows = t.num_rows
-    doc_id = t.column("doc_id").combine_chunks()
-    if doc_id.null_count:
-        raise ValueError("doc_id must be non-null (it is the key space)")
-    min_doc = doc_id[0].as_py()
-    max_doc = doc_id[n_rows - 1].as_py()
+    key = t.column(spec.key).combine_chunks()
+    # manifest min/max travel as strings for any key type; for native
+    # int keys they hold the decimal form of the true numeric min/max
+    # (rows are sorted by the native value, not its string form)
+    min_doc = str(key[0].as_py())
+    max_doc = str(key[n_rows - 1].as_py())
     if (
-        min_doc <= _FAULT_SENTINEL <= max_doc
-        and pc.any(pc.equal(doc_id, _FAULT_SENTINEL)).as_py()
+        spec.key_col.kind == "str"
+        and min_doc <= _FAULT_SENTINEL <= max_doc
+        and pc.any(pc.equal(key, _FAULT_SENTINEL)).as_py()
     ):
         # deterministic, data-driven failure path so chunk-level fault
         # isolation (_encode_partition) is testable end-to-end
@@ -280,56 +298,54 @@ def _encode_chunk(t: pa.Table) -> pa.Table:
             )
         )
 
-    # --- tokens: zero-copy un-pack of the binary column -----------------------
-    t0 = time.perf_counter()
-    tok_bin = t.column("tok_bin").combine_chunks()
-    boffs = np.frombuffer(tok_bin.buffers()[1], dtype=np.int32, count=n_rows + 1)
-    data = np.frombuffer(tok_bin.buffers()[2], dtype=np.uint8)
-    flat = data[boffs[0] : boffs[-1]].view(np.int32)
-    lengths = (np.diff(boffs) // 4).astype(np.int32)
-    lens_choice = choose_int(lengths)
-    vals_choice = choose_int(flat)
-    parts: list[bytes] = []
-    put_blob(parts, lens_choice.payload)
-    put_blob(parts, vals_choice.payload)
-    payload = _frame_validity(b"".join(parts), tok_bin)
-    emit(
-        "tokens",
-        f"{vals_choice.codec_id}|lens={lens_choice.codec_id}",
-        payload,
-        int(len(flat)),
-        int(flat.nbytes + 4 * n_rows),
-        (time.perf_counter() - t0) * 1000,
-    )
-
-    # --- n_tok ----------------------------------------------------------------
-    t0 = time.perf_counter()
-    n_tok_arr = t.column("n_tok").combine_chunks()
-    n_tok = (
-        n_tok_arr.fill_null(0)
-        .to_numpy(zero_copy_only=False).astype(np.int32)
-    )
-    ch = choose_int(n_tok)
-    emit("n_tok", ch.codec_id, _frame_validity(ch.payload, n_tok_arr),
-         n_rows, int(n_tok.nbytes), (time.perf_counter() - t0) * 1000)
-
-    # --- string columns (Arrow arrays straight into the string codecs) -------
-    for column, arr in (("doc_id", doc_id), ("source", t.column("source").combine_chunks())):
+    for c in spec.columns:
         t0 = time.perf_counter()
-        ch = choose_str(arr.fill_null("") if arr.null_count else arr)
-        raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
-        emit(column, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
-             raw, (time.perf_counter() - t0) * 1000)
+        arr = t.column(c.name).combine_chunks()
+        if c.is_list:
+            # zero-copy un-pack of the packed binary column
+            isz = c.item_size
+            boffs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                  count=n_rows + 1)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            flat = data[boffs[0] : boffs[-1]].view(c.item_dtype)
+            lengths = (np.diff(boffs) // isz).astype(np.int32)
+            lens_choice = choose_int(lengths)
+            vals_choice = (
+                choose_float if c.item_dtype.kind == "f" else choose_int
+            )(flat)
+            parts: list[bytes] = []
+            put_blob(parts, lens_choice.payload)
+            put_blob(parts, vals_choice.payload)
+            emit(
+                c.name,
+                f"{vals_choice.codec_id}|lens={lens_choice.codec_id}",
+                _frame_validity(b"".join(parts), arr),
+                int(len(flat)),
+                int(flat.nbytes + 4 * n_rows),
+                (time.perf_counter() - t0) * 1000,
+            )
+        elif c.kind == "str":
+            ch = choose_str(arr.fill_null("") if arr.null_count else arr)
+            raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
+            emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
+                 raw, (time.perf_counter() - t0) * 1000)
+        else:
+            dt = c.np_dtype
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(dt)
+            ch = (choose_float if dt.kind == "f" else choose_int)(vals)
+            emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr),
+                 n_rows, int(vals.nbytes), (time.perf_counter() - t0) * 1000)
 
     cols = {name: [r[name] for r in out] for name in _ENCODED_PA_SCHEMA.names}
     return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
 
 
-def _decode_chunk(t: pa.Table, columns: list[str]) -> pa.Table:
+def _decode_chunk(t: pa.Table, columns: list[str],
+                  spec: TableSpec = SEQUENCES) -> pa.Table:
     """Inverse of :func:`_encode_chunk`: encoded column rows -> data rows.
 
     Only ``columns`` are materialized; every column of a chunk was
-    encoded in the same doc_id-sorted row order, so any subset stays
+    encoded in the same key-sorted row order, so any subset stays
     positionally aligned.
     """
     payloads = {
@@ -339,8 +355,9 @@ def _decode_chunk(t: pa.Table, columns: list[str]) -> pa.Table:
     n_rows = int(t.column("n_rows")[0].as_py())
     out: dict = {}
     for name in columns:
+        c = spec.col(name)
         valid, buf = _split_validity(payloads[name], n_rows)
-        if name == "tokens":
+        if c.is_list:
             lens_blob, pos = get_blob(buf, 0)
             vals_blob, pos = get_blob(buf, pos)
             lengths = decode_any(bytes(lens_blob)).astype(np.int64)
@@ -353,25 +370,26 @@ def _decode_chunk(t: pa.Table, columns: list[str]) -> pa.Table:
             if valid is not None:
                 mask = np.concatenate((~valid, [False]))
             out[name] = pa.ListArray.from_arrays(
-                pa.array(offsets, mask=mask), pa.array(flat, type=pa.int32())
+                pa.array(offsets, mask=mask),
+                pa.array(flat, type=c.pa_item_type),
             )
-        elif name == "n_tok":
-            vals = decode_any(bytes(buf))
-            out[name] = pa.array(
-                vals, type=pa.int32(),
-                mask=None if valid is None else ~valid,
-            )
-        else:
+        elif c.kind == "str":
             arr = decode_any(bytes(buf))
             if valid is not None:
                 arr = pc.if_else(
                     pa.array(valid), arr, pa.scalar(None, pa.string())
                 )
             out[name] = arr
+        else:
+            vals = decode_any(bytes(buf))
+            out[name] = pa.array(
+                vals, type=c.pa_type,
+                mask=None if valid is None else ~valid,
+            )
     return pa.table(out)
 
 
-def _decode_partition(columns: list[str]):
+def _decode_partition(columns: list[str], spec: TableSpec = SEQUENCES):
     """mapInArrow kernel: group encoded rows by chunk, decode each.
 
     Same partition-local grouping as _encode_partition — the upstream
@@ -404,7 +422,9 @@ def _decode_partition(columns: list[str]):
         ends = np.concatenate((bounds, [len(cid)]))
         tbl = tbl.take(pa.array(order)).combine_chunks()
         for s, e in zip(starts, ends):
-            yield from _decode_chunk(tbl.slice(s, int(e - s)), columns).to_batches()
+            yield from _decode_chunk(
+                tbl.slice(s, int(e - s)), columns, spec
+            ).to_batches()
 
     return fn
 
@@ -417,8 +437,9 @@ def encode(
     df: DataFrame,
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
     plan: layout.ChunkPlan | None = None,
+    spec: TableSpec = SEQUENCES,
 ) -> DataFrame:
-    """Encode a sequences DataFrame into the encoded-chunk table.
+    """Encode a DataFrame of ``spec``'s shape into the encoded-chunk table.
 
     One shuffle (on the chunk key); chunk boundaries deterministic.
     The repartition is explicit — ~one chunk per task — because AQE's
@@ -428,28 +449,31 @@ def encode(
     reuses this clustering, so no second exchange is added.
     """
     if plan is None:
-        plan = layout.plan_chunks(df, target_tokens)
-    return _grouped_encode(df, plan)
+        plan = layout.plan_chunks(df, target_tokens, spec=spec)
+    return _grouped_encode(df, plan, spec=spec)
 
 
 def _grouped_encode(df: DataFrame, plan: layout.ChunkPlan,
                     keep_mask: np.ndarray | None = None,
-                    chunk_id_offset: int = 0) -> DataFrame:
+                    chunk_id_offset: int = 0,
+                    spec: TableSpec = SEQUENCES) -> DataFrame:
     packed = df.mapInArrow(
-        _pack_kernel(df.sparkSession, plan, keep_mask, chunk_id_offset),
-        _PACKED_DDL,
+        _pack_kernel(df.sparkSession, plan, keep_mask, chunk_id_offset, spec),
+        spec.packed_ddl(),
     )
-    return _encode_packed(packed, df.sparkSession, plan)
+    return _encode_packed(packed, df.sparkSession, plan, spec)
 
 
 def _pack_kernel(spark: SparkSession, plan: layout.ChunkPlan,
-                 keep_mask: np.ndarray | None, chunk_id_offset: int):
+                 keep_mask: np.ndarray | None, chunk_id_offset: int,
+                 spec: TableSpec = SEQUENCES):
     n_parts = _n_parts(spark, plan.n_chunks)
     lut_b = spark.sparkContext.broadcast(plan.lookup())
     # invert Spark's murmur3 placement: chunk cid lands in partition
     # cid % n_parts exactly — round-robin, no hash-placement skew
     part_keys = hashing.partition_keys(n_parts)
-    return _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset, part_keys)
+    return _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset,
+                        part_keys, spec)
 
 
 def _n_parts(spark: SparkSession, n_chunks: int) -> int:
@@ -468,34 +492,37 @@ def _n_parts(spark: SparkSession, n_chunks: int) -> int:
 
 
 def _encode_packed(packed: DataFrame, spark: SparkSession,
-                   plan: layout.ChunkPlan) -> DataFrame:
+                   plan: layout.ChunkPlan,
+                   spec: TableSpec = SEQUENCES) -> DataFrame:
     packed = packed.repartition(_n_parts(spark, plan.n_chunks), "shuffle_key")
-    return packed.mapInArrow(_encode_partition, ENCODED_DDL)
+    return packed.mapInArrow(_encode_partition(spec), ENCODED_DDL)
 
 
 def _grouped_encode_arrow(spark: SparkSession, input_path: str,
                           plan: layout.ChunkPlan,
                           keep_mask: np.ndarray | None = None,
-                          chunk_id_offset: int = 0) -> DataFrame:
+                          chunk_id_offset: int = 0,
+                          spec: TableSpec = SEQUENCES) -> DataFrame:
     """Encode pipeline over the Arrow-native source (sources.arrow_scan).
 
     Identical semantics to _grouped_encode (same kernels, same chunk
-    assignment); only the scan differs — the token list column never
-    passes through JVM row conversion (~3x faster map stage on the
-    2.1B-token bench input).
+    assignment); only the scan differs — the list columns never pass
+    through JVM row conversion (~3x faster map stage on the 2.1B-token
+    bench input).
     """
     from . import sources
 
     packed = sources.arrow_scan(
-        spark, input_path, ["doc_id", "tokens", "n_tok", "source"],
-        _pack_kernel(spark, plan, keep_mask, chunk_id_offset),
-        _PACKED_DDL,
+        spark, input_path, [c.name for c in spec.columns],
+        _pack_kernel(spark, plan, keep_mask, chunk_id_offset, spec),
+        spec.packed_ddl(),
     )
-    return _encode_packed(packed, spark, plan)
+    return _encode_packed(packed, spark, plan, spec)
 
 
-def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Decode the encoded-chunk table back to bit-identical sequences.
+def decode(enc_df: DataFrame, columns: list[str] | None = None,
+           spec: TableSpec = SEQUENCES) -> DataFrame:
+    """Decode the encoded-chunk table back to bit-identical rows.
 
     ``columns`` projects the decode: unwanted columns' payload rows are
     filtered BEFORE the shuffle, so their bytes never move — decode-side
@@ -504,17 +531,13 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """
     from . import schema as schema_mod
 
-    all_cols = [c for c, _, _ in schema_mod.SEQUENCES_COLUMNS]
+    all_cols = [c.name for c in spec.columns]
     columns = all_cols if columns is None else schema_mod.compute_used_columns(
         all_cols, columns=columns
     )
-    needed = set(columns) | ({"tokens"} & set(columns))
     spark = enc_df.sparkSession
     n_parts = max(16, spark.sparkContext.defaultParallelism * 2)
-    ddl = ", ".join(
-        f"{name} {typ}" for name, typ, _ in schema_mod.SEQUENCES_COLUMNS
-        if name in set(columns)
-    )
+    ddl = spec.spark_ddl(columns)
     run_col = (
         F.col("run") if "run" in enc_df.columns
         else F.lit("").alias("run")  # in-memory encode(): single plan
@@ -522,9 +545,9 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return (
         enc_df.select(run_col.alias("run"), "partition_id", "chunk_id",
                       "column", "n_rows", "payload")
-        .filter(F.col("column").isin(list(needed)))
+        .filter(F.col("column").isin(columns))
         .repartition(n_parts, "run", "partition_id", "chunk_id")
-        .mapInArrow(_decode_partition(columns), ddl)
+        .mapInArrow(_decode_partition(columns, spec), ddl)
     )
 
 
@@ -615,6 +638,7 @@ def freeze(
     keys: str | None = None,
     n_chunks: int | None = None,
     partition_by: list[str] | None = None,
+    spec: TableSpec = SEQUENCES,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
@@ -630,6 +654,9 @@ def freeze(
 
     t_start = time.perf_counter()
     key_df = None
+    if keys is not None and spec is not SEQUENCES:
+        raise ValueError("key-range freeze is defined for the sequences "
+                         "doc_id grammar only")
     if keys is not None:
         # Key-range freeze (the reference's block-range requests): the
         # predicate goes through the Catalyst scan path so the range
@@ -646,11 +673,11 @@ def freeze(
     use_arrow = key_df is None and sources.supports(input_path)
     if use_arrow:
         plan = layout.plan_chunks_arrow(spark, input_path, target_tokens,
-                                        n_chunks=n_chunks)
+                                        n_chunks=n_chunks, spec=spec)
     else:
         plan = layout.plan_chunks(
             key_df if key_df is not None else spark.read.parquet(input_path),
-            target_tokens, n_chunks=n_chunks)
+            target_tokens, n_chunks=n_chunks, spec=spec)
     # Relational resume: planned chunk ids are exactly [0, n_chunks) (the
     # sweep numbers them contiguously, layout.py); done-ness comes back
     # from the manifest as a packed bitmap folded executor-side — no
@@ -701,11 +728,12 @@ def freeze(
         keep_mask = ~np.unpackbits(
             done_bits, bitorder="little")[: plan.n_chunks].astype(bool)
     if use_arrow:
-        enc = _grouped_encode_arrow(spark, input_path, plan, keep_mask)
+        enc = _grouped_encode_arrow(spark, input_path, plan, keep_mask,
+                                    spec=spec)
     else:
         enc = _grouped_encode(
             key_df if key_df is not None else spark.read.parquet(input_path),
-            plan, keep_mask)
+            plan, keep_mask, spec=spec)
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     t_enc = time.perf_counter()
     # payload cells are already zstd-framed by the codecs: snappy re-
@@ -732,15 +760,19 @@ def freeze(
     written = spark.read.parquet(enc_dir)
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
     obs = Observation("freeze_summary")
+    # the payload column whose n_values is the FreezeSummary token count:
+    # the first list column (flattened element count), else the key
+    # column (row count)
+    payload_col = spec.list_column or spec.key
     written.select(*MANIFEST_COLUMNS).withColumn(
         "plan_id", F.lit(plan_fp)
     ).observe(
         obs,
-        F.sum(F.when(F.col("column") == "tokens", F.col("enc_bytes"))
+        F.sum(F.when(F.col("column") == payload_col, F.col("enc_bytes"))
               .otherwise(0)).alias("tok_enc_bytes"),
         F.sum("enc_bytes").alias("enc_bytes"),
         F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum(F.when(F.col("column") == "tokens", F.col("n_values"))
+        F.sum(F.when(F.col("column") == payload_col, F.col("n_values"))
               .otherwise(0)).alias("tokens"),
         # a failed chunk emits exactly one manifest row (_failed_chunk_row),
         # so a conditional sum counts failed chunks (observe() does not
@@ -857,6 +889,7 @@ def collect(
     sort: bool | list[str] = False,
     hex: bool = False,
     keys: str | None = None,
+    spec: TableSpec = SEQUENCES,
 ) -> DataFrame:
     """Projected (optionally sorted) dataset as one DataFrame, no sink.
 
@@ -878,7 +911,10 @@ def collect(
     from . import ranges
     from . import schema as schema_mod
 
-    all_cols = [c for c, _, _ in schema_mod.SEQUENCES_COLUMNS]
+    if keys is not None and spec is not SEQUENCES:
+        raise ValueError("key-range collect is defined for the sequences "
+                         "doc_id grammar only")
+    all_cols = [c.name for c in spec.columns]
     used = schema_mod.compute_used_columns(
         all_cols, columns=columns, include=include, exclude=exclude
     )
@@ -903,7 +939,7 @@ def collect(
             )
             enc = _chunk_stat_prune(enc, key_chunks)
         dec_cols = used if key_chunks is None or "doc_id" in used else ["doc_id", *used]
-        df = decode(enc, columns=dec_cols)
+        df = decode(enc, columns=dec_cols, spec=spec)
         if key_chunks is not None:
             df = df.filter(ranges.key_predicate(key_chunks, _key_num())).select(*used)
     else:
@@ -916,7 +952,7 @@ def collect(
             )
         df = raw.select(*used)
     if sort:
-        sort_keys = [c for c in (sort if isinstance(sort, list) else ["doc_id"]) if c in used]
+        sort_keys = [c for c in (sort if isinstance(sort, list) else [spec.key]) if c in used]
         if sort_keys:
             df = df.orderBy(*sort_keys)
     if hex:

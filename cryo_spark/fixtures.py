@@ -122,3 +122,51 @@ def reference_zstd_bytes(table: pa.Table, path: str) -> int:
 
     pq.write_table(table.select(["tokens", "n_tok", "source"]), path, compression="zstd")
     return os.path.getsize(path)
+
+
+# ---------------------------------------------------------------------------
+# embeddings table (TESTDATA.md shape: vec_id int64, embedding list<float32>,
+# label int32) — the second table family the engine freezes (tablespec.py)
+# ---------------------------------------------------------------------------
+
+EMBEDDINGS_SCHEMA = pa.schema(
+    [
+        pa.field("vec_id", pa.int64(), nullable=False),
+        pa.field("embedding", pa.list_(pa.float32()), nullable=False),
+        pa.field("label", pa.int32(), nullable=False),
+    ]
+)
+
+
+def generate_embeddings(n: int, dim: int = 32, seed: int = 7) -> pa.Table:
+    """Deterministic embeddings table; exercises both float codec shapes.
+
+    Every 3rd vector is quantized to 3 decimals (the ALP-friendly case);
+    the rest stay full-precision normals (the byte-plane/fbss case).
+    Finite values only, so Spark-side equality joins are exact on bits.
+    """
+    rng = np.random.default_rng(seed)
+    flat = rng.standard_normal(n * dim).astype(np.float32)
+    quant_rows = np.arange(n) % 3 == 0
+    q = np.repeat(quant_rows, dim)
+    flat[q] = np.round(flat[q] * 1000) / np.float32(1000)
+    offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa.float32())
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64) * 7 + 3),
+            "embedding": emb,
+            "label": pa.array(
+                rng.integers(0, 20, n).astype(np.int32), type=pa.int32()
+            ),
+        },
+        schema=EMBEDDINGS_SCHEMA,
+    )
+
+
+def write_embeddings(path: str, n: int, dim: int = 32, seed: int = 7) -> str:
+    pq.write_table(generate_embeddings(n, dim, seed), path,
+                   compression="snappy", row_group_size=4096)
+    return path

@@ -46,7 +46,9 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import tablespec
 from .hashing import bucket_of, hash_utf8
+from .tablespec import SEQUENCES, TableSpec
 
 DEFAULT_TARGET_TOKENS = 1 << 21  # ~2M tokens ≈ 8 MiB int32 per chunk
 BUCKETS_PER_CHUNK = 16
@@ -93,14 +95,18 @@ class ChunkPlan:
         return out
 
 
-def _source_groups(src: pa.Array):
+def _source_groups(src: pa.Array | None, n_rows: int | None = None):
     """Yield (source_value_or_None, row_mask) per distinct source.
 
     Null sources are a first-class group: dictionary indices leave nulls
     as nulls, and a naive ``to_numpy().astype(int)`` turns them into
     garbage codes that silently drop the rows from both the histogram
     and the assignment (planner and assigner must see identical groups).
+    ``src=None`` (a spec without a partition column) is one "" group.
     """
+    if src is None:
+        yield "", np.ones(n_rows, dtype=bool)
+        return
     de = src.dictionary_encode()
     n_dict = len(de.dictionary)
     codes = (
@@ -153,24 +159,21 @@ def sweep(
 _HIST_DDL = "source string, bucket int, tokens long"
 
 
-def _hist_kernel(n_buckets: int):
-    """mapInArrow kernel: per-task (source, bucket) -> sum(n_tok) bincount."""
+def _hist_kernel(n_buckets: int, spec: TableSpec = SEQUENCES):
+    """mapInArrow kernel: per-task (source, bucket) -> sum(weight) bincount."""
 
     def fn(batches):
         acc: dict[str | None, np.ndarray] = {}
         for b in batches:
             t = pa.Table.from_batches([b])
-            if t.column("doc_id").null_count:
-                raise ValueError("doc_id must be non-null (it is the key space)")
-            buckets = bucket_of(t.column("doc_id"), n_buckets)
-            n_tok = (
-                t.column("n_tok").combine_chunks()
-                .fill_null(0)  # null n_tok weighs 0 in the balance plan
-                .to_numpy(zero_copy_only=False).astype(np.float64)
+            buckets = bucket_of(tablespec.key_strings(t, spec), n_buckets)
+            n_tok = tablespec.row_weights(t, spec)  # null weight weighs 0
+            src = (
+                t.column(spec.partition_col).combine_chunks()
+                if spec.partition_col else None
             )
-            src = t.column("source").combine_chunks()
             # group rows by source (few distinct values), bincount within
-            for s, mask in _source_groups(src):
+            for s, mask in _source_groups(src, t.num_rows):
                 h = acc.setdefault(s, np.zeros(n_buckets, dtype=np.int64))
                 # weighted bincount ≈ 30x faster than np.add.at scatter;
                 # float64 weights are exact for token counts < 2^53
@@ -225,8 +228,20 @@ def _n_buckets_for(total_tokens: int, target_tokens: int) -> int:
     return min(MAX_BUCKETS, max(256, needed * BUCKETS_PER_CHUNK))
 
 
+def _weight_expr(spec: TableSpec):
+    w = spec.weight_col
+    if w is None:
+        return F.lit(1)
+    if w.is_list:
+        # ANSI size(NULL) is null, legacy is -1 — clamp both to 0
+        return F.greatest(F.coalesce(F.size(F.col(spec.weight)), F.lit(0)),
+                          F.lit(0))
+    return F.coalesce(F.col(spec.weight), F.lit(0))
+
+
 def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
-                n_chunks: int | None = None) -> ChunkPlan:
+                n_chunks: int | None = None,
+                spec: TableSpec = SEQUENCES) -> ChunkPlan:
     """Compute deterministic chunk boundaries; two driver jobs, small collects.
 
     ``n_chunks`` is the subchunk_by_count analog (reference
@@ -236,20 +251,20 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
     split is exact).
     """
     total_tokens = int(
-        df.agg(F.sum("n_tok").alias("t")).first()["t"] or 0
+        df.agg(F.sum(_weight_expr(spec)).alias("t")).first()["t"] or 0
     )
     if n_chunks is not None:
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
-    hist_df = df.select("doc_id", "n_tok", "source").mapInArrow(
-        _hist_kernel(n_buckets), _HIST_DDL
+    hist_df = df.select(*spec.plan_columns()).mapInArrow(
+        _hist_kernel(n_buckets, spec), _HIST_DDL
     )
     return _finish_plan(hist_df, n_buckets, target_tokens)
 
 
 def plan_chunks_arrow(
     spark, input_path: str, target_tokens: int = DEFAULT_TARGET_TOKENS,
-    n_chunks: int | None = None,
+    n_chunks: int | None = None, spec: TableSpec = SEQUENCES,
 ) -> ChunkPlan:
     """plan_chunks over the Arrow-native source (sources.arrow_scan).
 
@@ -258,17 +273,27 @@ def plan_chunks_arrow(
     """
     from . import sources
 
-    # EXACT token total from parquet footers (num_values of the tokens
-    # column — the statistic an Iceberg manifest carries). Replaces a
-    # whole scan job: at the 2.1B-token bench input that job was ~64
-    # serialized python dispatches of pure overhead.
-    total_tokens = max(1, sources.column_values(input_path, "tokens"))
+    # EXACT weight total from parquet footers (num_values of the payload
+    # list column = its flattened element count — the statistic an
+    # Iceberg manifest carries; num_values of the key = row count).
+    # Replaces a whole scan job: at the 2.1B-token bench input that job
+    # was ~64 serialized python dispatches of pure overhead. A scalar
+    # weight column rides the list-column statistic (the input contract
+    # pins n_tok == len(tokens)); specs with neither fall back to rows.
+    w = spec.weight_col
+    if w is not None and w.is_list:
+        stat_col = w.name
+    elif w is not None and spec.list_column:
+        stat_col = spec.list_column  # n_tok == len(tokens) input contract
+    else:
+        stat_col = spec.key  # unit weights: total == row count
+    total_tokens = max(1, sources.column_values(input_path, stat_col))
     if n_chunks is not None:
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
     hist_df = sources.arrow_scan(
-        spark, input_path, ["doc_id", "n_tok", "source"],
-        _hist_kernel(n_buckets), _HIST_DDL,
+        spark, input_path, spec.plan_columns(),
+        _hist_kernel(n_buckets, spec), _HIST_DDL,
     )
     return _finish_plan(hist_df, n_buckets, target_tokens)
 
@@ -294,7 +319,7 @@ def assign_arrays(
     pid = np.full(n, -1, dtype=np.int32)
     cid = np.zeros(n, dtype=np.int64)
     salt_hash: np.ndarray | None = None
-    for s, mask in _source_groups(source):
+    for s, mask in _source_groups(source, n):
         if s not in lut:
             raise KeyError(f"source {s!r} absent from chunk plan")
         p, base, salts, first_chunk = lut[s]

@@ -252,6 +252,47 @@ def enc_roundtrip_embeddings(spark, sf_dir):
     )
 
 
+@q(
+    "enc_freeze_embeddings",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(embedding)) AS BIGINT) AS n_values,
+           CAST(sum(label) AS BIGINT) AS label_sum,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM embeddings
+    """,
+)
+def enc_freeze_embeddings(spark, sf_dir):
+    """The embeddings table through the REAL engine path (tablespec.py).
+
+    Not a codec microbench: plan→pack→shuffle→encode→decode with
+    spec=EMBEDDINGS (int64 key, list<float32> payload, float codec
+    family), then every decoded row is joined back against the source
+    and compared — the oracle pins n_mismatch = 0, so any lossy float
+    codec, misassigned chunk, or dropped row fails the value hash.
+    """
+    from . import engine
+    from .tablespec import EMBEDDINGS
+
+    src = _t(spark, sf_dir, "embeddings")
+    enc = engine.encode(src, target_tokens=8_192, spec=EMBEDDINGS)
+    dec = engine.decode(enc, spec=EMBEDDINGS)
+    j = dec.alias("d").join(src.alias("s"), "vec_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.size("d.embedding")).cast("long").alias("n_values"),
+        F.sum("d.label").cast("long").alias("label_sum"),
+        F.sum(
+            F.when(
+                F.col("d.label").isNull() | F.col("s.label").isNull()
+                | (F.col("d.label") != F.col("s.label"))
+                | (F.col("d.embedding") != F.col("s.embedding")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================

@@ -1,0 +1,258 @@
+"""TableSpec: the engine's per-table contract (columns, key, weight).
+
+Round 1 hardcoded the BASELINE.json input shape (doc_id, tokens, n_tok,
+source) through the plan/pack/encode/decode path. A training-data lake
+holds more than one table of that family — embedding tables, label
+tables — and the reference itself is schema-driven (every dataset
+declares its columns once,
+/root/reference/crates/freeze/src/datasets/*.rs, and the engine's
+collect/freeze machinery is generic over them). TableSpec is that idea
+for this engine: one declarative description per table, consumed by
+
+- layout.plan_chunks      (which columns weigh the balance histogram)
+- engine pack kernel      (which list columns reinterpret to binary)
+- engine encode kernel    (which codec family per column)
+- engine decode kernel    (how to rebuild each column bit-identically)
+
+Supported column kinds map 1:1 onto codec families (codecs/):
+
+  str                        -> choose_str   (strdict / strfsst / strplain)
+  int32 / int64              -> choose_int   (dict / rle / for / bitpack / ...)
+  float32 / float64          -> choose_float (falp / fbss / fplain)
+  list<int32> / list<int64>  -> choose_int on flat values + choose_int lengths
+  list<float32/float64>      -> choose_float on flat values + choose_int lengths
+
+The key column may be ``str`` or ``int64``; non-string keys are cast to
+their decimal string form *only for hashing and manifest min/max* (the
+stored column keeps its native type and round-trips bit-identically).
+The cast is pyarrow's, applied identically in the planner's histogram
+kernel and the executors' pack kernel, so chunk assignment stays a pure
+function of the data at any parallelism level (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SCALAR_PA = {
+    "str": pa.string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+}
+_LIST_ITEM = {
+    "list<int32>": np.dtype("<i4"),
+    "list<int64>": np.dtype("<i8"),
+    "list<float32>": np.dtype("<f4"),
+    "list<float64>": np.dtype("<f8"),
+}
+_SPARK_TYPE = {
+    "str": "string",
+    "int32": "int",
+    "int64": "long",
+    "float32": "float",
+    "float64": "double",
+    "list<int32>": "array<int>",
+    "list<int64>": "array<long>",
+    "list<float32>": "array<float>",
+    "list<float64>": "array<double>",
+}
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    kind: str  # key of _SPARK_TYPE
+
+    def __post_init__(self):
+        if self.kind not in _SPARK_TYPE:
+            raise ValueError(f"unknown column kind {self.kind!r}")
+
+    @property
+    def is_list(self) -> bool:
+        return self.kind in _LIST_ITEM
+
+    @property
+    def item_dtype(self) -> np.dtype:
+        return _LIST_ITEM[self.kind]
+
+    @property
+    def item_size(self) -> int:
+        return _LIST_ITEM[self.kind].itemsize
+
+    @property
+    def spark_type(self) -> str:
+        return _SPARK_TYPE[self.kind]
+
+    @property
+    def pa_item_type(self) -> pa.DataType:
+        return pa.from_numpy_dtype(_LIST_ITEM[self.kind])
+
+    @property
+    def pa_type(self) -> pa.DataType:
+        if self.is_list:
+            return pa.list_(self.pa_item_type)
+        return _SCALAR_PA[self.kind]
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        """Numpy dtype of a scalar column's values (raises for lists/str)."""
+        return {
+            "int32": np.dtype("<i4"), "int64": np.dtype("<i8"),
+            "float32": np.dtype("<f4"), "float64": np.dtype("<f8"),
+        }[self.kind]
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Declarative table contract.
+
+    ``weight``: the column that weighs a row in the chunk-balance plan —
+    a scalar int column (its value), a list column (its element count),
+    or None (every row weighs 1). ``partition_col``: the string column
+    whose distinct values become top-level partitions (the reference's
+    per-source output dirs); None collapses to a single partition.
+    """
+
+    name: str
+    key: str
+    columns: tuple[ColumnSpec, ...]
+    partition_col: str | None = None
+    weight: str | None = None
+
+    def __post_init__(self):
+        by_name = {c.name: c for c in self.columns}
+        if len(by_name) != len(self.columns):
+            raise ValueError("duplicate column names")
+        key = by_name.get(self.key)
+        if key is None or key.kind not in ("str", "int64", "int32"):
+            raise ValueError("key must be an existing str/int column")
+        if self.partition_col is not None and (
+            self.partition_col not in by_name
+            or by_name[self.partition_col].kind != "str"
+        ):
+            raise ValueError("partition_col must be an existing str column")
+        if self.weight is not None and (
+            self.weight not in by_name
+            or (by_name[self.weight].kind not in ("int32", "int64")
+                and not by_name[self.weight].is_list)
+        ):
+            raise ValueError("weight must be an int or list column")
+
+    def col(self, name: str) -> ColumnSpec:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    @property
+    def key_col(self) -> ColumnSpec:
+        return self.col(self.key)
+
+    @property
+    def list_column(self) -> str | None:
+        """First list column — the payload whose value count the manifest
+        reports as ``tokens`` (FreezeSummary's row-count analog)."""
+        for c in self.columns:
+            if c.is_list:
+                return c.name
+        return None
+
+    @property
+    def weight_col(self) -> ColumnSpec | None:
+        return None if self.weight is None else self.col(self.weight)
+
+    def spark_ddl(self, names: list[str] | None = None) -> str:
+        cols = self.columns if names is None else [self.col(n) for n in names]
+        return ", ".join(f"{c.name} {c.spark_type}" for c in cols)
+
+    def packed_ddl(self) -> str:
+        """Schema of the pre-shuffle packed rows: list columns become
+        binary (engine pack kernel), scalars pass through."""
+        parts = [
+            f"{c.name} binary" if c.is_list else f"{c.name} {c.spark_type}"
+            for c in self.columns
+        ]
+        parts += ["partition_id int", "chunk_id int", "shuffle_key int"]
+        return ", ".join(parts)
+
+    def packed_pa_schema(self) -> pa.schema:
+        fields = [
+            (c.name, pa.binary() if c.is_list else _SCALAR_PA[c.kind])
+            for c in self.columns
+        ]
+        fields += [("partition_id", pa.int32()), ("chunk_id", pa.int32()),
+                   ("shuffle_key", pa.int32())]
+        return pa.schema(fields)
+
+    def plan_columns(self) -> list[str]:
+        """Columns the balance-histogram scan needs (column-pruned)."""
+        cols = [self.key]
+        if self.weight is not None and self.weight not in cols:
+            cols.append(self.weight)
+        if self.partition_col is not None and self.partition_col not in cols:
+            cols.append(self.partition_col)
+        return cols
+
+
+def key_strings(t: pa.Table, spec: TableSpec) -> pa.Array:
+    """The key column as a string array (identity for str keys).
+
+    Used for bucket hashing and manifest min/max only — the stored key
+    keeps its native type. Raises on null keys (the key IS the space)."""
+    arr = t.column(spec.key).combine_chunks()
+    if arr.null_count:
+        raise ValueError(f"{spec.key} must be non-null (it is the key space)")
+    if spec.key_col.kind != "str":
+        arr = pc.cast(arr, pa.string())
+    return arr
+
+
+def row_weights(t: pa.Table, spec: TableSpec) -> np.ndarray:
+    """Per-row planning weight as float64 (exact below 2^53)."""
+    n = t.num_rows
+    c = spec.weight_col
+    if c is None:
+        return np.ones(n, dtype=np.float64)
+    arr = t.column(spec.weight).combine_chunks()
+    if c.is_list:
+        off = arr.offset
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[off : off + n + 1]
+        w = np.diff(offsets).astype(np.float64)
+        if arr.null_count:
+            w *= arr.is_valid().to_numpy(zero_copy_only=False)
+        return w
+    return (
+        arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+
+
+SEQUENCES = TableSpec(
+    name="sequences",
+    key="doc_id",
+    columns=(
+        ColumnSpec("doc_id", "str"),
+        ColumnSpec("tokens", "list<int32>"),
+        ColumnSpec("n_tok", "int32"),
+        ColumnSpec("source", "str"),
+    ),
+    partition_col="source",
+    weight="n_tok",
+)
+
+EMBEDDINGS = TableSpec(
+    name="embeddings",
+    key="vec_id",
+    columns=(
+        ColumnSpec("vec_id", "int64"),
+        ColumnSpec("embedding", "list<float32>"),
+        ColumnSpec("label", "int32"),
+    ),
+    partition_col=None,
+    weight="embedding",
+)

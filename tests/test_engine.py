@@ -347,7 +347,7 @@ def test_null_token_elements_rejected(spark, tmp_path):
     })
     inp = str(tmp_path / "nullel.parquet")
     pq.write_table(t, inp)
-    with pytest.raises(Exception, match="null token elements"):
+    with pytest.raises(Exception, match="null tokens elements"):
         engine.freeze(spark, inp, str(tmp_path / "nullel_out"),
                       target_tokens=50)
 

@@ -1,0 +1,171 @@
+"""TableSpec-driven engine: a second table family through the real path.
+
+The reference is schema-driven — every dataset declares its columns once
+and collect/freeze are generic over them
+(/root/reference/crates/freeze/src/datasets/*.rs). These tests prove the
+same property here: the EMBEDDINGS spec (int64 key, list<float32>
+payload, no partition column) runs the identical plan→pack→shuffle→
+encode→manifest→decode pipeline as the default sequences spec, with the
+float codec family picked per chunk and the round trip bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark import engine, layout
+from cryo_spark.fixtures import generate_embeddings, write_embeddings
+from cryo_spark.tablespec import EMBEDDINGS, SEQUENCES, ColumnSpec, TableSpec
+
+N = 4_000
+DIM = 32
+TARGET = 16_000  # flat float elements per chunk -> ~8 chunks
+
+
+@pytest.fixture(scope="module")
+def embeddings_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("emb") / "embeddings.parquet")
+    return write_embeddings(path, n=N, dim=DIM)
+
+
+def test_embeddings_freeze_roundtrip(spark, embeddings_path, tmp_path):
+    out = str(tmp_path / "emb_out")
+    s = engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                      spec=EMBEDDINGS)
+    assert s["n_encoded"] >= 5
+    assert s["n_failed"] == 0
+    assert s["tokens"] == N * DIM  # flat element count rides `tokens`
+    enc = engine.read_encoded(spark, out)
+    dec = engine.decode(enc, spec=EMBEDDINGS)
+    src = spark.read.parquet(embeddings_path)
+    assert dec.count() == N
+    bad = (
+        dec.alias("d").join(src.alias("s"), "vec_id", "full_outer")
+        .filter(
+            F.col("d.label").isNull() | F.col("s.label").isNull()
+            | (F.col("d.label") != F.col("s.label"))
+            | (F.col("d.embedding") != F.col("s.embedding"))
+        ).count()
+    )
+    assert bad == 0
+
+
+def test_embeddings_codec_lineage(spark, embeddings_path, tmp_path):
+    """Manifest lineage: float codecs on embedding, int codecs elsewhere."""
+    out = str(tmp_path / "emb_lineage")
+    engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                  spec=EMBEDDINGS)
+    man = spark.read.parquet(f"{out}/manifest")
+    rows = man.select("column", "codec_id").collect()
+    by_col: dict[str, set[str]] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], set()).add(r["codec_id"])
+    assert set(by_col) == {"vec_id", "embedding", "label"}
+    for cid in by_col["embedding"]:
+        base = cid.split("|")[0].split("+")[0]
+        assert base in ("falp", "fbss", "fplain"), cid
+    for cid in by_col["vec_id"] | by_col["label"]:
+        base = cid.split("+")[0]
+        assert base in ("plain", "bitpack", "for", "delta", "rle", "dict",
+                        "dictf"), cid
+
+
+def test_embeddings_size_beats_parquet_zstd(spark, embeddings_path, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "emb_size")
+    engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                  spec=EMBEDDINGS)
+    man = spark.read.parquet(f"{out}/manifest")
+    ours = man.agg(F.sum("enc_bytes")).first()[0]
+    ref_path = str(tmp_path / "ref_zstd.parquet")
+    pq.write_table(generate_embeddings(N, DIM), ref_path, compression="zstd")
+    ref = os.path.getsize(ref_path)
+    assert ours <= ref * 1.02, f"ours={ours} > parquet+zstd={ref}"
+
+
+def test_embeddings_nulls_roundtrip(spark):
+    """Null list rows and null scalars survive the round trip as nulls."""
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[1.5, 2.5], None, [], [0.25]],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([7, None, 9, None], pa.int32()),
+    })
+    df = spark.createDataFrame(t.to_pandas(), EMBEDDINGS.spark_ddl())
+    enc = engine.encode(df, target_tokens=100, spec=EMBEDDINGS)
+    dec = engine.decode(enc, spec=EMBEDDINGS).orderBy("vec_id").collect()
+    assert [r["vec_id"] for r in dec] == [1, 2, 3, 4]
+    assert dec[1]["embedding"] is None          # null list != empty list
+    assert dec[2]["embedding"] == []
+    assert dec[0]["embedding"] == [1.5, 2.5]
+    assert [r["label"] for r in dec] == [7, None, 9, None]
+
+
+def test_decode_column_pruning(spark, embeddings_path, tmp_path):
+    out = str(tmp_path / "emb_prune")
+    engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                  spec=EMBEDDINGS)
+    enc = engine.read_encoded(spark, out)
+    dec = engine.decode(enc, columns=["vec_id", "label"], spec=EMBEDDINGS)
+    assert [f.name for f in dec.schema.fields] == ["vec_id", "label"]
+    assert dec.count() == N
+
+
+def test_plan_determinism_no_partition_col(spark, embeddings_path):
+    """A spec without partition_col plans one source group, deterministically
+    across input parallelism (the parallelism-invariance contract)."""
+    df = spark.read.parquet(embeddings_path)
+    p1 = layout.plan_chunks(df, TARGET, spec=EMBEDDINGS)
+    p2 = layout.plan_chunks(df.repartition(13), TARGET, spec=EMBEDDINGS)
+    assert p1.mapping == p2.mapping
+    assert p1.n_chunks == p2.n_chunks
+    assert {m[0] for m in p1.mapping} == {""}
+
+
+def test_unit_weight_spec(spark):
+    """weight=None weighs every row 1: total == row count drives chunking."""
+    spec = TableSpec(
+        name="flat", key="k",
+        columns=(ColumnSpec("k", "str"), ColumnSpec("v", "int64")),
+    )
+    import pandas as pd
+
+    n = 3_000
+    pdf = pd.DataFrame({
+        "k": [f"k-{i:07d}" for i in range(n)],
+        "v": np.arange(n, dtype=np.int64) * 1_000_003,
+    })
+    df = spark.createDataFrame(pdf, spec.spark_ddl())
+    plan = layout.plan_chunks(df, target_tokens=500, spec=spec)
+    assert plan.n_chunks >= 4
+    enc = engine.encode(df, plan=plan, spec=spec)
+    dec = engine.decode(enc, spec=spec)
+    assert dec.count() == n
+    bad = (
+        dec.alias("d").join(df.alias("s"), "k", "full_outer")
+        .filter((F.col("d.v") != F.col("s.v"))
+                | F.col("d.v").isNull() | F.col("s.v").isNull())
+        .count()
+    )
+    assert bad == 0
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="unknown column kind"):
+        ColumnSpec("x", "decimal")
+    cols = (ColumnSpec("k", "str"), ColumnSpec("v", "float64"))
+    with pytest.raises(ValueError, match="key must be"):
+        TableSpec(name="t", key="missing", columns=cols)
+    with pytest.raises(ValueError, match="partition_col"):
+        TableSpec(name="t", key="k", columns=cols, partition_col="v")
+    with pytest.raises(ValueError, match="weight"):
+        TableSpec(name="t", key="k", columns=cols, weight="v")
+    assert SEQUENCES.list_column == "tokens"
+    assert EMBEDDINGS.list_column == "embedding"
+    assert SEQUENCES.packed_ddl().startswith("doc_id string, tokens binary")
