@@ -39,6 +39,9 @@ def main(argv: list[str] | None = None) -> int:
     fz = sub.add_parser("freeze", help="encode with manifest + resume")
     fz.add_argument("--input", required=True)
     fz.add_argument("--output", required=True)
+    fz.add_argument("--table", default="sequences",
+                    help="table spec name (tablespec.SPECS: "
+                         "sequences|embeddings)")
     fz.add_argument("--target-tokens", type=int, default=2 << 20)
     fz.add_argument("--keys", default=None,
                     help="key-range spec (reference block grammar: a:b, a:+n, "
@@ -58,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
+    co.add_argument("--table", default="sequences",
+                    help="table spec name (tablespec.SPECS)")
     co.add_argument("--columns", default=None, help="comma list or 'all'")
     co.add_argument("--keys", default=None, help="key-range spec (see freeze --keys)")
     co.add_argument("--include-columns", default=None)
@@ -88,7 +93,11 @@ def main(argv: list[str] | None = None) -> int:
                        "command": [a for a in argv if a != "--remember"]}, f)
 
     from cryo_spark.session import get_spark
+    from cryo_spark.tablespec import SPECS
 
+    spec = SPECS.get(getattr(args, "table", "sequences"))
+    if spec is None:
+        ap.error(f"unknown --table {args.table!r}; choose from {sorted(SPECS)}")
     spark = get_spark(app=f"cryo_spark_{args.cmd}", master=args.master)
     try:
         if args.cmd == "freeze":
@@ -100,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite, dry_run=args.dry_run,
                 keys=args.keys, n_chunks=args.n_chunks,
                 partition_by=_split(args.partition_by),
+                spec=spec,
             )
             print(json.dumps(summary))
             return 0
@@ -112,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             include=_split(args.include_columns),
             exclude=_split(args.exclude_columns),
             sort=args.sort, hex=args.hex, keys=args.keys,
+            spec=spec,
         )
         if args.format:
             if not args.output:

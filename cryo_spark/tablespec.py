@@ -256,3 +256,8 @@ EMBEDDINGS = TableSpec(
     partition_col=None,
     weight="embedding",
 )
+
+# Named registry for CLI/job surfaces (`--table sequences|embeddings`) —
+# the analog of the reference's dataset-name lookup
+# (/root/reference/crates/freeze/src/datasets/mod.rs).
+SPECS: dict[str, TableSpec] = {s.name: s for s in (SEQUENCES, EMBEDDINGS)}

@@ -29,6 +29,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="sequences parquet path")
     ap.add_argument("--output", required=True, help="output dir (encoded/ manifest/ report/)")
+    ap.add_argument("--table", default="sequences",
+                    help="table spec name (tablespec.SPECS: sequences|embeddings)")
     ap.add_argument("--target-tokens", type=int, default=2 << 20)
     ap.add_argument("--overwrite", action="store_true")
     ap.add_argument("--dry-run", action="store_true")
@@ -62,6 +64,7 @@ def main() -> None:
             os.path.abspath(__file__))))
         import cryo_spark
     from cryo_spark.session import ship_package
+    from cryo_spark.tablespec import SPECS
 
     ship_package(spark)
     summary = cryo_spark.freeze(
@@ -73,11 +76,13 @@ def main() -> None:
         n_chunks=args.n_chunks,
         partition_by=[c.strip() for c in args.partition_by.split(",")]
         if args.partition_by else None,
+        spec=SPECS[args.table],
     )
     if args.decode_verify and not args.dry_run:
         from cryo_spark import engine
 
-        n = cryo_spark.decode(engine.read_encoded(spark, args.output)).count()
+        n = cryo_spark.decode(engine.read_encoded(spark, args.output),
+                              spec=SPECS[args.table]).count()
         summary["decoded_rows"] = n
     print(json.dumps(summary))
     spark.stop()
