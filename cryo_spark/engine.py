@@ -671,10 +671,12 @@ def freeze(
                                  envelope=F.col("doc_id"), fmt=KEY_FMT)
         )
     use_arrow = key_df is None and sources.supports(input_path)
-    if use_arrow:
+    if use_arrow and spec.footer_stat_col is not None:
         plan = layout.plan_chunks_arrow(spark, input_path, target_tokens,
                                         n_chunks=n_chunks, spec=spec)
     else:
+        # scalar-weight specs have no exact footer sum statistic: plan
+        # via the scan path (the encode stage still uses the arrow scan)
         plan = layout.plan_chunks(
             key_df if key_df is not None else spark.read.parquet(input_path),
             target_tokens, n_chunks=n_chunks, spec=spec)

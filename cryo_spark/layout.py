@@ -277,16 +277,15 @@ def plan_chunks_arrow(
     # list column = its flattened element count — the statistic an
     # Iceberg manifest carries; num_values of the key = row count).
     # Replaces a whole scan job: at the 2.1B-token bench input that job
-    # was ~64 serialized python dispatches of pure overhead. A scalar
-    # weight column rides the list-column statistic (the input contract
-    # pins n_tok == len(tokens)); specs with neither fall back to rows.
-    w = spec.weight_col
-    if w is not None and w.is_list:
-        stat_col = w.name
-    elif w is not None and spec.list_column:
-        stat_col = spec.list_column  # n_tok == len(tokens) input contract
-    else:
-        stat_col = spec.key  # unit weights: total == row count
+    # was ~64 serialized python dispatches of pure overhead. Specs whose
+    # weight has no exact footer statistic (scalar weight, no list
+    # contract) must plan via plan_chunks instead.
+    stat_col = spec.footer_stat_col
+    if stat_col is None:
+        raise ValueError(
+            f"spec {spec.name!r} has no footer weight statistic; "
+            "use plan_chunks (scan-based planning)"
+        )
     total_tokens = max(1, sources.column_values(input_path, stat_col))
     if n_chunks is not None:
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))

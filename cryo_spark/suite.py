@@ -253,6 +253,49 @@ def enc_roundtrip_embeddings(spark, sf_dir):
 
 
 @q(
+    "enc_freeze_documents",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM documents
+    """,
+)
+def enc_freeze_documents(spark, sf_dir):
+    """The documents table through the REAL engine path (tablespec.py).
+
+    Third table family: int64 key, two free-text string columns (the
+    FSST/strdict codec path under real prose), scalar-int weight with
+    no footer statistic (exercises the scan-based planner). Every
+    decoded row joins back against the source; the oracle pins
+    n_mismatch = 0.
+    """
+    from . import engine
+    from .tablespec import DOCUMENTS
+
+    src = _t(spark, sf_dir, "documents")
+    enc = engine.encode(src, target_tokens=30_000, spec=DOCUMENTS)
+    dec = engine.decode(enc, spec=DOCUMENTS)
+    j = dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("d.n_chars").cast("long").alias("chars_sum"),
+        F.countDistinct("d.source").cast("long").alias("n_sources"),
+        F.sum(
+            F.when(
+                F.col("d.text").isNull() | F.col("s.text").isNull()
+                | (F.col("d.text") != F.col("s.text"))
+                | (F.col("d.lang") != F.col("s.lang"))
+                | (F.col("d.source") != F.col("s.source"))
+                | (F.col("d.n_chars") != F.col("s.n_chars")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
+@q(
     "enc_freeze_embeddings",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

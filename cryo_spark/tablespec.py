@@ -167,6 +167,23 @@ class TableSpec:
     def weight_col(self) -> ColumnSpec | None:
         return None if self.weight is None else self.col(self.weight)
 
+    @property
+    def footer_stat_col(self) -> str | None:
+        """Column whose parquet-footer num_values equals the total plan
+        weight EXACTLY (the statistic an Iceberg manifest carries):
+        a list weight's flattened element count, the payload list column
+        a scalar weight is pinned to (the input contract n_tok ==
+        len(tokens)), or the key for unit weights (row count). None
+        means no footer statistic matches — planning must scan."""
+        w = self.weight_col
+        if w is None:
+            return self.key
+        if w.is_list:
+            return w.name
+        if self.list_column:
+            return self.list_column
+        return None
+
     def spark_ddl(self, names: list[str] | None = None) -> str:
         cols = self.columns if names is None else [self.col(n) for n in names]
         return ", ".join(f"{c.name} {c.spark_type}" for c in cols)
@@ -257,7 +274,23 @@ EMBEDDINGS = TableSpec(
     weight="embedding",
 )
 
-# Named registry for CLI/job surfaces (`--table sequences|embeddings`) —
-# the analog of the reference's dataset-name lookup
+DOCUMENTS = TableSpec(
+    name="documents",
+    key="doc_id",
+    columns=(
+        ColumnSpec("doc_id", "int64"),
+        ColumnSpec("text", "str"),
+        ColumnSpec("lang", "str"),
+        ColumnSpec("source", "str"),
+        ColumnSpec("n_chars", "int64"),
+    ),
+    partition_col="source",
+    weight="n_chars",
+)
+
+# Named registry for CLI/job surfaces (`--table sequences|embeddings|...`)
+# — the analog of the reference's dataset-name lookup
 # (/root/reference/crates/freeze/src/datasets/mod.rs).
-SPECS: dict[str, TableSpec] = {s.name: s for s in (SEQUENCES, EMBEDDINGS)}
+SPECS: dict[str, TableSpec] = {
+    s.name: s for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS)
+}

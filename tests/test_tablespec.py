@@ -156,6 +156,47 @@ def test_unit_weight_spec(spark):
     assert bad == 0
 
 
+def test_documents_freeze_roundtrip(spark, tmp_path):
+    """String-payload table (scalar weight, no footer statistic): freeze
+    plans via the scan path and round-trips text bit-identical."""
+    import pyarrow.parquet as pq
+
+    from cryo_spark.tablespec import DOCUMENTS
+
+    n = 2_000
+    rng = np.random.default_rng(11)
+    words = ["the", "quick", "brown", "fox", "jumps", "ünïcödé", "数据", ""]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, len(words), rng.integers(1, 40)))
+        for _ in range(n)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array([("en", "de", "zh")[i % 3] for i in range(n)]),
+        "source": pa.array([("web", "books")[i % 2] for i in range(n)]),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    inp = str(tmp_path / "docs.parquet")
+    pq.write_table(t, inp, row_group_size=512)
+    out = str(tmp_path / "docs_out")
+    s = engine.freeze(spark, inp, out, target_tokens=20_000, spec=DOCUMENTS)
+    assert s["n_failed"] == 0 and s["n_encoded"] >= 2
+    dec = engine.decode(engine.read_encoded(spark, out), spec=DOCUMENTS)
+    src = spark.read.parquet(inp)
+    assert dec.count() == n
+    bad = (
+        dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
+        .filter(
+            F.col("d.text").isNull() | F.col("s.text").isNull()
+            | (F.col("d.text") != F.col("s.text"))
+            | (F.col("d.lang") != F.col("s.lang"))
+            | (F.col("d.n_chars") != F.col("s.n_chars"))
+        ).count()
+    )
+    assert bad == 0
+
+
 def test_spec_validation():
     with pytest.raises(ValueError, match="unknown column kind"):
         ColumnSpec("x", "decimal")
