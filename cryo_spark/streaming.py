@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from . import engine, layout
+from .tablespec import SEQUENCES, TableSpec
 
 BATCH_STRIDE = 1 << 20  # max chunks per micro-batch before ids would collide
 
@@ -28,25 +29,31 @@ def stream_encode(
     output_dir: str,
     checkpoint_dir: str,
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
-    schema: str = engine.SEQUENCES_DDL,
+    schema: str | None = None,
+    spec: TableSpec = SEQUENCES,
 ):
-    """Start a file-source stream that encodes new sequence files as they land.
+    """Start a file-source stream that encodes new files as they land.
 
     Returns the StreamingQuery; callers drive it with
     ``processAllAvailable()`` (tests) or leave it running (production).
+    ``schema`` defaults to the spec's DDL (override only to widen the
+    reader, e.g. extra ignored columns).
     """
+    if schema is None:
+        schema = spec.spark_ddl()
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        plan = layout.plan_chunks(batch_df, target_tokens)
+        plan = layout.plan_chunks(batch_df, target_tokens, spec=spec)
         if plan.n_chunks >= BATCH_STRIDE:
             raise ValueError(
                 f"micro-batch needs {plan.n_chunks} chunks >= stride {BATCH_STRIDE}; "
                 "raise BATCH_STRIDE or target_tokens"
             )
         base = batch_id * BATCH_STRIDE
-        enc = engine._grouped_encode(batch_df, plan, chunk_id_offset=base)
+        enc = engine._grouped_encode(batch_df, plan, chunk_id_offset=base,
+                                     spec=spec)
         run_id = f"stream{batch_id:08d}"
         enc_dir = f"{output_dir}/encoded/run={run_id}"
         enc.write.mode("overwrite") \

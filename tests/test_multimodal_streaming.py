@@ -87,3 +87,39 @@ def test_stream_encode_incremental(spark, tmp_path):
     q = streaming.stream_encode(spark, str(inp), out, ckpt, target_tokens=50_000)
     q.awaitTermination(120)
     assert spark.read.parquet(f"{out}/manifest").select("run").distinct().count() == 2
+
+
+def test_stream_encode_embeddings_spec(spark, tmp_path):
+    """stream_encode is spec-driven: the embeddings family streams through
+    the same kernels and decodes bit-identical."""
+    from pyspark.sql import functions as F
+
+    from cryo_spark.fixtures import write_embeddings
+    from cryo_spark.tablespec import EMBEDDINGS
+
+    inp = tmp_path / "emb_in"
+    inp.mkdir()
+    out = str(tmp_path / "emb_out")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    write_embeddings(str(inp / "a.parquet"), n=600, dim=16, seed=1)
+    q = streaming.stream_encode(spark, str(inp), out, ckpt,
+                                target_tokens=3_000, spec=EMBEDDINGS)
+    q.awaitTermination(120)
+    write_embeddings(str(inp / "b.parquet"), n=400, dim=16, seed=2)
+    q = streaming.stream_encode(spark, str(inp), out, ckpt,
+                                target_tokens=3_000, spec=EMBEDDINGS)
+    q.awaitTermination(120)
+
+    dec = engine.decode(engine.read_encoded(spark, out), spec=EMBEDDINGS)
+    src = spark.read.parquet(str(inp))
+    # seeds 1 and 2 share vec_id ranges; compare multiset equality via
+    # (vec_id, label, embedding) group counts
+    key = ["vec_id", "label", "embedding"]
+    d = dec.groupBy(*key).count().alias("d")
+    s = src.groupBy(*key).count().alias("s")
+    assert dec.count() == 1000
+    assert d.join(s, key, "full_outer").filter(
+        (F.col("d.count").isNull()) | (F.col("s.count").isNull())
+        | (F.col("d.count") != F.col("s.count"))
+    ).count() == 0
