@@ -270,11 +270,18 @@ def main() -> None:
     if out_dir and os.path.exists(out_dir):
         t0 = time.perf_counter()
         try:
-            dec = engine.decode(engine.read_encoded(spark, out_dir))
-            dec.count()
+            # shuffle-free file-granular decode (engine.decode_frozen);
+            # the relational decode is timed alongside for the delta
+            engine.decode_frozen(spark, out_dir).count()
             queries["decode_full"] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
             errors["decode_full"] = f"{type(e).__name__}: {e}"[:300]
+        t0 = time.perf_counter()
+        try:
+            engine.decode(engine.read_encoded(spark, out_dir)).count()
+            queries["decode_full_shuffle"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors["decode_full_shuffle"] = f"{type(e).__name__}: {e}"[:300]
         shutil.rmtree(out_dir, ignore_errors=True)
     for name in QUERY_SUBSET:
         fn = suite.QUERIES[name]

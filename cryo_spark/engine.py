@@ -551,6 +551,106 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None,
     )
 
 
+def _decode_files_kernel(columns: list[str], spec: TableSpec):
+    """Per-FILE decode kernel for the shuffle-free path (arrow_scan_files
+    invokes it once per whole encoded file, so every chunk's rows are
+    present). Failed chunk rows are dropped here — a failed chunk's only
+    trace is its error manifest row, and resume re-encodes it under a
+    later run (its own files)."""
+
+    def fn(batches):
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.filter(pc.equal(tbl.column("status"), "ok"))
+        if tbl.num_rows == 0:
+            return
+        cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(cid, kind="stable")
+        sorted_cid = cid[order]
+        bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cid)]))
+        tbl = tbl.take(pa.array(order)).combine_chunks()
+        for s, e in zip(starts, ends):
+            yield from _decode_chunk(
+                tbl.slice(s, int(e - s)), columns, spec
+            ).to_batches()
+
+    return fn
+
+
+def decode_frozen(spark: SparkSession, output_dir: str,
+                  columns: list[str] | None = None,
+                  spec: TableSpec = SEQUENCES) -> DataFrame:
+    """Shuffle-free decode of a frozen output dir.
+
+    The encode stage co-locates every chunk's rows inside one encoded
+    file (one reduce task writes whole chunks), so the relational
+    decode's repartition moves every payload byte through an exchange
+    for nothing. Here the scan tasks read whole encoded files with
+    pyarrow and decode chunk groups in place — zero payload exchanges,
+    which at the 10^12-sequence scale is the difference between a read
+    and a full extra shuffle of the compressed table.
+
+    The orphan-invisibility contract of :func:`read_encoded` is kept at
+    run granularity: only encoded ``run=`` dirs whose manifest run dir
+    carries a commit marker (``_SUCCESS``, written atomically after the
+    run's encoded files) are read; a manifest run dir WITHOUT a marker
+    means mid-commit death, where only the relational semi-join can
+    tell committed chunks apart — that case (and the ``partition_by``
+    nested layout) falls back to ``decode(read_encoded(...))``.
+    """
+    import os
+
+    from . import schema as schema_mod
+
+    all_cols = [c.name for c in spec.columns]
+    cols = all_cols if columns is None else schema_mod.compute_used_columns(
+        all_cols, columns=columns
+    )
+    enc_base = _encoded_path(output_dir)
+    man_base = _manifest_path(output_dir)
+
+    def run_dirs(base: str) -> set[str]:
+        if not os.path.isdir(base):
+            return set()
+        return {d for d in os.listdir(base) if d.startswith("run=")}
+
+    if not os.path.isdir(enc_base) or "://" in output_dir:
+        if "://" in output_dir:  # non-local store: relational path only
+            return decode(read_encoded(spark, output_dir), cols, spec)
+        return spark.createDataFrame([], spec.spark_ddl(cols))
+    man_runs = run_dirs(man_base)
+    root_success = os.path.exists(os.path.join(man_base, "_SUCCESS"))
+    committed = {
+        r for r in man_runs
+        if root_success or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
+    }
+    if man_runs - committed:
+        return decode(read_encoded(spark, output_dir), cols, spec)
+    files: list[str] = []
+    for r in sorted(run_dirs(enc_base) & committed):
+        d = os.path.join(enc_base, r)
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if f.endswith(".parquet"):
+                files.append(p)
+            elif os.path.isdir(p):
+                # partition_by nested layout: fall back
+                return decode(read_encoded(spark, output_dir), cols, spec)
+    if not files:
+        return spark.createDataFrame([], spec.spark_ddl(cols))
+    from . import sources
+
+    return sources.arrow_scan_files(
+        spark, files,
+        ["chunk_id", "column", "n_rows", "status", "payload"],
+        _decode_files_kernel(cols, spec),
+        spec.spark_ddl(cols),
+    )
+
+
 # ---------------------------------------------------------------------------
 # freeze: full job with manifest + resume (cryo.freeze analog)
 # ---------------------------------------------------------------------------
@@ -930,20 +1030,27 @@ def collect(
     elif isinstance(source, DataFrame):
         df = source.select(*used)
     elif read_manifest(spark, source) is not None:
-        enc = read_encoded(spark, source)
-        if keys is not None:
-            man = read_manifest(spark, source)
-            key_chunks = _parse_keys(
-                keys,
-                lambda: man.agg(
-                    F.max(F.substring("max_doc_id", len("doc-") + 1, 12).cast("long"))
-                ).first()[0],
-            )
-            enc = _chunk_stat_prune(enc, key_chunks)
-        dec_cols = used if key_chunks is None or "doc_id" in used else ["doc_id", *used]
-        df = decode(enc, columns=dec_cols, spec=spec)
-        if key_chunks is not None:
-            df = df.filter(ranges.key_predicate(key_chunks, _key_num())).select(*used)
+        if keys is None and (spec.list_column is None or spec.list_column in used):
+            # shuffle-free read: the payload column dominates the bytes,
+            # so when it is requested the file-granular decode wins; a
+            # payload-pruned projection keeps the relational path where
+            # the column filter drops those bytes before the exchange
+            df = decode_frozen(spark, source, columns=used, spec=spec)
+        else:
+            enc = read_encoded(spark, source)
+            if keys is not None:
+                man = read_manifest(spark, source)
+                key_chunks = _parse_keys(
+                    keys,
+                    lambda: man.agg(
+                        F.max(F.substring("max_doc_id", len("doc-") + 1, 12).cast("long"))
+                    ).first()[0],
+                )
+                enc = _chunk_stat_prune(enc, key_chunks)
+            dec_cols = used if key_chunks is None or "doc_id" in used else ["doc_id", *used]
+            df = decode(enc, columns=dec_cols, spec=spec)
+            if key_chunks is not None:
+                df = df.filter(ranges.key_predicate(key_chunks, _key_num())).select(*used)
     else:
         raw = spark.read.parquet(source)
         if keys is not None:

@@ -183,6 +183,10 @@ def arrow_scan(
     n_desired = max(1, -(-total // target_bytes))
     n_tasks = -(-n_desired // par) * par  # round up to full waves
     tasks = pack_tasks(meta, max(1, -(-total // n_tasks)))
+    return _run_tasks(spark, tasks, columns, kernel, out_ddl)
+
+
+def _run_tasks(spark, tasks, columns, kernel, out_ddl) -> DataFrame:
     tdf = spark.createDataFrame(
         [(list(p), list(s), list(c)) for p, s, c in tasks],
         "paths array<string>, rg_starts array<int>, rg_counts array<int>",
@@ -203,3 +207,52 @@ def arrow_scan(
                     yield from kernel(t.to_batches())
 
     return tdf.mapInArrow(read_tasks, out_ddl)
+
+
+def arrow_scan_files(
+    spark: SparkSession,
+    files: list[str],
+    columns: list[str],
+    kernel,
+    out_ddl: str,
+    target_bytes: int = DEFAULT_TASK_BYTES,
+) -> DataFrame:
+    """Arrow scan over an explicit file list with FILE-granular splits.
+
+    Unlike :func:`arrow_scan`, a file is never divided across tasks and
+    the kernel is invoked once per whole file — the contract the
+    shuffle-free decode relies on (an encoded chunk's rows never span
+    files, but do span row groups). Multiple small files still pack
+    into one task; the kernel runs per file within it.
+    """
+    want = set(columns)
+    metas = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        nbytes = sum(
+            g.column(c).total_uncompressed_size
+            for rg in range(md.num_row_groups)
+            for g in [md.row_group(rg)]
+            for c in range(g.num_columns)
+            if g.column(c).path_in_schema.split(".")[0] in want
+        )
+        metas.append((path, nbytes, md.num_row_groups))
+    par = max(1, spark.sparkContext.defaultParallelism)
+    total = sum(m[1] for m in metas)
+    n_desired = max(1, -(-total // target_bytes))
+    n_tasks = min(len(files), -(-n_desired // par) * par)  # full waves
+    per_task = max(1, -(-total // max(1, n_tasks)))
+    tasks: list[tuple[list[str], list[int], list[int]]] = []
+    cur: tuple[list[str], list[int], list[int]] = ([], [], [])
+    acc = 0
+    for path, nbytes, n_rg in metas:
+        cur[0].append(path)
+        cur[1].append(0)
+        cur[2].append(n_rg)
+        acc += nbytes
+        if acc >= per_task:
+            tasks.append(cur)
+            cur, acc = ([], [], []), 0
+    if cur[0]:
+        tasks.append(cur)
+    return _run_tasks(spark, tasks, columns, kernel, out_ddl)
