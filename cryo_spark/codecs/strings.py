@@ -25,7 +25,14 @@ def _as_arrow(values) -> pa.Array:
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
-        arr = values.cast(pa.string()) if values.type != pa.string() else values
+        # binary arrays share the string layout (offsets + data buffer)
+        # and every kernel here reads only those buffers — accept them
+        # natively so opaque payloads (media bytes) reuse the codecs;
+        # decoders still emit StringArray, the engine re-types zero-copy
+        if values.type in (pa.string(), pa.binary()):
+            arr = values
+        else:
+            arr = values.cast(pa.string())
     else:
         arr = pa.array(values, type=pa.string())
     if arr.null_count:

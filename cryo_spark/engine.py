@@ -324,8 +324,12 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
                 int(flat.nbytes + 4 * n_rows),
                 (time.perf_counter() - t0) * 1000,
             )
-        elif c.kind == "str":
-            ch = choose_str(arr.fill_null("") if arr.null_count else arr)
+        elif c.kind in ("str", "binary"):
+            if arr.null_count:
+                arr_nn = arr.fill_null(b"" if c.kind == "binary" else "")
+            else:
+                arr_nn = arr
+            ch = choose_str(arr_nn)
             raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
             emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
                  raw, (time.perf_counter() - t0) * 1000)
@@ -373,11 +377,19 @@ def _decode_chunk(t: pa.Table, columns: list[str],
                 pa.array(offsets, mask=mask),
                 pa.array(flat, type=c.pa_item_type),
             )
-        elif c.kind == "str":
+        elif c.kind in ("str", "binary"):
             arr = decode_any(bytes(buf))
+            if c.kind == "binary":
+                # string codecs decode to StringArray; re-type the same
+                # offsets/data buffers as binary (zero-copy, no UTF-8
+                # claim on opaque payload bytes)
+                arr = pa.Array.from_buffers(
+                    pa.binary(), len(arr),
+                    [None, arr.buffers()[1], arr.buffers()[2]],
+                )
             if valid is not None:
                 arr = pc.if_else(
-                    pa.array(valid), arr, pa.scalar(None, pa.string())
+                    pa.array(valid), arr, pa.scalar(None, c.pa_type)
                 )
             out[name] = arr
         else:

@@ -17,6 +17,8 @@ for this engine: one declarative description per table, consumed by
 Supported column kinds map 1:1 onto codec families (codecs/):
 
   str                        -> choose_str   (strdict / strfsst / strplain)
+  binary                     -> choose_str   (same buffer layout; opaque
+                                              payloads re-typed zero-copy)
   int32 / int64              -> choose_int   (dict / rle / for / bitpack / ...)
   float32 / float64          -> choose_float (falp / fbss / fplain)
   list<int32> / list<int64>  -> choose_int on flat values + choose_int lengths
@@ -40,6 +42,7 @@ import pyarrow.compute as pc
 
 _SCALAR_PA = {
     "str": pa.string(),
+    "binary": pa.binary(),
     "int32": pa.int32(),
     "int64": pa.int64(),
     "float32": pa.float32(),
@@ -53,6 +56,7 @@ _LIST_ITEM = {
 }
 _SPARK_TYPE = {
     "str": "string",
+    "binary": "binary",
     "int32": "int",
     "int64": "long",
     "float32": "float",
@@ -274,6 +278,19 @@ EMBEDDINGS = TableSpec(
     weight="embedding",
 )
 
+MEDIA = TableSpec(
+    name="media",
+    key="media_id",
+    columns=(
+        ColumnSpec("media_id", "str"),
+        ColumnSpec("payload", "binary"),
+        ColumnSpec("mime", "str"),
+        ColumnSpec("n_bytes", "int64"),
+    ),
+    partition_col=None,
+    weight="n_bytes",
+)
+
 DOCUMENTS = TableSpec(
     name="documents",
     key="doc_id",
@@ -292,5 +309,5 @@ DOCUMENTS = TableSpec(
 # — the analog of the reference's dataset-name lookup
 # (/root/reference/crates/freeze/src/datasets/mod.rs).
 SPECS: dict[str, TableSpec] = {
-    s.name: s for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS)
+    s.name: s for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA)
 }

@@ -197,6 +197,49 @@ def test_documents_freeze_roundtrip(spark, tmp_path):
     assert bad == 0
 
 
+def test_media_binary_roundtrip(spark, tmp_path):
+    """Opaque binary payloads (invalid UTF-8, empty, null) through the
+    engine: the string codec family re-typed zero-copy as binary."""
+    import pyarrow.parquet as pq
+
+    from cryo_spark.tablespec import MEDIA
+
+    rng = np.random.default_rng(5)
+    n = 1_500
+    payloads: list[bytes | None] = [
+        b"\x89PNG\r\n\x1a\n" + rng.bytes(int(rng.integers(10, 400)))
+        for _ in range(n)
+    ]
+    payloads[7] = b""          # empty payload
+    payloads[11] = None        # null payload
+    payloads[13] = b"\xff\xfe\x00\x80garbage"  # decidedly not UTF-8
+    t = pa.table({
+        "media_id": pa.array([f"m-{i:08d}" for i in range(n)]),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/png" if i % 4 else "image/jpeg"
+                          for i in range(n)]),
+        "n_bytes": pa.array([len(p) if p is not None else 0
+                             for p in payloads], pa.int64()),
+    })
+    inp = str(tmp_path / "media.parquet")
+    pq.write_table(t, inp, row_group_size=256)
+    out = str(tmp_path / "media_out")
+    s = engine.freeze(spark, inp, out, target_tokens=200, spec=MEDIA)
+    assert s["n_failed"] == 0
+    dec = engine.decode_frozen(spark, out, spec=MEDIA)
+    got = {r["media_id"]: r for r in dec.collect()}
+    assert len(got) == n
+    for i in (0, 7, 11, 13, n - 1):
+        r = got[f"m-{i:08d}"]
+        if payloads[i] is None:
+            assert r["payload"] is None
+        else:
+            assert bytes(r["payload"]) == payloads[i], i
+    assert sum(len(r["payload"] or b"") for r in got.values()) == sum(
+        len(p or b"") for p in payloads
+    )
+
+
 def test_spec_validation():
     with pytest.raises(ValueError, match="unknown column kind"):
         ColumnSpec("x", "decimal")
