@@ -296,6 +296,51 @@ def enc_freeze_documents(spark, sf_dir):
 
 
 @q(
+    "enc_freeze_media",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM documents
+    """,
+)
+def enc_freeze_media(spark, sf_dir):
+    """Opaque binary payloads through the engine (tablespec binary kind).
+
+    A deterministic media table is derived from documents (payload =
+    the text's UTF-8 bytes — arbitrary byte strings as far as the
+    engine is concerned), encoded with spec=MEDIA, decoded, and every
+    payload compared byte-for-byte against the source; the oracle pins
+    n_mismatch = 0 and total payload bytes.
+    """
+    from . import engine
+    from .tablespec import MEDIA
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.format_string("m-%012d", "doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    enc = engine.encode(src, target_tokens=40_000, spec=MEDIA)
+    dec = engine.decode(enc, spec=MEDIA)
+    j = dec.alias("d").join(src.alias("s"), "media_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("d.n_bytes").cast("long").alias("payload_bytes"),
+        F.sum(
+            F.when(
+                F.col("d.payload").isNull() | F.col("s.payload").isNull()
+                | (F.col("d.payload") != F.col("s.payload"))
+                | (F.col("d.mime") != F.col("s.mime")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
+@q(
     "enc_freeze_embeddings",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
