@@ -766,21 +766,21 @@ def freeze(
 
     t_start = time.perf_counter()
     key_df = None
-    if keys is not None and spec is not SEQUENCES:
-        raise ValueError("key-range freeze is defined for the sequences "
-                         "doc_id grammar only")
     if keys is not None:
         # Key-range freeze (the reference's block-range requests): the
         # predicate goes through the Catalyst scan path so the range
-        # envelope reaches parquet as a pushed filter; planning and
-        # encode both see only the requested rows.
+        # bounds reach parquet as a pushed filter; planning and encode
+        # both see only the requested rows. Int-keyed specs push the
+        # numeric predicate directly; the sequences string key rides
+        # its zero-padded envelope.
         from . import ranges
 
         raw = spark.read.parquet(input_path)
-        key_chunks = _parse_keys(keys, lambda: raw.agg(F.max(_key_num())).first()[0])
+        key_chunks = _parse_keys(
+            keys, lambda: raw.agg(F.max(_key_expr(spec))).first()[0])
         key_df = raw.filter(
-            ranges.key_predicate(key_chunks, _key_num(),
-                                 envelope=F.col("doc_id"), fmt=KEY_FMT)
+            ranges.key_predicate(key_chunks, _key_expr(spec),
+                                 **_key_envelope(spec))
         )
     use_arrow = key_df is None and sources.supports(input_path)
     if use_arrow and spec.footer_stat_col is not None:
@@ -948,12 +948,38 @@ def _write_report(output_dir: str, run_id: str, payload: dict) -> None:
 # collect / export: dataset-in-hand APIs (cryo.collect + csv/json sinks)
 # ---------------------------------------------------------------------------
 
-KEY_FMT = "doc-%012d"  # fixtures' zero-padded key format: lexicographic
+KEY_FMT = "doc-%012d"  # sequences fixtures' zero-padded key: lexicographic
+
+
+def _key_expr(spec: TableSpec):
+    """Numeric key expression for key-range requests (lazy: needs a session).
+
+    Int-keyed specs use the column itself (the range predicate pushes
+    straight down to parquet); the sequences string key parses its
+    zero-padded fixture format. Other string keys have no numeric form.
+    """
+    if spec.key_col.kind in ("int32", "int64"):
+        return F.col(spec.key)
+    if spec.name == SEQUENCES.name:
+        return F.substring(spec.key, len("doc-") + 1, 12).cast("long")
+    raise ValueError(
+        f"key-range requests need a numeric key; table {spec.name!r} has "
+        "a string key with no known numeric format"
+    )
+
+
+def _key_envelope(spec: TableSpec) -> dict:
+    """Extra pushdown kwargs for :func:`ranges.key_predicate`: string keys
+    get a lexicographic BETWEEN envelope on the raw column; int keys need
+    none (the numeric predicate itself reaches the scan)."""
+    if spec.key_col.kind in ("int32", "int64"):
+        return {}
+    return dict(envelope=F.col(spec.key), fmt=KEY_FMT)
 
 
 def _key_num():
-    """Numeric key expression (built lazily: Columns need a live session)."""
-    return F.substring("doc_id", len("doc-") + 1, 12).cast("long")
+    """Sequences numeric key expression (kept for callers/tests)."""
+    return _key_expr(SEQUENCES)
 
 
 def _parse_keys(spec: str, latest_fn):
@@ -966,8 +992,17 @@ def _parse_keys(spec: str, latest_fn):
         return ranges.parse_key_specs(spec, latest=int(latest_fn()))
 
 
-def _chunk_stat_prune(enc: DataFrame, chunks) -> DataFrame:
-    """Prune encoded chunks by manifest min/max doc_id before decode.
+def _manifest_key_num(col: str, spec: TableSpec):
+    """Numeric form of a manifest min/max key column (stored as string:
+    the decimal of a native int key, or the zero-padded sequences id)."""
+    if spec.key_col.kind in ("int32", "int64"):
+        return F.col(col).cast("long")
+    return F.substring(col, len("doc-") + 1, 12).cast("long")
+
+
+def _chunk_stat_prune(enc: DataFrame, chunks,
+                      spec: TableSpec = SEQUENCES) -> DataFrame:
+    """Prune encoded chunks by manifest min/max key before decode.
 
     The reference prunes at the file level via its chunk->filename key
     ranges (crates/freeze/src/types/chunks/chunk_ops.rs); here the same
@@ -976,8 +1011,8 @@ def _chunk_stat_prune(enc: DataFrame, chunks) -> DataFrame:
     """
     from . import ranges
 
-    min_n = F.substring("min_doc_id", len("doc-") + 1, 12).cast("long")
-    max_n = F.substring("max_doc_id", len("doc-") + 1, 12).cast("long")
+    min_n = _manifest_key_num("min_doc_id", spec)
+    max_n = _manifest_key_num("max_doc_id", spec)
     terms = []
     for c in chunks:
         if isinstance(c, ranges.KeyNumbers):
@@ -1025,19 +1060,17 @@ def collect(
     from . import ranges
     from . import schema as schema_mod
 
-    if keys is not None and spec is not SEQUENCES:
-        raise ValueError("key-range collect is defined for the sequences "
-                         "doc_id grammar only")
     all_cols = [c.name for c in spec.columns]
     used = schema_mod.compute_used_columns(
         all_cols, columns=columns, include=include, exclude=exclude
     )
     key_chunks = None
     if keys is not None and isinstance(source, DataFrame):
-        key_chunks = _parse_keys(keys, lambda: source.agg(F.max(_key_num())).first()[0])
+        key_chunks = _parse_keys(
+            keys, lambda: source.agg(F.max(_key_expr(spec))).first()[0])
         df = source.filter(
-            ranges.key_predicate(key_chunks, _key_num(),
-                                 envelope=F.col("doc_id"), fmt=KEY_FMT)
+            ranges.key_predicate(key_chunks, _key_expr(spec),
+                                 **_key_envelope(spec))
         ).select(*used)
     elif isinstance(source, DataFrame):
         df = source.select(*used)
@@ -1055,21 +1088,27 @@ def collect(
                 key_chunks = _parse_keys(
                     keys,
                     lambda: man.agg(
-                        F.max(F.substring("max_doc_id", len("doc-") + 1, 12).cast("long"))
+                        F.max(_manifest_key_num("max_doc_id", spec))
                     ).first()[0],
                 )
-                enc = _chunk_stat_prune(enc, key_chunks)
-            dec_cols = used if key_chunks is None or "doc_id" in used else ["doc_id", *used]
+                enc = _chunk_stat_prune(enc, key_chunks, spec)
+            dec_cols = (
+                used if key_chunks is None or spec.key in used
+                else [spec.key, *used]
+            )
             df = decode(enc, columns=dec_cols, spec=spec)
             if key_chunks is not None:
-                df = df.filter(ranges.key_predicate(key_chunks, _key_num())).select(*used)
+                df = df.filter(
+                    ranges.key_predicate(key_chunks, _key_expr(spec))
+                ).select(*used)
     else:
         raw = spark.read.parquet(source)
         if keys is not None:
-            key_chunks = _parse_keys(keys, lambda: raw.agg(F.max(_key_num())).first()[0])
+            key_chunks = _parse_keys(
+                keys, lambda: raw.agg(F.max(_key_expr(spec))).first()[0])
             raw = raw.filter(
-                ranges.key_predicate(key_chunks, _key_num(),
-                                     envelope=F.col("doc_id"), fmt=KEY_FMT)
+                ranges.key_predicate(key_chunks, _key_expr(spec),
+                                     **_key_envelope(spec))
             )
         df = raw.select(*used)
     if sort:

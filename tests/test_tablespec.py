@@ -253,3 +253,31 @@ def test_spec_validation():
     assert SEQUENCES.list_column == "tokens"
     assert EMBEDDINGS.list_column == "embedding"
     assert SEQUENCES.packed_ddl().startswith("doc_id string, tokens binary")
+
+
+def test_int_key_range_requests(spark, embeddings_path, tmp_path):
+    """The reference's key-range grammar over a native int64 key: the
+    numeric predicate pushes straight down — freeze a range, collect a
+    strided subrange, manifest min/max prunes chunks on encoded reads."""
+    from cryo_spark.tablespec import EMBEDDINGS
+
+    # vec_id = 7i + 3 for i in [0, N): request an aligned range
+    out = str(tmp_path / "emb_range")
+    s = engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                      spec=EMBEDDINGS, keys="3:7000")
+    assert s["n_encoded"] >= 1
+    dec = engine.decode(engine.read_encoded(spark, out), spec=EMBEDDINGS)
+    ids = sorted(r["vec_id"] for r in dec.select("vec_id").collect())
+    expect = [7 * i + 3 for i in range(N) if 3 <= 7 * i + 3 <= 7000]
+    assert ids == expect
+
+    # strided collect on the raw parquet source
+    df = engine.collect(spark, embeddings_path, keys="3:700:14",
+                        spec=EMBEDDINGS)
+    got = sorted(r["vec_id"] for r in df.select("vec_id").collect())
+    assert got == [v for v in range(3, 700, 14) if (v - 3) % 7 == 0]
+
+    # key-range collect on the ENCODED source: manifest min/max pruning
+    df2 = engine.collect(spark, out, keys="3:100", spec=EMBEDDINGS)
+    got2 = sorted(r["vec_id"] for r in df2.select("vec_id").collect())
+    assert got2 == [v for v in expect if v <= 100]
