@@ -179,6 +179,81 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInArrow(run, MEDIA_META_DDL)
 
 
+RESIZED_DDL = "media_id string, payload binary, width int, height int"
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """Resize every payload to (width, height) — the thumbnail stage of a
+    multimodal ingest. Arrow-batched mapInArrow; output payload is raw
+    RGB bytes (width*height*3) plus the new dimensions.
+
+    Pillow path: real decode + ``Image.resize`` per item (the C call is
+    inherently per-item), re-emitted as raw bytes. Fake path (no Pillow
+    in this container, ``CRYO_SPARK_FAKE_MEDIA=1``): a deterministic
+    strided byte gather — each output byte samples the payload at a
+    fixed stride — fully batch numpy, so a real decoder drops in
+    without touching the batching/schema/partitioning plumbing.
+    """
+    out_schema = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("payload", pa.binary()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+        ]
+    )
+    out_len = width * height * 3
+
+    def run(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            offsets, data, lengths = _binary_buffers(t.column(payload_col))
+            n = t.num_rows
+            if _HAVE_PIL:
+                parts = []
+                for i in range(n):
+                    img = _PILImage.open(
+                        io.BytesIO(data[offsets[i] : offsets[i + 1]].tobytes())
+                    ).convert("RGB").resize((width, height))
+                    parts.append(np.frombuffer(img.tobytes(), np.uint8))
+                flat = (np.concatenate(parts) if parts
+                        else np.zeros(0, np.uint8))
+            elif not os.environ.get(_FAKE_ENV):
+                raise NotImplementedError(
+                    "image resize requires Pillow/libjpeg (not in this "
+                    f"container); set {_FAKE_ENV}=1 for the test fake"
+                )
+            else:
+                # batch gather: out[i, j] = payload_i[(j * len_i) // out_len]
+                j = np.arange(out_len, dtype=np.int64)
+                src = (j[None, :] * lengths[:, None]) // out_len
+                src = np.minimum(src, np.maximum(lengths[:, None] - 1, 0))
+                pad = np.concatenate((data, np.zeros(1, np.uint8)))
+                flat = pad[(offsets[:-1, None] + src)].reshape(-1)
+                flat[np.repeat(lengths == 0, out_len)] = 0
+            out_off = np.arange(n + 1, dtype=np.int32) * out_len
+            payload = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(out_off.tobytes()),
+                 pa.py_buffer(flat.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column(id_col).combine_chunks().cast(pa.string()),
+                    payload,
+                    pa.array(np.full(n, width, np.int32)),
+                    pa.array(np.full(n, height, np.int32)),
+                ],
+                schema=out_schema,
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(run, RESIZED_DDL)
+
+
 def frame_sample_plan(n_frames: int, every_nth: int) -> list[int]:
     """Deterministic frame-sampling indices (video path planning).
 

@@ -22,6 +22,17 @@ def test_multimodal_stub_raises_without_fake(spark):
     assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
 
 
+def test_resize_media_raises_without_fake(spark):
+    # must run BEFORE any fake-env test: reused python workers keep the
+    # process env they were forked with, so once a fake-env task has
+    # launched a worker pool the stub check would see stale env
+    df = spark.createDataFrame([("m1", b"xx")], "media_id string, payload binary")
+    os.environ.pop("CRYO_SPARK_FAKE_MEDIA", None)
+    with pytest.raises(Exception) as exc:
+        multimodal.resize_media(df, 4, 4).collect()
+    assert "NotImplementedError" in str(exc.value) or "Pillow" in str(exc.value)
+
+
 def test_multimodal_fake_decode_plumbing(spark):
     rows = [(f"m{i}", bytes([i % 256]) * (100 + i * 7)) for i in range(50)]
     df = spark.createDataFrame(rows, "media_id string, payload binary").repartition(4)
@@ -48,6 +59,31 @@ def test_multimodal_fake_decode_plumbing(spark):
     finally:
         os.environ.pop("CRYO_SPARK_FAKE_MEDIA", None)
     assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_resize_media_fake_plumbing(spark):
+    """Fake resize: deterministic strided gather, exact output shape;
+    empty payloads resize to all-zero bytes."""
+    rows = [(f"m{i}", bytes(range(i % 251)) * 3) for i in range(1, 30)]
+    rows.append(("empty", b""))
+    df = spark.createDataFrame(rows, "media_id string, payload binary").repartition(3)
+    os.environ["CRYO_SPARK_FAKE_MEDIA"] = "1"
+    spark.sparkContext.environment["CRYO_SPARK_FAKE_MEDIA"] = "1"
+    try:
+        out = multimodal.resize_media(df, width=8, height=6).collect()
+    finally:
+        os.environ.pop("CRYO_SPARK_FAKE_MEDIA", None)
+        spark.sparkContext.environment.pop("CRYO_SPARK_FAKE_MEDIA", None)
+    assert len(out) == 30
+    by_id = {r["media_id"]: r for r in out}
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 6
+        assert len(r["payload"]) == 8 * 6 * 3
+    assert bytes(by_id["empty"]["payload"]) == b"\x00" * (8 * 6 * 3)
+    # strided-gather definition: out[j] = payload[(j * len) // out_len]
+    src = bytes(range(10)) * 3
+    exp = bytes(src[(j * len(src)) // (8 * 6 * 3)] for j in range(8 * 6 * 3))
+    assert bytes(by_id["m10"]["payload"]) == exp
 
 
 def test_frame_sample_plan():
