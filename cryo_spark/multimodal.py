@@ -184,7 +184,8 @@ RESIZED_DDL = "media_id string, payload binary, width int, height int"
 
 def resize_media(df: DataFrame, width: int, height: int,
                  payload_col: str = "payload",
-                 id_col: str = "media_id") -> DataFrame:
+                 id_col: str = "media_id",
+                 fake: bool | None = None) -> DataFrame:
     """Resize every payload to (width, height) — the thumbnail stage of a
     multimodal ingest. Arrow-batched mapInArrow; output payload is raw
     RGB bytes (width*height*3) plus the new dimensions.
@@ -195,6 +196,9 @@ def resize_media(df: DataFrame, width: int, height: int,
     strided byte gather — each output byte samples the payload at a
     fixed stride — fully batch numpy, so a real decoder drops in
     without touching the batching/schema/partitioning plumbing.
+    ``fake=True`` forces the deterministic fake regardless of env (the
+    oracle query pins its arithmetic; executor-env gating is unreliable
+    across reused python workers).
     """
     out_schema = pa.schema(
         [
@@ -213,7 +217,11 @@ def resize_media(df: DataFrame, width: int, height: int,
                 continue
             offsets, data, lengths = _binary_buffers(t.column(payload_col))
             n = t.num_rows
-            if _HAVE_PIL:
+            use_fake = fake is True or (
+                fake is None and not _HAVE_PIL
+                and bool(os.environ.get(_FAKE_ENV))
+            )
+            if not use_fake and _HAVE_PIL:
                 parts = []
                 for i in range(n):
                     img = _PILImage.open(
@@ -222,7 +230,7 @@ def resize_media(df: DataFrame, width: int, height: int,
                     parts.append(np.frombuffer(img.tobytes(), np.uint8))
                 flat = (np.concatenate(parts) if parts
                         else np.zeros(0, np.uint8))
-            elif not os.environ.get(_FAKE_ENV):
+            elif not use_fake:
                 raise NotImplementedError(
                     "image resize requires Pillow/libjpeg (not in this "
                     f"container); set {_FAKE_ENV}=1 for the test fake"

@@ -1375,6 +1375,45 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_resize",
+    """
+    WITH src AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hs,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 13 = 0 AND octet_length(encode(text)) > 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           (SELECT string_agg(substr(hs, 2*CAST((j*n)//24 AS INT)+1, 2),
+                              '' ORDER BY j)
+            FROM range(24) t(j)) AS resized_hex
+    FROM src
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Thumbnail stage through the real resize kernel (multimodal.py).
+
+    Payloads derived from document text; resize to 4x2 RGB (24 bytes)
+    via the deterministic fake decoder (forced — the container has no
+    Pillow; the real path swaps in via import without plumbing changes).
+    The oracle recomputes the strided gather out[j] = src[(j*n)//24]
+    over the hex form, byte for byte.
+    """
+    from . import multimodal
+
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 13 == 0) & (F.octet_length(F.encode("text", "UTF-8")) > 0)
+    ).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    resized = multimodal.resize_media(d, width=4, height=2, fake=True)
+    return resized.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.lower(F.hex("payload")).alias("resized_hex"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full encode->decode round-trip aggregated per source."""
     return enc_roundtrip_agg(spark, sf_dir)
