@@ -15,14 +15,22 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
   manifest, skip-existing resume, atomic commit, metrics.
 """
 
-from .engine import collect, decode, encode, export, freeze
-from .fixtures import generate_sequences, write_sequences
-from .schema import compute_used_columns, hex_columns
+from .engine import collect, decode, decode_frozen, encode, export, freeze
+from .fixtures import (
+    generate_embeddings,
+    generate_sequences,
+    write_embeddings,
+    write_sequences,
+)
+from .schema import compute_used_columns, hex_columns, unhex_columns
+from .tablespec import SPECS, ColumnSpec, TableSpec
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "encode", "decode", "freeze", "collect", "export",
-    "compute_used_columns", "hex_columns",
+    "encode", "decode", "decode_frozen", "freeze", "collect", "export",
+    "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
+    "generate_embeddings", "write_embeddings",
+    "TableSpec", "ColumnSpec", "SPECS",
 ]
