@@ -1,0 +1,69 @@
+"""Reduced scaling confirmation: the headline local[2] -> local[8] pair only.
+
+Re-measures the BENCH/BASELINE.md headline pair after a code change
+without re-running the full 4-level protocol (~2h). Two interleaved
+rounds, fresh JVM per invocation, best-of across all runs per level —
+the protocol BENCH/BASELINE.md documents for this steal-wave-prone host.
+
+Refuses to measure when the host itself is degraded: the sandbox's
+memory bus intermittently collapses to <1.5 GB/s single-thread memcpy
+(vs ~5 healthy), which makes every end-to-end number 4-8x slow and any
+scaling ratio meaningless. A reading taken in that state looks exactly
+like a code regression (we lost an afternoon to one); gate first.
+
+Usage: python tools/confirm_scaling.py [--force]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+MIN_MEMCPY_GBPS = 3.0
+
+
+def main() -> int:
+    cal = bench.host_calibration()
+    print("host calibration:", cal, flush=True)
+    if cal["host_memcpy_gbps"] < MIN_MEMCPY_GBPS and "--force" not in sys.argv:
+        print(f"HOST DEGRADED (memcpy {cal['host_memcpy_gbps']} < "
+              f"{MIN_MEMCPY_GBPS} GB/s) — refusing to measure; re-run when "
+              "the bus recovers, or pass --force.")
+        return 2
+
+    inp = bench.scaling_input()
+    print("INPUT ready:", inp, flush=True)
+    levels: dict[int, list[int]] = {2: [], 8: []}
+    for rnd in range(2):
+        for n in (2, 8):
+            out = subprocess.run(
+                [sys.executable, "bench.py", "--encode-only",
+                 "--master", f"local[{n}]", "--runs", "3" if n == 2 else "4",
+                 "--input", inp,
+                 "--target-tokens", str(bench.SCALING_TARGET_TOKENS)],
+                capture_output=True, text=True, timeout=3600)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            for d in os.listdir(bench.SHM_DIR):
+                if d.startswith("out_"):
+                    shutil.rmtree(f"{bench.SHM_DIR}/{d}", ignore_errors=True)
+            levels[n].extend(rec["all_tokens_per_sec"])
+            print(f"ROUND {rnd} local[{n}]: {rec['all_tokens_per_sec']}",
+                  flush=True)
+    best = {n: max(ts) for n, ts in levels.items()}
+    eff = best[8] / best[2] / 4
+    print("CONFIRM best:", best, "efficiency:", round(eff, 3), flush=True)
+    print(json.dumps({"best": best, "efficiency": round(eff, 3),
+                      "calibration": cal, "runs": levels}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
