@@ -295,13 +295,19 @@ def main() -> None:
     spark.stop()
 
     total = time.perf_counter() - t_total
+    cal = host_calibration()
     rec = {
         "metric": "e2e_encode_plus_queries_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        **host_calibration(),
+        **cal,
+        # healthy sandbox: cpu_scan ~1.4, memcpy ~5 GB/s single-thread.
+        # The bus intermittently collapses to <1.5 GB/s for hours; walls
+        # measured then are host weather, not engine speed (BENCH/
+        # BASELINE.md "post-refactor confirmation" has the full story).
+        "host_degraded": cal["host_memcpy_gbps"] < 3.0,
     }
     if enc_stats:
         rec.update(
