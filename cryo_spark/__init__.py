@@ -15,7 +15,8 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
   manifest, skip-existing resume, atomic commit, metrics.
 """
 
-from .engine import collect, decode, decode_frozen, encode, export, freeze
+from .engine import (collect, compact, decode, decode_frozen, encode,
+                     export, freeze)
 from .fixtures import (
     generate_embeddings,
     generate_sequences,
@@ -28,7 +29,8 @@ from .tablespec import SPECS, ColumnSpec, TableSpec
 __version__ = "0.1.0"
 
 __all__ = [
-    "encode", "decode", "decode_frozen", "freeze", "collect", "export",
+    "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
+    "export",
     "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
     "generate_embeddings", "write_embeddings",

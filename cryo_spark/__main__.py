@@ -58,6 +58,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="save this command as the directory default "
                          "(reference: crates/cli/src/remember.rs:16-57)")
 
+    cp = sub.add_parser("compact",
+                        help="merge undersized chunks of a frozen output")
+    cp.add_argument("--output", required=True,
+                    help="frozen output dir to compact in place")
+    cp.add_argument("--table", default="sequences",
+                    help="table family (see freeze --table)")
+    cp.add_argument("--target-tokens", type=int, default=2 << 20)
+    cp.add_argument("--min-tokens", type=int, default=None,
+                    help="chunks below this are candidates "
+                         "(default target/2)")
+    cp.add_argument("--max-chunks", type=int, default=1 << 16,
+                    help="max chunks rewritten per invocation")
+    cp.add_argument("--master", default=None)
+
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
@@ -109,6 +123,19 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite, dry_run=args.dry_run,
                 keys=args.keys, n_chunks=args.n_chunks,
                 partition_by=_split(args.partition_by),
+                spec=spec,
+            )
+            print(json.dumps(summary))
+            return 0
+
+        if args.cmd == "compact":
+            import cryo_spark
+
+            summary = cryo_spark.compact(
+                spark, args.output,
+                target_tokens=args.target_tokens,
+                min_tokens=args.min_tokens,
+                max_chunks=args.max_chunks,
                 spec=spec,
             )
             print(json.dumps(summary))

@@ -563,18 +563,35 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None,
     )
 
 
-def _decode_files_kernel(columns: list[str], spec: TableSpec):
+def _decode_files_kernel(columns: list[str], spec: TableSpec,
+                         drop_bits: bytes | None = None):
     """Per-FILE decode kernel for the shuffle-free path (arrow_scan_files
     invokes it once per whole encoded file, so every chunk's rows are
     present). Failed chunk rows are dropped here — a failed chunk's only
     trace is its error manifest row, and resume re-encodes it under a
-    later run (its own files)."""
+    later run (its own files).
+
+    ``drop_bits`` is a packed bitmap of chunk_ids retired by compaction
+    tombstones for the run these files belong to — O(n_chunks/8) bytes
+    in the task closure regardless of how many chunks were compacted
+    (the same representation as the resume bitmap)."""
 
     def fn(batches):
         tbl = pa.Table.from_batches(list(batches))
         if tbl.num_rows == 0:
             return
         tbl = tbl.filter(pc.equal(tbl.column("status"), "ok"))
+        if drop_bits is not None and tbl.num_rows:
+            bits = np.frombuffer(drop_bits, dtype=np.uint8)
+            cid_ = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
+            cid_ = cid_.astype(np.int64)
+            in_range = cid_ < (len(bits) << 3)
+            dropped = np.zeros(len(cid_), dtype=bool)
+            ir = cid_[in_range]
+            dropped[in_range] = (
+                bits[ir >> 3] >> (ir & 7).astype(np.uint8)) & 1 == 1
+            if dropped.any():
+                tbl = tbl.filter(pa.array(~dropped))
         if tbl.num_rows == 0:
             return
         cid = tbl.column("chunk_id").to_numpy(zero_copy_only=False)
@@ -641,26 +658,69 @@ def decode_frozen(spark: SparkSession, output_dir: str,
     }
     if man_runs - committed:
         return decode(read_encoded(spark, output_dir), cols, spec)
-    files: list[str] = []
+    # compaction tombstones (committed writer runs only): per-target-run
+    # packed bitmaps of retired chunk_ids, applied inside the file kernel
+    # so a file holding both live and retired chunks decodes only the
+    # live ones; an uncommitted tombstone run (compaction died before
+    # its manifest commit) is invisible, like any orphan
+    drop_by_run: dict[str, np.ndarray] = {}
+    ts_base = _tombstones_path(output_dir)
+    for r in sorted(run_dirs(ts_base)):
+        if r not in committed:
+            continue
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(os.path.join(ts_base, r),
+                           columns=["target_run", "chunk_id"])
+        tr = t.column("target_run").to_pylist()
+        cid = t.column("chunk_id").to_numpy(zero_copy_only=False)
+        for run_val in set(tr):
+            sel = cid[np.asarray(tr) == run_val].astype(np.int64)
+            key = f"run={run_val}"
+            need = (int(sel.max()) >> 3) + 1 if len(sel) else 1
+            bits = drop_by_run.get(key)
+            if bits is None or len(bits) < need:
+                grown = np.zeros(need, dtype=np.uint8)
+                if bits is not None:
+                    grown[: len(bits)] = bits
+                bits = grown
+            np.bitwise_or.at(bits, sel >> 3,
+                             (np.uint8(1) << (sel & 7).astype(np.uint8)))
+            drop_by_run[key] = bits
+    clean_files: list[str] = []
+    dropped_files: dict[str, list[str]] = {}
     for r in sorted(run_dirs(enc_base) & committed):
         d = os.path.join(enc_base, r)
         for f in sorted(os.listdir(d)):
             p = os.path.join(d, f)
             if f.endswith(".parquet"):
-                files.append(p)
+                if r in drop_by_run:
+                    dropped_files.setdefault(r, []).append(p)
+                else:
+                    clean_files.append(p)
             elif os.path.isdir(p):
                 # partition_by nested layout: fall back
                 return decode(read_encoded(spark, output_dir), cols, spec)
-    if not files:
+    if not clean_files and not dropped_files:
         return spark.createDataFrame([], spec.spark_ddl(cols))
     from . import sources
 
-    return sources.arrow_scan_files(
-        spark, files,
-        ["chunk_id", "column", "n_rows", "status", "payload"],
-        _decode_files_kernel(cols, spec),
-        spec.spark_ddl(cols),
-    )
+    read_cols = ["chunk_id", "column", "n_rows", "status", "payload"]
+    legs = []
+    if clean_files:
+        legs.append(sources.arrow_scan_files(
+            spark, clean_files, read_cols,
+            _decode_files_kernel(cols, spec), spec.spark_ddl(cols)))
+    for r, fl in sorted(dropped_files.items()):
+        legs.append(sources.arrow_scan_files(
+            spark, fl, read_cols,
+            _decode_files_kernel(cols, spec,
+                                 drop_bits=drop_by_run[r].tobytes()),
+            spec.spark_ddl(cols)))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -673,6 +733,26 @@ def _manifest_path(output_dir: str) -> str:
 
 def _encoded_path(output_dir: str) -> str:
     return f"{output_dir}/encoded"
+
+
+def _tombstones_path(output_dir: str) -> str:
+    return f"{output_dir}/tombstones"
+
+
+def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    """Tombstone rows (target_run, partition_id, chunk_id) + writer `run`.
+
+    A tombstone retires one encoded chunk (its payload rows stop being
+    visible); it is written by :func:`compact` under ``tombstones/run=R``
+    where R is the compaction's own run id, and counts only once THAT
+    run's manifest is committed — so new data and retirement become
+    visible in the same atomic step (the manifest write), mirroring how
+    an Iceberg rewrite commits added and deleted files in one snapshot.
+    """
+    try:
+        return spark.read.parquet(_tombstones_path(output_dir))
+    except Exception:
+        return None
 
 
 def read_manifest(spark: SparkSession, output_dir: str) -> DataFrame | None:
@@ -700,10 +780,34 @@ def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
     man = read_manifest(spark, output_dir)
     if man is None:
         return enc.limit(0)
+    keys = _visible_ok_keys(spark, output_dir, man)
+    return enc.join(F.broadcast(keys), ["run", "partition_id", "chunk_id"], "left_semi")
+
+
+def _visible_ok_keys(spark: SparkSession, output_dir: str,
+                     man: DataFrame) -> DataFrame:
+    """Distinct (run, partition_id, chunk_id) of live committed chunks.
+
+    Committed = an ok manifest row exists; live = not retired by a
+    visible compaction tombstone. A tombstone run is visible iff its own
+    manifest run committed (manifest rows ARE the commit); visible
+    tombstones retire the chunk they target via an anti-join — the
+    deletion analog of the orphan-invisibility semi-join.
+    """
     keys = man.filter(F.col("status") == "ok").select(
         "run", "partition_id", "chunk_id"
     ).distinct()
-    return enc.join(F.broadcast(keys), ["run", "partition_id", "chunk_id"], "left_semi")
+    ts = _read_tombstones(spark, output_dir)
+    if ts is not None:
+        committed_runs = man.select("run").distinct()
+        vis = ts.withColumnRenamed("run", "writer_run").join(
+            committed_runs.withColumnRenamed("run", "writer_run"),
+            "writer_run", "left_semi",
+        ).select(F.col("target_run").alias("run"),
+                 "partition_id", "chunk_id")
+        keys = keys.join(F.broadcast(vis),
+                         ["run", "partition_id", "chunk_id"], "left_anti")
+    return keys
 
 
 def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
@@ -913,6 +1017,109 @@ def freeze(
     _write_report(output_dir, run_id, dict(
         version="cryo_spark 0.1.0", status="completed",
         input_path=input_path, target_tokens=target_tokens, **summary,
+    ))
+    return summary
+
+
+def compact(
+    spark: SparkSession,
+    output_dir: str,
+    target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
+    min_tokens: int | None = None,
+    max_chunks: int = 1 << 16,
+    spec: TableSpec = SEQUENCES,
+) -> dict:
+    """Merge undersized committed chunks into target-sized ones, in place.
+
+    Incremental encodes (stream_encode micro-batches, key-range freezes,
+    retried failures) each commit their own run with plan-relative
+    chunks; over time the encoded table accumulates chunks far below
+    ``target_tokens``, and every reader pays per-chunk overhead for
+    them. ``compact`` is the Iceberg ``rewrite_data_files`` analog over
+    this layout: decode the small chunks (and ONLY those — the candidate
+    keys prune the read relationally), re-encode them through the normal
+    plan/pack/encode path as one new run, and atomically retire the
+    originals via tombstones.
+
+    Commit order makes the swap atomic: encoded files, then tombstone
+    rows (``tombstones/run=<new>``), then the manifest — whose rows are
+    the commit. Death before the manifest write leaves both the new data
+    and the tombstones invisible (orphan discipline, same as freeze);
+    after it, readers see the merged chunks and skip the retired ones in
+    the same snapshot. The originals' manifest rows remain — resume
+    correctly still counts their plans' chunks as done (the data lives
+    on, re-chunked), and the manifest stays an append-only history.
+
+    ``min_tokens`` (default ``target_tokens // 2``) bounds what counts
+    as undersized; ``max_chunks`` bounds one compaction batch (smallest
+    chunks first), keeping driver state and the rewrite volume bounded —
+    at 10^12-sequence scale compaction proceeds in bounded batches, not
+    one giant rewrite. No-op (nothing written) unless the rewrite
+    strictly reduces the chunk count.
+    """
+    t_start = time.perf_counter()
+    min_tokens = target_tokens // 2 if min_tokens is None else min_tokens
+    no_op = dict(n_compacted=0, n_new_chunks=0, n_retired=0, run=None,
+                 wall_s=0.0)
+    man = read_manifest(spark, output_dir)
+    if man is None:
+        return no_op
+    payload_col = spec.list_column or spec.key
+    live = _visible_ok_keys(spark, output_dir, man)
+    sizes = man.filter(
+        (F.col("status") == "ok") & (F.col("column") == payload_col)
+    ).select("run", "partition_id", "chunk_id", "n_values")
+    cand = (
+        sizes.join(F.broadcast(live), ["run", "partition_id", "chunk_id"],
+                   "left_semi")
+        .filter(F.col("n_values") < min_tokens)
+        .orderBy("n_values", "run", "chunk_id")
+        .limit(max_chunks)
+        .collect()
+    )
+    if len(cand) < 2:
+        return no_op
+    cand_keys = spark.createDataFrame(
+        [(r["run"], r["partition_id"], r["chunk_id"]) for r in cand],
+        "run string, partition_id int, chunk_id int",
+    )
+    enc_subset = read_encoded(spark, output_dir).join(
+        F.broadcast(cand_keys), ["run", "partition_id", "chunk_id"],
+        "left_semi",
+    )
+    # materialize once: planning and encoding would otherwise each re-run
+    # the decode of every candidate chunk
+    rows = decode(enc_subset, spec=spec).localCheckpoint()
+    plan = layout.plan_chunks(rows, target_tokens, spec=spec)
+    if plan.n_chunks >= len(cand):
+        # rewrite would not shrink the layout (e.g. singleton small
+        # chunks in distinct source partitions): guarantee monotone
+        # progress / idempotence by writing nothing
+        return no_op
+    run_id = uuid.uuid4().hex[:12]
+    enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
+    _grouped_encode(rows, plan, spec=spec).write.mode("error") \
+        .option("compression", "uncompressed") \
+        .option("parquet.enable.dictionary", "false") \
+        .parquet(enc_dir)
+    cand_keys.withColumnRenamed("run", "target_run").coalesce(1) \
+        .write.mode("error") \
+        .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
+    written = spark.read.parquet(enc_dir)
+    man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
+    written.select(*MANIFEST_COLUMNS).withColumn(
+        "plan_id", F.lit(_plan_fingerprint(plan))
+    ).write.mode("error").parquet(man_dir)
+    summary = dict(
+        n_compacted=len(cand),
+        n_new_chunks=plan.n_chunks,
+        n_retired=len(cand),
+        run=run_id,
+        wall_s=time.perf_counter() - t_start,
+    )
+    _write_report(output_dir, run_id, dict(
+        version="cryo_spark 0.1.0", status="completed", command="compact",
+        target_tokens=target_tokens, min_tokens=min_tokens, **summary,
     ))
     return summary
 
