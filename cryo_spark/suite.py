@@ -341,6 +341,70 @@ def enc_freeze_media(spark, sf_dir):
 
 
 @q(
+    "enc_compact_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, n_chars, source FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars % 64 + 1) AS BIGINT) AS tok_count_sum,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           true AS compacted,
+           true AS chunks_reduced
+    FROM d
+    """,
+)
+def enc_compact_roundtrip(spark, sf_dir):
+    """Compaction end-to-end: small-chunk freeze -> compact -> decode.
+
+    A freeze at a tiny target produces many undersized chunks (the
+    incremental-append steady state); compact rewrites them into
+    target-sized chunks and retires the originals via tombstones
+    committed with the new run's manifest (the Iceberg
+    rewrite_data_files shape). The oracle pins the decoded corpus
+    bit-identical (n_mismatch = 0, exact row/token counts — a chunk
+    decoded twice through a leaked tombstone, or dropped, shifts
+    n_rows) and that the rewrite really happened (booleans computed
+    from the compact summary, pinned true).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_compact_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    # chunks never span sources (a source partition is the planning
+    # unit), so the many-source documents fixture would floor the chunk
+    # count at n_sources and leave compaction nothing to merge; 3 coarse
+    # deterministic sources give each one several undersized chunks
+    src = sequences_from_documents(spark, sf_dir).withColumn(
+        "source",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("doc_id"), F.lit(3))),
+    )
+    src.write.parquet(f"{base}/in")
+    engine.freeze(spark, f"{base}/in", f"{base}/out", target_tokens=2_000)
+    s = engine.compact(spark, f"{base}/out", target_tokens=50_000)
+    dec = engine.decode_frozen(spark, f"{base}/out")
+    j = dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("d.n_tok").cast("long").alias("tok_count_sum"),
+        F.sum(
+            F.when(
+                F.col("d.n_tok").isNull() | F.col("s.n_tok").isNull()
+                | (F.col("d.source") != F.col("s.source"))
+                | (F.col("d.tokens") != F.col("s.tokens")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+        F.lit(s["run"] is not None).alias("compacted"),
+        F.lit(0 < s["n_new_chunks"] < s["n_compacted"]).alias(
+            "chunks_reduced"),
+    )
+
+
+@q(
     "enc_freeze_embeddings",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
