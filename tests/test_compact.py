@@ -95,6 +95,30 @@ def test_freeze_resume_unaffected_by_compaction(spark, sequences_path,
     assert s["n_encoded"] == 0
 
 
+def test_compact_across_runs_with_colliding_chunk_ids(spark, sequences_path,
+                                                      tmp_path):
+    """The primary compaction case: many incremental runs, each with its
+    own plan-relative chunk ids starting at 0 — tombstones must retire
+    (run, chunk) pairs, not bare chunk ids, and the shuffle-free decode
+    must apply a separate drop bitmap per run."""
+    out = str(tmp_path / "out")
+    s1 = freeze(spark, sequences_path, out, target_tokens=SMALL,
+                keys="0:5000")
+    s2 = freeze(spark, sequences_path, out, target_tokens=SMALL,
+                keys="5000:10000")
+    assert s1["n_chunks"] > 1 and s2["n_chunks"] > 1
+    before = _rows(decode(read_encoded(spark, out)))
+    assert len(before) == 10_000
+    s = compact(spark, out, target_tokens=BIG)
+    assert s["run"] is not None
+    # tombstones must span both source runs
+    ts = spark.read.parquet(f"{out}/tombstones")
+    assert ts.select("target_run").distinct().count() == 2
+    assert _rows(decode(read_encoded(spark, out))) == before
+    assert _rows(decode_frozen(spark, out)) == before
+    assert decode_frozen(spark, out).count() == 10_000
+
+
 def test_compacted_payload_not_read_twice(spark, frozen):
     out, before = frozen
     compact(spark, out, target_tokens=BIG)
