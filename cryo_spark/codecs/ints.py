@@ -75,9 +75,14 @@ def decode_bitpack(buf: memoryview) -> np.ndarray:
 def encode_for(values: np.ndarray) -> bytes:
     hdr, v = _header(values)
     base = int(v.min()) if len(v) else 0
-    deltas = v.astype(np.int64) - base  # non-negative by construction
+    # delta in uint64: v - base in int64 wraps when the spread exceeds
+    # int64 (e.g. [-5422, 9e18]), silently packing at too small a width;
+    # the true spread of two int64s always fits uint64, so mod-2^64
+    # subtraction against the two's-complement base is exact
+    u = v.astype(np.int64, copy=False).view(np.uint64)
+    deltas = u - np.uint64(base & 0xFFFFFFFFFFFFFFFF)
     width = storage_width(int(deltas.max())) if len(v) else 0
-    return hdr + struct.pack("<qB", base, width) + pack_bits(deltas.astype(np.uint64), width)
+    return hdr + struct.pack("<qB", base, width) + pack_bits(deltas, width)
 
 
 def decode_for(buf: memoryview) -> np.ndarray:

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import registry
-from .bits import storage_width, zstd_compress
+from .bits import storage_width, zigzag, zstd_compress
 
 SAMPLE_TARGET = 1 << 15  # values sampled for estimation
 _TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
@@ -61,9 +61,12 @@ def _int_estimates(v: np.ndarray) -> dict[str, float]:
     if vmin >= 0:
         est["bitpack"] = storage_width(vmax) / 8.0
     est["for"] = storage_width(vmax - vmin) / 8.0 + 16.0 / n
-    diffs = np.diff(v64)
+    diffs = np.diff(v64)  # wraps mod 2^64 — the same arithmetic encode_delta packs
     if len(diffs):
-        zmax = int(np.abs(diffs).max()) * 2
+        # zigzag, not abs*2: abs(int64.min) is still negative and a
+        # full-range spread overflows, while zigzag is total on int64
+        # and is exactly what the codec stores
+        zmax = int(zigzag(diffs).max())
         est["delta"] = storage_width(zmax) / 8.0 + 16.0 / n
     n_runs = 1 + int(np.count_nonzero(diffs)) if len(diffs) else 1
     run_bits = storage_width(vmax - vmin) + storage_width(max(1, n // max(1, n_runs)) * 4)

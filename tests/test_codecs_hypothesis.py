@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from cryo_spark.codecs import (
     CODECS,
@@ -38,6 +38,11 @@ int_arrays = st.sampled_from([np.int32, np.int64]).flatmap(
 
 @SET
 @given(int_arrays)
+# spread > int64: delta/FoR arithmetic must be mod-2^64 exact, and the
+# estimator must use zigzag (abs(int64.min) is still negative)
+@example(values=np.array([-5422, 9223372036854770386], dtype=np.int64))
+@example(values=np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max],
+                         dtype=np.int64))
 def test_choose_int_roundtrip(values):
     ch = choose_int(values)
     out = decode_any(ch.payload)
