@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="max chunks rewritten per invocation")
     cp.add_argument("--master", default=None)
 
+    va = sub.add_parser("vacuum",
+                        help="delete encoded run dirs with no live chunks "
+                             "(space reclaim after compact)")
+    va.add_argument("--output", required=True,
+                    help="frozen output dir to vacuum in place")
+    va.add_argument("--master", default=None)
+
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
@@ -139,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
                 spec=spec,
             )
             print(json.dumps(summary))
+            return 0
+
+        if args.cmd == "vacuum":
+            import cryo_spark
+
+            print(json.dumps(cryo_spark.vacuum(spark, args.output)))
             return 0
 
         import cryo_spark

@@ -1124,6 +1124,54 @@ def compact(
     return summary
 
 
+def vacuum(spark: SparkSession, output_dir: str) -> dict:
+    """Delete encoded run dirs with no live chunks left (space reclaim).
+
+    ``compact`` retires chunks logically (tombstones); their payload
+    bytes stay on disk until every chunk of a run is retired, at which
+    point the whole ``encoded/run=`` dir is provably dead and can go —
+    the Iceberg ``expire_snapshots`` / orphan-GC analog, scoped to what
+    is safe without a catalog: only runs WITH a committed manifest and
+    ZERO live chunks are deleted (idempotent, crash-safe — a re-run just
+    finds fewer dirs). Encoded dirs with no manifest at all are left
+    alone: they may belong to an in-flight freeze. Manifest and
+    tombstone history stay append-only; readers never consult dead runs'
+    files (the key anti-join already excludes them), so deletion is
+    invisible to every read path.
+    """
+    import os
+    import shutil
+
+    if "://" in output_dir:
+        raise ValueError(
+            "vacuum deletes local files; on a real catalog this maps to "
+            "expire_snapshots / remove_orphan_files"
+        )
+    man = read_manifest(spark, output_dir)
+    if man is None:
+        return dict(n_deleted_runs=0, bytes_reclaimed=0, deleted_runs=[])
+    live_runs = {
+        r["run"]
+        for r in _visible_ok_keys(spark, output_dir, man)
+        .select("run").distinct().collect()
+    }
+    all_runs = {r["run"] for r in man.select("run").distinct().collect()}
+    dead = sorted(all_runs - live_runs)
+    reclaimed = 0
+    deleted = []
+    for run_val in dead:
+        d = os.path.join(_encoded_path(output_dir), f"run={run_val}")
+        if not os.path.isdir(d):
+            continue
+        for root, _dirs, files in os.walk(d):
+            reclaimed += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files)
+        shutil.rmtree(d)
+        deleted.append(run_val)
+    return dict(n_deleted_runs=len(deleted), bytes_reclaimed=reclaimed,
+                deleted_runs=deleted)
+
+
 def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
     """Stable id of a chunk plan — equal iff the chunk layout is equal."""
     import hashlib

@@ -348,22 +348,25 @@ def enc_freeze_media(spark, sf_dir):
            CAST(sum(n_chars % 64 + 1) AS BIGINT) AS tok_count_sum,
            CAST(0 AS BIGINT) AS n_mismatch,
            true AS compacted,
-           true AS chunks_reduced
+           true AS chunks_reduced,
+           true AS vacuumed
     FROM d
     """,
 )
 def enc_compact_roundtrip(spark, sf_dir):
-    """Compaction end-to-end: small-chunk freeze -> compact -> decode.
+    """Compaction + GC end-to-end: freeze small -> compact -> vacuum -> decode.
 
     A freeze at a tiny target produces many undersized chunks (the
     incremental-append steady state); compact rewrites them into
     target-sized chunks and retires the originals via tombstones
     committed with the new run's manifest (the Iceberg
-    rewrite_data_files shape). The oracle pins the decoded corpus
-    bit-identical (n_mismatch = 0, exact row/token counts — a chunk
-    decoded twice through a leaked tombstone, or dropped, shifts
-    n_rows) and that the rewrite really happened (booleans computed
-    from the compact summary, pinned true).
+    rewrite_data_files shape); vacuum then physically deletes the
+    fully-retired original run dirs (expire_snapshots analog). The
+    oracle pins the decoded corpus bit-identical AFTER the physical
+    delete (n_mismatch = 0, exact row/token counts — a chunk decoded
+    twice through a leaked tombstone, dropped, or read from a deleted
+    run shifts n_rows) and that the rewrite + GC really happened
+    (booleans computed from the summaries, pinned true).
     """
     import os
     import shutil
@@ -385,6 +388,7 @@ def enc_compact_roundtrip(spark, sf_dir):
     src.write.parquet(f"{base}/in")
     engine.freeze(spark, f"{base}/in", f"{base}/out", target_tokens=2_000)
     s = engine.compact(spark, f"{base}/out", target_tokens=50_000)
+    v = engine.vacuum(spark, f"{base}/out")
     dec = engine.decode_frozen(spark, f"{base}/out")
     j = dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
     return j.agg(
@@ -401,6 +405,8 @@ def enc_compact_roundtrip(spark, sf_dir):
         F.lit(s["run"] is not None).alias("compacted"),
         F.lit(0 < s["n_new_chunks"] < s["n_compacted"]).alias(
             "chunks_reduced"),
+        F.lit(v["n_deleted_runs"] >= 1 and v["bytes_reclaimed"] > 0).alias(
+            "vacuumed"),
     )
 
 
