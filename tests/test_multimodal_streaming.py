@@ -159,3 +159,53 @@ def test_stream_encode_embeddings_spec(spark, tmp_path):
         (F.col("d.count").isNull()) | (F.col("s.count").isNull())
         | (F.col("d.count") != F.col("s.count"))
     ).count() == 0
+
+
+def test_stream_compact_vacuum_lifecycle(spark, tmp_path):
+    """The steady-state maintenance story: stream batches accumulate many
+    undersized runs/chunks; compact merges them into target-sized chunks;
+    vacuum reclaims the fully-retired run dirs; the stream keeps landing
+    new batches afterwards and every read stays bit-identical."""
+    import os
+
+    from cryo_spark import compact, vacuum
+
+    inp = tmp_path / "lc_in"
+    inp.mkdir()
+    out = str(tmp_path / "lc_out")
+    ckpt = str(tmp_path / "lc_ckpt")
+
+    for i, (n, seed) in enumerate([(400, 11), (300, 12), (350, 13)]):
+        write_sequences(str(inp / f"w{i}.parquet"), n=n, seed=seed)
+        q = streaming.stream_encode(spark, str(inp), out, ckpt,
+                                    target_tokens=20_000)
+        q.awaitTermination(120)
+    before = sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source)
+        for r in engine.decode(engine.read_encoded(spark, out)).collect()
+    )
+    assert len(before) == 1050
+
+    s = compact(spark, out, target_tokens=400_000)
+    assert s["run"] is not None and s["n_compacted"] >= 3
+    v = vacuum(spark, out)
+    # every stream run was fully retired by the compaction
+    assert v["n_deleted_runs"] == 3 and v["bytes_reclaimed"] > 0
+    assert sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source)
+        for r in engine.decode(engine.read_encoded(spark, out)).collect()
+    ) == before
+    assert sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source)
+        for r in engine.decode_frozen(spark, out).collect()
+    ) == before
+
+    # the stream continues after maintenance: a fourth wave lands in a
+    # fresh run (batch-namespaced chunk ids never collide with the
+    # compaction run's) and both read paths see the union
+    write_sequences(str(inp / "w3.parquet"), n=200, seed=14)
+    q = streaming.stream_encode(spark, str(inp), out, ckpt,
+                                target_tokens=20_000)
+    q.awaitTermination(120)
+    assert engine.decode(engine.read_encoded(spark, out)).count() == 1250
+    assert engine.decode_frozen(spark, out).count() == 1250
