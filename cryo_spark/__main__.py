@@ -32,6 +32,31 @@ def _split(v: str | None) -> list[str] | None:
     return None if v is None else [s.strip() for s in v.split(",") if s.strip()]
 
 
+def _parse_filters(items: list[str] | None) -> list[tuple] | None:
+    """``col=val`` / ``col>=val`` strings -> (column, op, value) triples."""
+    if not items:
+        return None
+    import re
+
+    out = []
+    for s in items:
+        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", s)
+        if m is None:
+            raise SystemExit(f"bad --filter {s!r}; expected col=val, "
+                             "col<val, col<=val, col>val, or col>=val")
+        name, op, raw = m.groups()
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        out.append((name, op, val))
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m cryo_spark")
     sub = ap.add_subparsers(dest="cmd", required=False)
@@ -79,6 +104,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="frozen output dir to vacuum in place")
     va.add_argument("--master", default=None)
 
+    rb = sub.add_parser("rollback",
+                        help="reset current state to snapshot N "
+                             "(history stays append-only; see snapshots)")
+    rb.add_argument("--output", required=True)
+    rb.add_argument("--to", type=int, required=True, dest="to_seq",
+                    help="target snapshot sequence number")
+
+    sn = sub.add_parser("snapshots",
+                        help="list the output dir's commit history "
+                             "(time-travel points for collect --as-of)")
+    sn.add_argument("--output", required=True,
+                    help="frozen output dir whose snapshot log to list")
+
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
@@ -86,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="table spec name (tablespec.SPECS)")
     co.add_argument("--columns", default=None, help="comma list or 'all'")
     co.add_argument("--keys", default=None, help="key-range spec (see freeze --keys)")
+    co.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="read an encoded output at snapshot seq N "
+                         "(see the snapshots command)")
+    co.add_argument("--filter", action="append", default=None,
+                    help="scalar predicate, e.g. source=s1 or n_tok>=10 "
+                         "(repeatable; AND-combined; zone-map pruned on "
+                         "encoded sources)")
     co.add_argument("--include-columns", default=None)
     co.add_argument("--exclude-columns", default=None)
     co.add_argument("--sort", action="store_true")
@@ -112,6 +157,21 @@ def main(argv: list[str] | None = None) -> int:
         with open(REMEMBER_FILENAME, "w") as f:
             json.dump({"version": "cryo_spark 0.1.0",
                        "command": [a for a in argv if a != "--remember"]}, f)
+
+    if args.cmd == "snapshots":
+        # pure metadata: no Spark session needed to read the log
+        from cryo_spark import snapshots as snap_mod
+
+        for entry in snap_mod.log(args.output):
+            print(json.dumps(entry))
+        return 0
+
+    if args.cmd == "rollback":
+        from cryo_spark import snapshots as snap_mod
+
+        seq = snap_mod.rollback(args.output, args.to_seq)
+        print(json.dumps({"snapshot": seq, "target": args.to_seq}))
+        return 0
 
     from cryo_spark.session import get_spark
     from cryo_spark.tablespec import SPECS
@@ -162,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
             include=_split(args.include_columns),
             exclude=_split(args.exclude_columns),
             sort=args.sort, hex=args.hex, keys=args.keys,
-            spec=spec,
+            spec=spec, as_of=args.as_of,
+            filters=_parse_filters(args.filter),
         )
         if args.format:
             if not args.output:

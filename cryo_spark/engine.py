@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import hashing, layout, tablespec
+from . import hashing, layout, snapshots, tablespec
 from .codecs import choose_float, choose_int, choose_str, decode_any, encode_any
 from .codecs.bits import get_blob, put_blob
 from .tablespec import SEQUENCES, ColumnSpec, TableSpec
@@ -36,12 +36,13 @@ from .tablespec import SEQUENCES, ColumnSpec, TableSpec
 ENCODED_DDL = (
     "partition_id int, chunk_id int, column string, codec_id string, "
     "n_rows long, n_values long, raw_bytes long, enc_bytes long, "
-    "min_doc_id string, max_doc_id string, wall_ms double, status string, "
-    "payload binary"
+    "min_doc_id string, max_doc_id string, min_value string, "
+    "max_value string, wall_ms double, status string, payload binary"
 )
 MANIFEST_COLUMNS = [
     "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
-    "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms", "status",
+    "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "min_value",
+    "max_value", "wall_ms", "status",
 ]
 SEQUENCES_DDL = SEQUENCES.spark_ddl()  # "doc_id string, tokens array<int>, ..."
 
@@ -65,6 +66,14 @@ _ENCODED_PA_SCHEMA = pa.schema(
         ("enc_bytes", pa.int64()),
         ("min_doc_id", pa.string()),
         ("max_doc_id", pa.string()),
+        # zone map: per-(chunk x column) value min/max in a portable
+        # string form (decimal for ints, repr for floats, the value
+        # itself for strings); None when unavailable (all-null chunk,
+        # binary/media payloads). The manifest carries these, so a
+        # filtered read prunes whole chunks before touching payloads —
+        # the parquet row-group statistics idiom applied to this layout.
+        ("min_value", pa.string()),
+        ("max_value", pa.string()),
         ("wall_ms", pa.float64()),
         ("status", pa.string()),
         ("payload", pa.binary()),
@@ -247,7 +256,7 @@ def _failed_chunk_row(chunk: pa.Table, err: Exception,
         column=spec.list_column or spec.key,
         codec_id=f"error:{type(err).__name__}",
         n_rows=chunk.num_rows, n_values=0, raw_bytes=0, enc_bytes=0,
-        min_doc_id="", max_doc_id="",
+        min_doc_id="", max_doc_id="", min_value=None, max_value=None,
         wall_ms=0.0, status=f"failed: {err}"[:200], payload=b"",
     )
     return pa.table({k: [v] for k, v in row.items()}, schema=_ENCODED_PA_SCHEMA)
@@ -288,15 +297,33 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
     out: list[dict] = []
 
     def emit(column: str, codec_id: str, payload: bytes, n_values: int,
-             raw_bytes: int, wall_ms: float) -> None:
+             raw_bytes: int, wall_ms: float,
+             stats: tuple[str, str] | None = None) -> None:
         out.append(
             dict(
                 partition_id=pid, chunk_id=cid, column=column, codec_id=codec_id,
                 n_rows=n_rows, n_values=n_values, raw_bytes=raw_bytes,
                 enc_bytes=len(payload), min_doc_id=min_doc, max_doc_id=max_doc,
+                min_value=None if stats is None else stats[0],
+                max_value=None if stats is None else stats[1],
                 wall_ms=wall_ms, status="ok", payload=payload,
             )
         )
+
+    def _np_stats(vals: np.ndarray) -> tuple[str, str] | None:
+        if not len(vals):
+            return None
+        if vals.dtype.kind == "f":
+            # repr round-trips float64 exactly; float32 goes through
+            # float() so the parse side reads the same double
+            return repr(float(vals.min())), repr(float(vals.max()))
+        return str(int(vals.min())), str(int(vals.max()))
+
+    def _arr_stats(arr) -> tuple[str, str] | None:
+        if arr.null_count == len(arr) or not len(arr):
+            return None
+        mm = pc.min_max(arr)  # ignores nulls
+        return str(mm["min"].as_py()), str(mm["max"].as_py())
 
     for c in spec.columns:
         t0 = time.perf_counter()
@@ -323,6 +350,7 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
                 int(len(flat)),
                 int(flat.nbytes + 4 * n_rows),
                 (time.perf_counter() - t0) * 1000,
+                stats=_np_stats(flat),
             )
         elif c.kind in ("str", "binary"):
             if arr.null_count:
@@ -332,13 +360,15 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
             ch = choose_str(arr_nn)
             raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
             emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
-                 raw, (time.perf_counter() - t0) * 1000)
+                 raw, (time.perf_counter() - t0) * 1000,
+                 stats=None if c.kind == "binary" else _arr_stats(arr))
         else:
             dt = c.np_dtype
             vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(dt)
             ch = (choose_float if dt.kind == "f" else choose_int)(vals)
             emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr),
-                 n_rows, int(vals.nbytes), (time.perf_counter() - t0) * 1000)
+                 n_rows, int(vals.nbytes), (time.perf_counter() - t0) * 1000,
+                 stats=_arr_stats(arr))
 
     cols = {name: [r[name] for r in out] for name in _ENCODED_PA_SCHEMA.names}
     return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
@@ -611,7 +641,8 @@ def _decode_files_kernel(columns: list[str], spec: TableSpec,
 
 def decode_frozen(spark: SparkSession, output_dir: str,
                   columns: list[str] | None = None,
-                  spec: TableSpec = SEQUENCES) -> DataFrame:
+                  spec: TableSpec = SEQUENCES,
+                  as_of: int | None = None) -> DataFrame:
     """Shuffle-free decode of a frozen output dir.
 
     The encode stage co-locates every chunk's rows inside one encoded
@@ -629,6 +660,11 @@ def decode_frozen(spark: SparkSession, output_dir: str,
     means mid-commit death, where only the relational semi-join can
     tell committed chunks apart — that case (and the ``partition_by``
     nested layout) falls back to ``decode(read_encoded(...))``.
+
+    ``as_of`` time-travels to an earlier snapshot (snapshots.py): only
+    runs committed at seq <= as_of are scanned, and tombstones from
+    later compactions are not applied — the pre-rewrite chunks decode
+    as they stood. Raises if vacuum already deleted those bytes.
     """
     import os
 
@@ -648,16 +684,35 @@ def decode_frozen(spark: SparkSession, output_dir: str,
 
     if not os.path.isdir(enc_base) or "://" in output_dir:
         if "://" in output_dir:  # non-local store: relational path only
-            return decode(read_encoded(spark, output_dir), cols, spec)
+            return decode(read_encoded(spark, output_dir, as_of=as_of),
+                          cols, spec)
+        if as_of is not None:
+            snapshots.resolve(output_dir, as_of)  # raises if no log
         return spark.createDataFrame([], spec.spark_ddl(cols))
     man_runs = run_dirs(man_base)
+    # snapshot visibility: an explicit as_of, or an active rollback's
+    # current state (both replayed from the log); None = disk truth
+    vis = (snapshots.resolve(output_dir, as_of) if as_of is not None
+           else snapshots.current(output_dir))
+    if vis is not None:
+        # only runs visible at this snapshot participate; a LATER run's
+        # missing commit marker must not force the fallback
+        man_runs = man_runs & {f"run={r}" for r in vis["runs"]}
     root_success = os.path.exists(os.path.join(man_base, "_SUCCESS"))
     committed = {
         r for r in man_runs
         if root_success or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
     }
     if man_runs - committed:
-        return decode(read_encoded(spark, output_dir), cols, spec)
+        return decode(read_encoded(spark, output_dir, as_of=as_of), cols, spec)
+    if vis is not None:
+        man_vis = read_manifest(spark, output_dir, as_of=as_of)
+        if man_vis is None or {f"run={r}" for r in vis["runs"]} - man_runs:
+            # snapshot log names a run whose manifest dir is absent:
+            # inconsistent state — let the relational path sort it out
+            return decode(read_encoded(spark, output_dir, as_of=as_of),
+                          cols, spec)
+        _check_reconstructable(spark, output_dir, man_vis, vis)
     # compaction tombstones (committed writer runs only): per-target-run
     # packed bitmaps of retired chunk_ids, applied inside the file kernel
     # so a file holding both live and retired chunks decodes only the
@@ -755,21 +810,74 @@ def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
         return None
 
 
-def read_manifest(spark: SparkSession, output_dir: str) -> DataFrame | None:
+def read_manifest(spark: SparkSession, output_dir: str,
+                  as_of: int | None = None,
+                  raw: bool = False) -> DataFrame | None:
+    """Manifest rows; ``as_of`` restricts to runs committed at seq <= as_of.
+
+    With ``as_of`` the append-only manifest is filtered through the
+    snapshot log (snapshots.py) — later appends, later compactions'
+    rewrite runs, and their tombstone writers all drop out, which is
+    what makes every downstream read snapshot-isolated. Without
+    ``as_of``, an active rollback (snapshots.current) filters the same
+    way, so resume/compact/reads all agree on the rolled-back state;
+    ``raw=True`` bypasses both (filesystem truth — vacuum's view).
+    """
     try:
-        return spark.read.parquet(_manifest_path(output_dir))
+        man = spark.read.parquet(_manifest_path(output_dir))
     except Exception:
         return None
+    if raw:
+        return man
+    vis = None
+    if as_of is not None:
+        vis = snapshots.resolve(output_dir, as_of)
+    elif "://" not in output_dir:
+        vis = snapshots.current(output_dir)
+    if vis is not None:
+        man = man.filter(F.col("run").isin(sorted(vis["runs"])))
+    return man
 
 
-def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
+def _check_reconstructable(spark: SparkSession, output_dir: str,
+                           man_vis: DataFrame, vis: dict) -> None:
+    """Raise if a time-travel read needs payload bytes vacuum deleted.
+
+    A visible run whose ``encoded/run=`` dir is gone is fine as long as
+    every one of its chunks is retired by a tombstone visible at the
+    same snapshot (the vacuum precondition); a LIVE chunk in a deleted
+    dir means the requested snapshot predates the compaction whose
+    vacuum removed the bytes — the Iceberg contract that
+    expire_snapshots forfeits time travel past it.
+    """
+    import os
+
+    base = _encoded_path(output_dir)
+    present = set()
+    if os.path.isdir(base):
+        present = {d[4:] for d in os.listdir(base) if d.startswith("run=")}
+    missing = vis["runs"] - present
+    if not missing:
+        return
+    live = _visible_ok_keys(spark, output_dir, man_vis).filter(
+        F.col("run").isin(sorted(missing)))
+    if live.limit(1).count():
+        raise ValueError(
+            f"snapshot not reconstructable: run(s) {sorted(missing)} were "
+            "vacuumed but still hold live chunks at this snapshot "
+            "(expire_snapshots forfeits time travel past it)")
+
+
+def read_encoded(spark: SparkSession, output_dir: str,
+                 as_of: int | None = None) -> DataFrame:
     """Committed chunks only: encoded rows whose chunk is in the manifest.
 
     A run that died between writing encoded files and committing its
     manifest leaves orphan files; the semi-join makes them invisible —
     the atomicity discipline of the reference's tmp-rename
     (/root/reference/crates/freeze/src/types/dataframes/export.rs:13-23)
-    done relationally.
+    done relationally. ``as_of`` reads the table at an earlier snapshot
+    (snapshots.py), raising if vacuum already deleted those bytes.
     """
     try:
         enc = spark.read.parquet(_encoded_path(output_dir))
@@ -777,9 +885,14 @@ def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
         # an empty-input freeze commits nothing: no encoded dir is a
         # valid (empty) output, not an error
         return spark.createDataFrame([], ENCODED_DDL + ", run string")
-    man = read_manifest(spark, output_dir)
+    man = read_manifest(spark, output_dir, as_of=as_of)
     if man is None:
         return enc.limit(0)
+    if "://" not in output_dir:
+        vis = (snapshots.resolve(output_dir, as_of) if as_of is not None
+               else snapshots.current(output_dir))
+        if vis is not None:
+            _check_reconstructable(spark, output_dir, man, vis)
     keys = _visible_ok_keys(spark, output_dir, man)
     return enc.join(F.broadcast(keys), ["run", "partition_id", "chunk_id"], "left_semi")
 
@@ -999,9 +1112,13 @@ def freeze(
         .alias("n_failed"),
     ).write.mode("error").parquet(man_dir)
     stats = obs.get
+    # the manifest write above IS the commit; the snapshot entry makes
+    # it an ordered point in the output's history (time travel, as_of)
+    snap = snapshots.commit(output_dir, run_id, "append", plan_id=plan_fp)
     tokens = int(stats["tokens"] or 0)
     n_failed = int(stats["n_failed"] or 0)
     summary = dict(
+        snapshot=snap,
         n_chunks=plan.n_chunks,
         n_encoded=n_missing - n_failed,
         n_failed=n_failed,
@@ -1110,7 +1227,10 @@ def compact(
     written.select(*MANIFEST_COLUMNS).withColumn(
         "plan_id", F.lit(_plan_fingerprint(plan))
     ).write.mode("error").parquet(man_dir)
+    snap = snapshots.commit(output_dir, run_id, "rewrite",
+                            n_retired=len(cand))
     summary = dict(
+        snapshot=snap,
         n_compacted=len(cand),
         n_new_chunks=plan.n_chunks,
         n_retired=len(cand),
@@ -1147,14 +1267,22 @@ def vacuum(spark: SparkSession, output_dir: str) -> dict:
             "vacuum deletes local files; on a real catalog this maps to "
             "expire_snapshots / remove_orphan_files"
         )
-    man = read_manifest(spark, output_dir)
+    # filesystem truth (raw): tombstone-retired runs are dead even while
+    # a rollback hides the compaction — BUT any run the current
+    # (rollback-aware) state can still reach must survive, or the
+    # rolled-back table would lose live bytes
+    man = read_manifest(spark, output_dir, raw=True)
     if man is None:
-        return dict(n_deleted_runs=0, bytes_reclaimed=0, deleted_runs=[])
+        return dict(snapshot=None, n_deleted_runs=0, bytes_reclaimed=0,
+                    deleted_runs=[])
     live_runs = {
         r["run"]
         for r in _visible_ok_keys(spark, output_dir, man)
         .select("run").distinct().collect()
     }
+    cur = snapshots.current(output_dir)
+    if cur is not None:
+        live_runs |= cur["runs"]
     all_runs = {r["run"] for r in man.select("run").distinct().collect()}
     dead = sorted(all_runs - live_runs)
     reclaimed = 0
@@ -1168,8 +1296,15 @@ def vacuum(spark: SparkSession, output_dir: str) -> dict:
                 os.path.getsize(os.path.join(root, f)) for f in files)
         shutil.rmtree(d)
         deleted.append(run_val)
-    return dict(n_deleted_runs=len(deleted), bytes_reclaimed=reclaimed,
-                deleted_runs=deleted)
+    snap = None
+    if deleted:
+        # deletion is physical, so the entry carries removed_runs: any
+        # as_of read that still needs those bytes fails loudly instead
+        # of returning a silently partial snapshot
+        snap = snapshots.commit(output_dir, None, "vacuum",
+                                removed_runs=deleted)
+    return dict(snapshot=snap, n_deleted_runs=len(deleted),
+                bytes_reclaimed=reclaimed, deleted_runs=deleted)
 
 
 def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
@@ -1284,6 +1419,99 @@ def _chunk_stat_prune(enc: DataFrame, chunks,
     return enc.filter(pred)
 
 
+_FILTER_OPS = ("=", "<", "<=", ">", ">=", "between")
+
+
+def _filter_spec_col(spec: TableSpec, name: str) -> ColumnSpec:
+    for c in spec.columns:
+        if c.name == name:
+            if c.is_list:
+                raise ValueError(
+                    f"filters target scalar columns; {name!r} is a list "
+                    "column (filter on its derived scalars instead)")
+            return c
+    raise ValueError(f"unknown filter column {name!r} for table "
+                     f"{spec.name!r}")
+
+
+def _stat_num(col: str, c: ColumnSpec):
+    """Typed view of a string-form zone-map bound for comparisons."""
+    if c.kind in ("str", "binary"):
+        return F.col(col)
+    if c.np_dtype.kind == "f":
+        return F.col(col).cast("double")
+    return F.col(col).cast("long")
+
+
+def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec) -> DataFrame:
+    """Prune whole chunks via the manifest's per-column zone maps.
+
+    Every encoded row carries its column's chunk min/max (min_value /
+    max_value, written by _encode_chunk); a chunk survives a filter iff
+    its value range can intersect it — the parquet row-group-statistics
+    idiom applied to this layout, so a selective filter never reads
+    (let alone decodes) the payload bytes of non-matching chunks. Rows
+    with NULL stats (all-null chunk, legacy pre-zone-map output) are
+    conservatively kept.
+    """
+    if "min_value" not in enc.columns:
+        return enc
+    keys = None
+    for name, op, val in filters:
+        c = _filter_spec_col(spec, name)
+        mn, mx = _stat_num("min_value", c), _stat_num("max_value", c)
+        if op == "between":
+            lo, hi = val
+            keep = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+        elif op == "=":
+            keep = (mn <= F.lit(val)) & (mx >= F.lit(val))
+        elif op == "<":
+            keep = mn < F.lit(val)
+        elif op == "<=":
+            keep = mn <= F.lit(val)
+        elif op == ">":
+            keep = mx > F.lit(val)
+        elif op == ">=":
+            keep = mx >= F.lit(val)
+        else:
+            raise ValueError(f"unknown filter op {op!r}; one of {_FILTER_OPS}")
+        k = enc.filter(
+            (F.col("column") == name)
+            & (keep | F.col("min_value").isNull() | F.col("max_value").isNull())
+        ).select("run", "partition_id", "chunk_id")
+        keys = k if keys is None else keys.join(
+            k, ["run", "partition_id", "chunk_id"], "left_semi")
+    if keys is None:
+        return enc
+    return enc.join(F.broadcast(keys),
+                    ["run", "partition_id", "chunk_id"], "left_semi")
+
+
+def _filter_predicate(filters, spec: TableSpec):
+    """Row-level residual predicate for the same filter triples."""
+    pred = None
+    for name, op, val in filters:
+        _filter_spec_col(spec, name)
+        c = F.col(name)
+        if op == "between":
+            lo, hi = val
+            t = (c >= lo) & (c <= hi)
+        elif op == "=":
+            t = c == val
+        elif op == "<":
+            t = c < val
+        elif op == "<=":
+            t = c <= val
+        elif op == ">":
+            t = c > val
+        elif op == ">=":
+            t = c >= val
+        else:
+            raise ValueError(f"unknown filter op {op!r}; one of {_FILTER_OPS}")
+        pred = t if pred is None else pred & t
+    return pred
+
+
 def collect(
     spark: SparkSession,
     source: str | DataFrame,
@@ -1294,6 +1522,8 @@ def collect(
     hex: bool = False,
     keys: str | None = None,
     spec: TableSpec = SEQUENCES,
+    as_of: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Projected (optionally sorted) dataset as one DataFrame, no sink.
 
@@ -1311,6 +1541,14 @@ def collect(
     envelope is emitted against the raw string column so it reaches the
     scan as a pushed filter; on an encoded source whole chunks are
     pruned via manifest min/max before any payload is decoded.
+
+    ``filters`` is a list of ``(column, op, value)`` triples (ops: =,
+    <, <=, >, >=, between) over scalar columns, AND-combined. On a raw
+    parquet source they become Catalyst predicates (pushed to the
+    scan); on an encoded source the manifest zone maps prune whole
+    chunks first (_zone_map_prune) and the residual row filter runs
+    after decode. ``as_of`` time-travels an encoded source to an
+    earlier snapshot (snapshots.py).
     """
     from . import ranges
     from . import schema as schema_mod
@@ -1320,26 +1558,35 @@ def collect(
         all_cols, columns=columns, include=include, exclude=exclude
     )
     key_chunks = None
+    if as_of is not None and (
+        isinstance(source, DataFrame) or read_manifest(spark, source) is None
+    ):
+        raise ValueError("as_of requires an encoded output dir (snapshots.py)")
+    residual = _filter_predicate(filters, spec) if filters else None
     if keys is not None and isinstance(source, DataFrame):
         key_chunks = _parse_keys(
             keys, lambda: source.agg(F.max(_key_expr(spec))).first()[0])
         df = source.filter(
             ranges.key_predicate(key_chunks, _key_expr(spec),
                                  **_key_envelope(spec))
-        ).select(*used)
+        )
+        df = (df.filter(residual) if residual is not None else df).select(*used)
     elif isinstance(source, DataFrame):
-        df = source.select(*used)
+        df = source
+        df = (df.filter(residual) if residual is not None else df).select(*used)
     elif read_manifest(spark, source) is not None:
-        if keys is None and (spec.list_column is None or spec.list_column in used):
+        if (keys is None and filters is None
+                and (spec.list_column is None or spec.list_column in used)):
             # shuffle-free read: the payload column dominates the bytes,
             # so when it is requested the file-granular decode wins; a
             # payload-pruned projection keeps the relational path where
             # the column filter drops those bytes before the exchange
-            df = decode_frozen(spark, source, columns=used, spec=spec)
+            df = decode_frozen(spark, source, columns=used, spec=spec,
+                               as_of=as_of)
         else:
-            enc = read_encoded(spark, source)
+            enc = read_encoded(spark, source, as_of=as_of)
             if keys is not None:
-                man = read_manifest(spark, source)
+                man = read_manifest(spark, source, as_of=as_of)
                 key_chunks = _parse_keys(
                     keys,
                     lambda: man.agg(
@@ -1347,15 +1594,20 @@ def collect(
                     ).first()[0],
                 )
                 enc = _chunk_stat_prune(enc, key_chunks, spec)
-            dec_cols = (
-                used if key_chunks is None or spec.key in used
-                else [spec.key, *used]
-            )
-            df = decode(enc, columns=dec_cols, spec=spec)
+            if filters:
+                enc = _zone_map_prune(enc, filters, spec)
+            extra = [] if key_chunks is None or spec.key in used else [spec.key]
+            extra += [n for n, _, _ in (filters or ())
+                      if n not in used and n not in extra]
+            df = decode(enc, columns=[*extra, *used] if extra else used,
+                        spec=spec)
             if key_chunks is not None:
                 df = df.filter(
-                    ranges.key_predicate(key_chunks, _key_expr(spec))
-                ).select(*used)
+                    ranges.key_predicate(key_chunks, _key_expr(spec)))
+            if residual is not None:
+                df = df.filter(residual)
+            if key_chunks is not None or extra:
+                df = df.select(*used)
     else:
         raw = spark.read.parquet(source)
         if keys is not None:
@@ -1365,6 +1617,9 @@ def collect(
                 ranges.key_predicate(key_chunks, _key_expr(spec),
                                      **_key_envelope(spec))
             )
+        if residual is not None:
+            # Catalyst pushes these straight into the parquet scan
+            raw = raw.filter(residual)
         df = raw.select(*used)
     if sort:
         sort_keys = [c for c in (sort if isinstance(sort, list) else [spec.key]) if c in used]

@@ -1,0 +1,158 @@
+"""Snapshot log: ordered commit history of a frozen output (time travel).
+
+Every committed run appends one JSON entry under ``<output>/snapshots/``:
+freeze appends ``kind='append'``, compact appends ``kind='rewrite'`` (its
+tombstones become visible at the same sequence number), vacuum appends
+``kind='vacuum'`` recording which run dirs were physically removed. The
+log is the Iceberg snapshot-list analog (snapshot id -> manifest list);
+``as_of=<seq>`` on the read paths resolves to "the set of runs whose
+commit sequence is <= seq", giving snapshot-isolated time travel:
+
+    freeze A      -> seq 1   read(as_of=1) sees A
+    freeze B      -> seq 2   read(as_of=2) sees A+B
+    compact       -> seq 3   read(as_of=2) still sees the ORIGINAL chunks
+                             (the rewrite run and its tombstones are both
+                             invisible below seq 3)
+    vacuum        -> seq 4   read(as_of<3) now raises if the originals'
+                             payload bytes are gone (same contract as
+                             Iceberg expire_snapshots: expiring removes
+                             the ability to time-travel past it)
+
+Entries are written atomically (tmp + rename) by a single writer — the
+same discipline as the reference CLI's one-process-per-output-dir model
+(its report files, /root/reference/crates/freeze/src/types/reports.rs:
+51-89). On a real deployment this append is the Iceberg catalog's
+atomic snapshot swap; this module is the documented adapter seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+DIRNAME = "snapshots"
+
+# kinds that contribute data-carrying runs to a snapshot's visible set
+_DATA_KINDS = ("append", "rewrite")
+
+
+def _dir(output_dir: str) -> str:
+    return os.path.join(output_dir, DIRNAME)
+
+
+def commit(output_dir: str, run: str | None, kind: str, **extra) -> int | None:
+    """Append one snapshot entry; returns its sequence number.
+
+    No-op (returns None) on non-local stores, where the atomic append is
+    the catalog's job, not the filesystem's.
+    """
+    if "://" in output_dir:
+        return None
+    d = _dir(output_dir)
+    os.makedirs(d, exist_ok=True)
+    entries = log(output_dir)
+    if run is not None:
+        # idempotent per run: a retried streaming micro-batch re-commits
+        # run=stream<N> by overwrite; its snapshot entry must not fork
+        for e in entries:
+            if e["run"] == run and e["kind"] == kind:
+                return e["seq"]
+    seq = 1 + max((e["seq"] for e in entries), default=0)
+    entry = dict(seq=seq, run=run, kind=kind, ts=time.time(), **extra)
+    tmp = os.path.join(d, f".tmp-{seq:010d}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, os.path.join(d, f"{seq:010d}.json"))
+    return seq
+
+
+def log(output_dir: str) -> list[dict]:
+    """All snapshot entries, ordered by sequence number."""
+    d = _dir(output_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json") and not fn.startswith("."):
+            with open(os.path.join(d, fn)) as f:
+                out.append(json.load(f))
+    out.sort(key=lambda e: e["seq"])
+    return out
+
+
+def _state_at(entries: list[dict], seq: int) -> set[str]:
+    """Replay the log up to ``seq``: the set of visible data runs.
+
+    append/rewrite add their run; a rollback entry RESETS visibility to
+    the state at its target (recursively — a rollback's target may
+    itself be a post-rollback snapshot). Vacuum entries change nothing
+    here: deletion is physical, visibility is logical.
+    """
+    vis: set[str] = set()
+    for e in entries:
+        if e["seq"] > seq:
+            break
+        if e["kind"] in _DATA_KINDS and e["run"]:
+            vis.add(e["run"])
+        elif e["kind"] == "rollback":
+            vis = _state_at(entries, e["target"])
+    return vis
+
+
+def resolve(output_dir: str, as_of: int) -> dict:
+    """Visibility state at snapshot ``as_of``.
+
+    Returns ``{"runs": set[str], "removed": set[str], "max_seq": int}``
+    where ``runs`` is the rollback-aware replay of the log up to
+    ``as_of`` and ``removed`` is every run physically deleted by a
+    vacuum at ANY seq (deletion is physical — it affects every
+    snapshot's readability, not just later ones). Raises if the output
+    has no snapshot log (pre-snapshot outputs have no history to
+    travel to).
+    """
+    entries = log(output_dir)
+    if not entries:
+        raise ValueError(
+            f"no snapshot log under {output_dir!r}: output predates "
+            "snapshotting (or is not a frozen output dir)"
+        )
+    removed = {
+        r
+        for e in entries
+        if e["kind"] == "vacuum"
+        for r in e.get("removed_runs", [])
+    }
+    return dict(runs=_state_at(entries, as_of), removed=removed,
+                max_seq=entries[-1]["seq"])
+
+
+def current(output_dir: str) -> dict | None:
+    """Rollback-aware CURRENT visibility, or None when the filesystem
+    already tells the truth.
+
+    Without rollback entries the manifest/tombstone state on disk IS
+    current visibility (the common case — zero extra work on the read
+    path). After a rollback the log overrides it; readers must then
+    filter to the replayed run set.
+    """
+    entries = log(output_dir)
+    if not any(e["kind"] == "rollback" for e in entries):
+        return None
+    return resolve(output_dir, entries[-1]["seq"])
+
+
+def rollback(output_dir: str, target: int) -> int:
+    """Append a rollback entry: current state becomes the state at
+    ``target`` (Iceberg rollback_to_snapshot). History stays append-only
+    — time travel to the undone snapshots still works, and a later
+    rollback can restore them (vacuum permitting).
+    """
+    entries = log(output_dir)
+    if not entries:
+        raise ValueError("nothing to roll back: no snapshot log")
+    if not 0 <= target <= entries[-1]["seq"]:
+        raise ValueError(
+            f"rollback target {target} outside history "
+            f"[0, {entries[-1]['seq']}]")
+    return commit(output_dir, None, "rollback", target=target)

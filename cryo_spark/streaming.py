@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import engine, layout
+from . import engine, layout, snapshots
 from .tablespec import SEQUENCES, TableSpec
 
 BATCH_STRIDE = 1 << 20  # max chunks per micro-batch before ids would collide
@@ -64,6 +64,9 @@ def stream_encode(
         written.select(*engine.MANIFEST_COLUMNS).write.mode("overwrite").parquet(
             f"{output_dir}/manifest/run={run_id}"
         )
+        # ordered history entry (idempotent per run: a retried batch
+        # re-commits the same run id and keeps its original seq)
+        snapshots.commit(output_dir, run_id, "append", batch_id=batch_id)
 
     reader = (
         spark.readStream.schema(schema)

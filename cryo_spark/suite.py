@@ -411,6 +411,124 @@ def enc_compact_roundtrip(spark, sf_dir):
 
 
 @q(
+    "enc_time_travel",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 2 AS split FROM documents)
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS snapshot_seq,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             CAST(min(doc_id) AS BIGINT) AS key_min,
+             CAST(max(doc_id) AS BIGINT) AS key_max
+      FROM d, s WHERE doc_id < split
+      UNION ALL
+      SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT),
+             CAST(sum(n_tok) AS BIGINT), CAST(min(doc_id) AS BIGINT),
+             CAST(max(doc_id) AS BIGINT)
+      FROM d
+    ) ORDER BY snapshot_seq
+    """,
+)
+def enc_time_travel(spark, sf_dir):
+    """Snapshot isolation end-to-end: two ordered commits, read at each.
+
+    Two key-range freezes land as snapshots 1 and 2 (engine.snapshots —
+    the Iceberg snapshot-list analog); ``decode_frozen(as_of=k)`` must
+    reproduce the table EXACTLY as committed at k: snapshot 1 sees only
+    the first key range, snapshot 2 the whole corpus. The oracle
+    recomputes both states' row/token/key aggregates from the raw
+    documents table with the same integer split arithmetic, so a
+    visibility leak in either direction (a later run bleeding into an
+    earlier snapshot, or an earlier run dropped) shifts a pinned sum.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_timetravel_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = sequences_from_documents(spark, sf_dir)
+    src.write.parquet(f"{base}/in")
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = mx // 2
+    out = f"{base}/out"
+    s1 = engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                       keys=f"0:{split}")
+    s2 = engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                       keys=f"{split}:{mx + 1}")
+    assert (s1["snapshot"], s2["snapshot"]) == (1, 2)
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+
+    def at(seq: int):
+        return engine.decode_frozen(spark, out, as_of=seq).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_tok").cast("long").alias("tok_sum"),
+            F.min(key_num).cast("long").alias("key_min"),
+            F.max(key_num).cast("long").alias("key_max"),
+        ).select(F.lit(seq).cast("int").alias("snapshot_seq"), "*")
+
+    return at(1).unionAll(at(2)).orderBy("snapshot_seq")
+
+
+@q(
+    "scan_zone_pruned",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source
+               FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(min(doc_id) AS BIGINT) AS key_min,
+           CAST(max(doc_id) AS BIGINT) AS key_max,
+           true AS pruned
+    FROM d WHERE source = 'src7' AND n_tok >= 5
+    """,
+)
+def scan_zone_pruned(spark, sf_dir):
+    """Zone-map pruned filtered read of an encoded table, oracle-checked.
+
+    freeze writes per-(chunk x column) value min/max into the manifest
+    (engine._encode_chunk zone maps); ``collect(filters=...)`` prunes
+    whole chunks whose range cannot match before decoding any payload —
+    the parquet row-group-statistics idiom over this layout. Chunks
+    never span sources, so the source equality keeps only that source's
+    chunks (``pruned`` pins that the chunk count really shrank); the
+    n_tok predicate exercises the residual row filter on the decoded
+    rows. The oracle recomputes the surviving rows from the raw
+    documents table.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .tablespec import SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_zonemap_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=2_000)
+    filters = [("source", "=", "src7"), ("n_tok", ">=", 5)]
+    enc = engine.read_encoded(spark, out)
+    chunk_keys = ["run", "partition_id", "chunk_id"]
+    n_total = enc.select(*chunk_keys).distinct().count()
+    n_kept = engine._zone_map_prune(enc, filters, SEQUENCES) \
+        .select(*chunk_keys).distinct().count()
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    return engine.collect(spark, out, filters=filters).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.min(key_num).cast("long").alias("key_min"),
+        F.max(key_num).cast("long").alias("key_max"),
+    ).select("*", F.lit(0 < n_kept < n_total).alias("pruned"))
+
+
+@q(
     "enc_freeze_embeddings",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1,0 +1,185 @@
+"""Snapshot log + time travel (as_of) over frozen outputs.
+
+Iceberg-analog semantics: every commit (freeze append, compact rewrite,
+vacuum GC) is an ordered snapshot; ``as_of=seq`` reads the table exactly
+as it stood after commit seq — later appends invisible, later rewrites
+un-applied — and vacuum forfeits time travel to snapshots that still
+need the deleted bytes (expire_snapshots contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cryo_spark import (collect, compact, decode_frozen, freeze, vacuum,
+                        snapshot_log, write_sequences)
+from cryo_spark.engine import read_encoded, read_manifest
+from cryo_spark import snapshots
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def _rows(df):
+    return sorted(
+        (r.doc_id, tuple(r.tokens), r.n_tok, r.source) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def two_appends(spark, tmp_path):
+    """Two key-range freezes into one output: seq 1 = A, seq 2 = A+B."""
+    src = str(tmp_path / "seqs.parquet")
+    write_sequences(src, n=600, seed=7)
+    out = str(tmp_path / "out")
+    s1 = freeze(spark, src, out, target_tokens=20_000, keys="0:300")
+    s2 = freeze(spark, src, out, target_tokens=20_000, keys="300:600")
+    assert (s1["snapshot"], s2["snapshot"]) == (1, 2)
+    return src, out
+
+
+def test_log_orders_commits(spark, two_appends):
+    _, out = two_appends
+    log = snapshot_log(out)
+    assert [e["seq"] for e in log] == [1, 2]
+    assert all(e["kind"] == "append" for e in log)
+    assert log[0]["run"] != log[1]["run"]
+
+
+def test_as_of_sees_only_earlier_appends(spark, two_appends):
+    src, out = two_appends
+    first = _ids(spark.read.parquet(src).filter(
+        F.col("doc_id") < "doc-000000000300"))
+    assert _ids(decode_frozen(spark, out, as_of=1)) == first
+    both = _ids(spark.read.parquet(src))
+    assert _ids(decode_frozen(spark, out, as_of=2)) == both
+    assert _ids(decode_frozen(spark, out)) == both  # None = current
+    # relational path agrees with the file-scan path at every snapshot
+    from cryo_spark import decode
+    assert _ids(decode(read_encoded(spark, out, as_of=1))) == first
+
+
+def test_as_of_zero_is_empty(spark, two_appends):
+    _, out = two_appends
+    assert decode_frozen(spark, out, as_of=0).count() == 0
+
+
+def test_as_of_pre_compact_sees_original_chunks(spark, two_appends):
+    _, out = two_appends
+    before = _rows(decode_frozen(spark, out))
+    chunks_before = read_manifest(spark, out).filter(
+        F.col("status") == "ok").count()
+    s = compact(spark, out, target_tokens=400_000)
+    assert s["run"] is not None and s["snapshot"] == 3
+    # pre-compact snapshot: rewrite run + its tombstones both invisible,
+    # so the ORIGINAL chunk layout serves the read
+    man2 = read_manifest(spark, out, as_of=2)
+    assert man2.filter(F.col("status") == "ok").count() == chunks_before
+    assert _rows(decode_frozen(spark, out, as_of=2)) == before
+    # post-compact snapshot and current read: same rows, rewritten chunks
+    assert _rows(decode_frozen(spark, out, as_of=3)) == before
+    assert _rows(decode_frozen(spark, out)) == before
+
+
+def test_vacuum_forfeits_earlier_snapshots(spark, two_appends):
+    _, out = two_appends
+    before = _rows(decode_frozen(spark, out))
+    compact(spark, out, target_tokens=400_000)
+    v = vacuum(spark, out)
+    assert v["n_deleted_runs"] >= 1 and v["snapshot"] == 4
+    # snapshots at/after the rewrite stay readable...
+    assert _rows(decode_frozen(spark, out, as_of=3)) == before
+    assert _rows(decode_frozen(spark, out, as_of=4)) == before
+    # ...but the pre-rewrite snapshot's bytes are gone: loud failure,
+    # never silent partial data — on BOTH read paths
+    with pytest.raises(ValueError, match="vacuum"):
+        decode_frozen(spark, out, as_of=2).count()
+    with pytest.raises(ValueError, match="vacuum"):
+        read_encoded(spark, out, as_of=2).count()
+
+
+def test_collect_as_of(spark, two_appends):
+    src, out = two_appends
+    first = _ids(spark.read.parquet(src).filter(
+        F.col("doc_id") < "doc-000000000300"))
+    assert _ids(collect(spark, out, as_of=1)) == first
+    # as_of on a raw (non-encoded) source is a loud error
+    with pytest.raises(ValueError, match="as_of"):
+        collect(spark, src, as_of=1)
+
+
+def test_as_of_without_log_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="snapshot log"):
+        snapshots.resolve(str(tmp_path / "nowhere"), 1)
+
+
+def test_commit_idempotent_per_run(tmp_path):
+    out = str(tmp_path)
+    assert snapshots.commit(out, "r1", "append") == 1
+    assert snapshots.commit(out, "r1", "append") == 1  # retried batch
+    assert snapshots.commit(out, "r2", "append") == 2
+    assert [e["seq"] for e in snapshot_log(out)] == [1, 2]
+
+def test_rollback_resets_current_state(spark, two_appends):
+    src, out = two_appends
+    first = _ids(spark.read.parquet(src).filter(
+        F.col("doc_id") < "doc-000000000300"))
+    both = _ids(spark.read.parquet(src))
+    assert snapshots.rollback(out, 1) == 3
+    # current reads (both paths) see only the first append now
+    assert _ids(decode_frozen(spark, out)) == first
+    from cryo_spark import decode
+    assert _ids(decode(read_encoded(spark, out))) == first
+    assert _ids(collect(spark, out)) == first
+    # history is append-only: time travel to the undone snapshot works
+    assert _ids(decode_frozen(spark, out, as_of=2)) == both
+    # rolling forward again restores it
+    assert snapshots.rollback(out, 2) == 4
+    assert _ids(decode_frozen(spark, out)) == both
+
+
+def test_append_after_rollback(spark, two_appends, tmp_path):
+    src, out = two_appends
+    snapshots.rollback(out, 1)
+    # a fresh key range lands on top of the rolled-back state
+    s3 = freeze(spark, src, out, target_tokens=20_000, keys="300:450")
+    assert s3["snapshot"] == 4 and s3["n_encoded"] > 0
+    got = _ids(decode_frozen(spark, out))
+    want = _ids(spark.read.parquet(src).filter(
+        "doc_id < 'doc-000000000450'"))
+    assert got == want
+
+
+def test_refreeze_after_rollback_reencodes(spark, two_appends):
+    src, out = two_appends
+    snapshots.rollback(out, 1)
+    # the second range's manifest rows exist on disk but are rolled
+    # back: resume must NOT count them as done
+    s = freeze(spark, src, out, target_tokens=20_000, keys="300:600")
+    assert s["n_encoded"] > 0 and s["n_skipped"] == 0
+    both = _ids(spark.read.parquet(src))
+    assert _ids(decode_frozen(spark, out)) == both
+
+
+def test_vacuum_protects_rolled_back_state(spark, two_appends):
+    _, out = two_appends
+    before = _rows(decode_frozen(spark, out))
+    compact(spark, out, target_tokens=400_000)  # seq 3 retires originals
+    snapshots.rollback(out, 2)                  # undo the compaction
+    v = vacuum(spark, out)
+    # the original runs are live again under the rollback: vacuum must
+    # not delete them (only the now-orphaned rewrite run is NOT dead
+    # either — its manifest has ok rows and no tombstones against it)
+    assert v["n_deleted_runs"] == 0
+    assert _rows(decode_frozen(spark, out)) == before
+
+
+def test_rollback_validation(tmp_path):
+    out = str(tmp_path)
+    with pytest.raises(ValueError, match="no snapshot log"):
+        snapshots.rollback(out, 1)
+    snapshots.commit(out, "r1", "append")
+    with pytest.raises(ValueError, match="outside history"):
+        snapshots.rollback(out, 5)
