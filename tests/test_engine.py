@@ -32,8 +32,8 @@ def test_encoded_schema(encoded):
     names = [f.name for f in encoded.schema.fields]
     assert names == [
         "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
-        "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "wall_ms",
-        "status", "payload",
+        "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "min_value",
+        "max_value", "wall_ms", "status", "payload",
     ]
 
 

@@ -105,4 +105,5 @@ def test_vacuum_rejects_remote_paths(spark):
 
 def test_vacuum_on_empty_output(spark, tmp_path):
     v = vacuum(spark, str(tmp_path / "nothing"))
-    assert v == dict(n_deleted_runs=0, bytes_reclaimed=0, deleted_runs=[])
+    assert v == dict(snapshot=None, n_deleted_runs=0, bytes_reclaimed=0,
+                     deleted_runs=[])

@@ -80,6 +80,26 @@ def main() -> None:
             plan_of(dec_rel),
         ))
 
+    # 3b. zone-map pruned filtered read of a frozen sequences dir
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/frozen_seq"
+        seqs.write.parquet(f"{td}/in")
+        engine.freeze(spark, f"{td}/in", out, target_tokens=16_384)
+        flt = engine.collect(spark, out,
+                             filters=[("source", "=", "src7"),
+                                      ("n_tok", ">=", 5)])
+        sections.append((
+            "collect with filters (zone-map pruning)",
+            "Two metadata-only legs ahead of any payload decode: the "
+            "zone-map semi-joins (BroadcastHashJoin LeftSemi per filter "
+            "column over min_value/max_value — payload column never "
+            "read there) shrink the chunk set, then the surviving "
+            "chunks decode and the residual Filter runs on decoded "
+            "rows. A non-matching chunk's payload bytes are never "
+            "scanned.",
+            plan_of(flt),
+        ))
+
     # 4. projection+filter pushdown on a raw scan
     q = suite.QUERIES["scan_projection_filter"](spark, SF_DIR)
     sections.append((
