@@ -1443,19 +1443,28 @@ def _stat_num(col: str, c: ColumnSpec):
     return F.col(col).cast("long")
 
 
-def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec) -> DataFrame:
+def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
+                    man: DataFrame | None = None) -> DataFrame:
     """Prune whole chunks via the manifest's per-column zone maps.
 
-    Every encoded row carries its column's chunk min/max (min_value /
+    Every chunk x column row carries its value min/max (min_value /
     max_value, written by _encode_chunk); a chunk survives a filter iff
     its value range can intersect it — the parquet row-group-statistics
     idiom applied to this layout, so a selective filter never reads
     (let alone decodes) the payload bytes of non-matching chunks. Rows
     with NULL stats (all-null chunk, legacy pre-zone-map output) are
     conservatively kept.
+
+    When ``man`` is given the semi-join build side scans the MANIFEST —
+    a metadata table orders of magnitude smaller than the encoded table
+    at 10^12-sequence scale — instead of re-listing the encoded files
+    for their stat columns.
     """
-    if "min_value" not in enc.columns:
+    stats_src = man if man is not None and "min_value" in man.columns else enc
+    if "min_value" not in stats_src.columns:
         return enc
+    if man is not None and "status" in stats_src.columns:
+        stats_src = stats_src.filter(F.col("status") == "ok")
     keys = None
     for name, op, val in filters:
         c = _filter_spec_col(spec, name)
@@ -1475,7 +1484,7 @@ def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec) -> DataFrame:
             keep = mx >= F.lit(val)
         else:
             raise ValueError(f"unknown filter op {op!r}; one of {_FILTER_OPS}")
-        k = enc.filter(
+        k = stats_src.filter(
             (F.col("column") == name)
             & (keep | F.col("min_value").isNull() | F.col("max_value").isNull())
         ).select("run", "partition_id", "chunk_id")
@@ -1595,7 +1604,9 @@ def collect(
                 )
                 enc = _chunk_stat_prune(enc, key_chunks, spec)
             if filters:
-                enc = _zone_map_prune(enc, filters, spec)
+                enc = _zone_map_prune(
+                    enc, filters, spec,
+                    man=read_manifest(spark, source, as_of=as_of))
             extra = [] if key_chunks is None or spec.key in used else [spec.key]
             extra += [n for n, _, _ in (filters or ())
                       if n not in used and n not in extra]

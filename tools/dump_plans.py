@@ -90,13 +90,13 @@ def main() -> None:
                                       ("n_tok", ">=", 5)])
         sections.append((
             "collect with filters (zone-map pruning)",
-            "Two metadata-only legs ahead of any payload decode: the "
-            "zone-map semi-joins (BroadcastHashJoin LeftSemi per filter "
-            "column over min_value/max_value — payload column never "
-            "read there) shrink the chunk set, then the surviving "
-            "chunks decode and the residual Filter runs on decoded "
-            "rows. A non-matching chunk's payload bytes are never "
-            "scanned.",
+            "Exactly ONE scan of the encoded table (the payload read); "
+            "every metadata leg — ok-chunk semi-join and one zone-map "
+            "semi-join per filter column over min_value/max_value — "
+            "scans the MANIFEST (tiny; orders of magnitude below the "
+            "encoded table at 10^12 scale). The surviving chunks "
+            "decode, the residual Filter runs on decoded rows; a "
+            "non-matching chunk's payload bytes are never scanned.",
             plan_of(flt),
         ))
 
