@@ -390,6 +390,13 @@ def _decode_chunk(t: pa.Table, columns: list[str],
     out: dict = {}
     for name in columns:
         c = spec.col(name)
+        if name not in payloads:
+            # schema evolution (Iceberg add-column): a chunk frozen
+            # before the column existed decodes it as all-null — new
+            # runs carry values, old runs carry nulls, one read serves
+            # both without rewriting history
+            out[name] = pa.nulls(n_rows, c.pa_type)
+            continue
         valid, buf = _split_validity(payloads[name], n_rows)
         if c.is_list:
             lens_blob, pos = get_blob(buf, 0)

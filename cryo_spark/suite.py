@@ -475,6 +475,60 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "enc_schema_evolution",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 2 AS split FROM documents),
+    v AS (SELECT doc_id, n_tok,
+                 CASE WHEN doc_id < split THEN NULL
+                      ELSE 'l' || CAST(n_tok % 3 AS VARCHAR) END AS lang
+          FROM d, s)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum
+    FROM v GROUP BY lang
+    """,
+)
+def enc_schema_evolution(spark, sf_dir):
+    """Add-column schema evolution through the frozen layout.
+
+    The first key range freezes under the v1 spec (no ``lang``); the
+    second under v2 = v1 + lang (TableSpec.with_column — the Iceberg
+    add_column analog). ONE v2 read serves both: pre-evolution chunks
+    decode lang as null, post-evolution chunks carry the real values,
+    no history rewrite. The oracle recomputes the same null/value split
+    from the raw documents table, so a leak in either direction (old
+    chunks inventing values, new chunks losing them) shifts a group.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .tablespec import SEQUENCES, ColumnSpec
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_evolve_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    spec2 = SEQUENCES.with_column(ColumnSpec("lang", "str"))
+    src = sequences_from_documents(spark, sf_dir)
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = mx // 2
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    src.filter(key_num < split).write.parquet(f"{base}/in1")
+    src.filter(key_num >= split).withColumn(
+        "lang", F.concat(F.lit("l"), (F.col("n_tok") % 3).cast("string"))
+    ).write.parquet(f"{base}/in2")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in1", out, target_tokens=200_000)
+    engine.freeze(spark, f"{base}/in2", out, target_tokens=200_000,
+                  spec=spec2)
+    return engine.decode_frozen(spark, out, spec=spec2).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+    )
+
+
+@q(
     "scan_zone_pruned",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source

@@ -154,6 +154,20 @@ class TableSpec:
                 return c
         raise KeyError(name)
 
+    def with_column(self, col: ColumnSpec) -> "TableSpec":
+        """Schema evolution (Iceberg add-column): this spec + one column.
+
+        Outputs frozen under the OLD spec stay readable under the new
+        one — chunks that predate the column decode it as all-null
+        (engine._decode_chunk); new freezes carry real values. No
+        rewrite of committed history, same contract as Iceberg's
+        add_column metadata change.
+        """
+        import dataclasses
+
+        return dataclasses.replace(
+            self, name=self.name, columns=(*self.columns, col))
+
     @property
     def key_col(self) -> ColumnSpec:
         return self.col(self.key)
