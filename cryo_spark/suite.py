@@ -1993,6 +1993,111 @@ def ann_bucket_topk(spark, sf_dir):
     )
 
 
+_IVF_CENT_MOD = 61  # vec_id % MOD == 0 -> centroid (deterministic, SQL-replayable)
+_IVF_PROBES = 2
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+               FROM embeddings WHERE vec_id % {_IVF_CENT_MOD} = 0),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (SELECT e.vec_id, e.label, e.embedding, c.cid,
+                    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb) AS sim
+             FROM embeddings e CROSS JOIN c),
+    asg AS (SELECT vec_id, label, embedding, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cid) AS rn
+              FROM sims) WHERE rn = 1),
+    qp AS (SELECT c.cid FROM c CROSS JOIN q
+           ORDER BY list_cosine_similarity(c.cemb, q.qe) DESC, c.cid
+           LIMIT {_IVF_PROBES})
+    SELECT vec_id, CAST(label AS INT) AS label, CAST(cid AS BIGINT) AS cid
+    FROM (
+      SELECT a.vec_id, a.label, a.cid,
+             list_cosine_similarity(a.embedding::DOUBLE[], q.qe) AS fsim
+      FROM asg a JOIN qp ON a.cid = qp.cid CROSS JOIN q
+      WHERE a.vec_id != 0)
+    ORDER BY fsim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: coarse quantizer -> probe nearest cells -> exact rank.
+
+    The other named ANN scale path next to LSH bucketing
+    (ann_bucket_topk). Centroids are a deterministic sample (vec_id %
+    61 == 0 — at 10^12 scale this is a trained codebook; the plumbing
+    is identical), collected once (tiny) and closed over by a
+    vectorized mapInArrow kernel that assigns every vector to its
+    nearest centroid with ONE (n x d) @ (d x K) float64 matmul per
+    batch — no shuffle, no per-row Python. The query probes its
+    _IVF_PROBES nearest cells; only those cells' members get the exact
+    cosine ranking (TakeOrdered). At scale `cid` is the partition key,
+    so the probe prunes all but ~P/K of the table before any distance
+    math. The oracle replays assignment, probe, and ranking in the
+    same double-precision arithmetic.
+    """
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") % _IVF_CENT_MOD == 0)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    cids = np.array([r.vec_id for r in cents], dtype=np.int64)
+    C = np.array([r.embedding for r in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            col = t.column("embedding").combine_chunks()
+            lens = np.diff(np.asarray(col.offsets))
+            d = int(lens[0]) if n else 0
+            assert (lens == d).all(), "ragged embedding dims"
+            X = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(n, d)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            # argmax takes the FIRST max: cids are sorted ascending, so
+            # ties resolve to the lowest centroid id — the oracle's
+            # ORDER BY sim DESC, cid
+            best = (Xn @ Cn.T).argmax(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("vec_id").combine_chunks().cast(pa.int64()),
+                    t.column("label").combine_chunks().cast(pa.int32()),
+                    pa.array(cids[best]),
+                ],
+                names=["vec_id", "label", "cid"],
+            )
+
+    asg = e.select("vec_id", "label", "embedding").mapInArrow(
+        assign, "vec_id long, label int, cid long")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-300)
+    order = np.argsort(-(Cn @ qn), kind="stable")[:_IVF_PROBES]
+    probes = [int(c) for c in cids[order]]
+    query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
+    return (
+        asg.filter(F.col("cid").isin(probes) & (F.col("vec_id") != 0))
+        .join(e.select("vec_id", F.col("embedding").alias("a")), "vec_id")
+        .join(F.broadcast(query))
+        .select("vec_id", "label", "cid", F.expr(_COS_SPARK).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", "cid")
+    )
+
+
 @q(
     "token_count_regex",
     """
