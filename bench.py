@@ -202,7 +202,9 @@ QUERY_SUBSET = [
     "text_quality_score",
     "ann_cosine_topk",
     "ann_bucket_topk",
+    "ann_ivf_topk",
     "scan_key_range",
+    "scan_zone_pruned",
     "dedup_minhash_lsh",
     "dedup_clusters",
 ]

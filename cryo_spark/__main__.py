@@ -104,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="frozen output dir to vacuum in place")
     va.add_argument("--master", default=None)
 
+    dl = sub.add_parser("delete",
+                        help="row-level delete by predicate (equality-"
+                             "delete run + snapshot; merge-on-read)")
+    dl.add_argument("--output", required=True)
+    dl.add_argument("--table", default="sequences")
+    dl.add_argument("--keys", default=None,
+                    help="key-range spec (see freeze --keys)")
+    dl.add_argument("--filter", action="append", default=None,
+                    help="scalar predicate (see collect --filter)")
+    dl.add_argument("--master", default=None)
+
     rb = sub.add_parser("rollback",
                         help="reset current state to snapshot N "
                              "(history stays append-only; see snapshots)")
@@ -212,6 +223,14 @@ def main(argv: list[str] | None = None) -> int:
             import cryo_spark
 
             print(json.dumps(cryo_spark.vacuum(spark, args.output)))
+            return 0
+
+        if args.cmd == "delete":
+            import cryo_spark
+
+            print(json.dumps(cryo_spark.delete_where(
+                spark, args.output, keys=args.keys,
+                filters=_parse_filters(args.filter), spec=spec)))
             return 0
 
         import cryo_spark

@@ -697,10 +697,23 @@ def decode_frozen(spark: SparkSession, output_dir: str,
             snapshots.resolve(output_dir, as_of)  # raises if no log
         return spark.createDataFrame([], spec.spark_ddl(cols))
     man_runs = run_dirs(man_base)
-    # snapshot visibility: an explicit as_of, or an active rollback's
-    # current state (both replayed from the log); None = disk truth
+    # snapshot visibility: an explicit as_of, or an active
+    # rollback/delete state (both replayed from the log); None = disk truth
     vis = (snapshots.resolve(output_dir, as_of) if as_of is not None
            else snapshots.current(output_dir))
+    # equality deletes are row-level (merge-on-read): the key column
+    # must be decoded to anti-join them, then projected away if the
+    # caller didn't ask for it
+    need_del = vis is not None and bool(vis["deletes"])
+    dec_cols = cols if not need_del or spec.key in cols else [spec.key, *cols]
+
+    def finish(df: DataFrame) -> DataFrame:
+        if need_del:
+            df = _apply_deletes(spark, df, output_dir, vis, spec)
+            if dec_cols is not cols:
+                df = df.select(*cols)
+        return df
+
     if vis is not None:
         # only runs visible at this snapshot participate; a LATER run's
         # missing commit marker must not force the fallback
@@ -711,14 +724,15 @@ def decode_frozen(spark: SparkSession, output_dir: str,
         if root_success or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
     }
     if man_runs - committed:
-        return decode(read_encoded(spark, output_dir, as_of=as_of), cols, spec)
+        return finish(decode(read_encoded(spark, output_dir, as_of=as_of),
+                             dec_cols, spec))
     if vis is not None:
         man_vis = read_manifest(spark, output_dir, as_of=as_of)
         if man_vis is None or {f"run={r}" for r in vis["runs"]} - man_runs:
             # snapshot log names a run whose manifest dir is absent:
             # inconsistent state — let the relational path sort it out
-            return decode(read_encoded(spark, output_dir, as_of=as_of),
-                          cols, spec)
+            return finish(decode(read_encoded(spark, output_dir, as_of=as_of),
+                                 dec_cols, spec))
         _check_reconstructable(spark, output_dir, man_vis, vis)
     # compaction tombstones (committed writer runs only): per-target-run
     # packed bitmaps of retired chunk_ids, applied inside the file kernel
@@ -762,7 +776,9 @@ def decode_frozen(spark: SparkSession, output_dir: str,
                     clean_files.append(p)
             elif os.path.isdir(p):
                 # partition_by nested layout: fall back
-                return decode(read_encoded(spark, output_dir), cols, spec)
+                return finish(decode(read_encoded(spark, output_dir,
+                                                  as_of=as_of),
+                                     dec_cols, spec))
     if not clean_files and not dropped_files:
         return spark.createDataFrame([], spec.spark_ddl(cols))
     from . import sources
@@ -772,17 +788,17 @@ def decode_frozen(spark: SparkSession, output_dir: str,
     if clean_files:
         legs.append(sources.arrow_scan_files(
             spark, clean_files, read_cols,
-            _decode_files_kernel(cols, spec), spec.spark_ddl(cols)))
+            _decode_files_kernel(dec_cols, spec), spec.spark_ddl(dec_cols)))
     for r, fl in sorted(dropped_files.items()):
         legs.append(sources.arrow_scan_files(
             spark, fl, read_cols,
-            _decode_files_kernel(cols, spec,
+            _decode_files_kernel(dec_cols, spec,
                                  drop_bits=drop_by_run[r].tobytes()),
-            spec.spark_ddl(cols)))
+            spec.spark_ddl(dec_cols)))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    return out
+    return finish(out)
 
 
 # ---------------------------------------------------------------------------
@@ -799,6 +815,70 @@ def _encoded_path(output_dir: str) -> str:
 
 def _tombstones_path(output_dir: str) -> str:
     return f"{output_dir}/tombstones"
+
+
+def _deletes_path(output_dir: str) -> str:
+    return f"{output_dir}/deletes"
+
+
+def _apply_deletes(spark: SparkSession, df: DataFrame, output_dir: str,
+                   vis: dict, spec: TableSpec) -> DataFrame:
+    """Anti-join the snapshot's visible equality-delete keys.
+
+    Merge-on-read: delete runs are key files (engine.delete_where),
+    applied at read time. No broadcast hint — AQE broadcasts small
+    delete sets itself, and a billion-key delete set must shuffle."""
+    if not vis.get("deletes"):
+        return df
+    paths = [f"{_deletes_path(output_dir)}/run={r}"
+             for r in sorted(vis["deletes"])]
+    dk = spark.read.parquet(*paths).select(spec.key).distinct()
+    return df.join(dk, spec.key, "left_anti")
+
+
+def delete_where(
+    spark: SparkSession,
+    output_dir: str,
+    keys: str | None = None,
+    filters: list[tuple] | None = None,
+    spec: TableSpec = SEQUENCES,
+) -> dict:
+    """Row-level delete by predicate — Iceberg equality-delete analog.
+
+    Writes the matching keys as a delete run (``deletes/run=<id>``) and
+    commits it as a snapshot entry; every read path then anti-joins the
+    keys (merge-on-read) — no data file is rewritten. Time travel to a
+    pre-delete snapshot sees the rows again, and rollback un-deletes.
+    ``keys`` takes the block-range grammar, ``filters`` the
+    (column, op, value) triples; matching rows are resolved against the
+    CURRENT state (prior deletes already applied), with zone-map chunk
+    pruning doing the scan reduction. The reference has no delete (its
+    outputs are immutable archives); this is the training-data-pipeline
+    operation (contamination removal, dedup application) the mission
+    adds on top.
+    """
+    if "://" in output_dir:
+        raise ValueError("delete_where needs the local snapshot log; on a "
+                         "real catalog this maps to Iceberg DELETE FROM")
+    if keys is None and not filters:
+        raise ValueError("specify keys= and/or filters= (a full-table "
+                         "delete must be spelled out, e.g. keys=':latest')")
+    t0 = time.perf_counter()
+    matched = collect(spark, output_dir, columns=[spec.key], keys=keys,
+                      filters=filters, spec=spec)
+    run_id = uuid.uuid4().hex[:12]
+    del_dir = f"{_deletes_path(output_dir)}/run={run_id}"
+    matched.distinct().write.mode("error").parquet(del_dir)
+    n = spark.read.parquet(del_dir).count()
+    if n == 0:
+        import shutil
+
+        shutil.rmtree(del_dir, ignore_errors=True)
+        return dict(snapshot=None, run=None, n_deleted=0,
+                    wall_s=time.perf_counter() - t0)
+    snap = snapshots.commit(output_dir, run_id, "delete", n_keys=n)
+    return dict(snapshot=snap, run=run_id, n_deleted=n,
+                wall_s=time.perf_counter() - t0)
 
 
 def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
@@ -1601,6 +1681,9 @@ def collect(
                                as_of=as_of)
         else:
             enc = read_encoded(spark, source, as_of=as_of)
+            vis = (snapshots.resolve(source, as_of) if as_of is not None
+                   else snapshots.current(source))
+            need_del = vis is not None and bool(vis["deletes"])
             if keys is not None:
                 man = read_manifest(spark, source, as_of=as_of)
                 key_chunks = _parse_keys(
@@ -1617,6 +1700,8 @@ def collect(
             extra = [] if key_chunks is None or spec.key in used else [spec.key]
             extra += [n for n, _, _ in (filters or ())
                       if n not in used and n not in extra]
+            if need_del and spec.key not in used and spec.key not in extra:
+                extra.append(spec.key)
             df = decode(enc, columns=[*extra, *used] if extra else used,
                         spec=spec)
             if key_chunks is not None:
@@ -1624,6 +1709,8 @@ def collect(
                     ranges.key_predicate(key_chunks, _key_expr(spec)))
             if residual is not None:
                 df = df.filter(residual)
+            if need_del:
+                df = _apply_deletes(spark, df, source, vis, spec)
             if key_chunks is not None or extra:
                 df = df.select(*used)
     else:

@@ -81,30 +81,35 @@ def log(output_dir: str) -> list[dict]:
     return out
 
 
-def _state_at(entries: list[dict], seq: int) -> set[str]:
-    """Replay the log up to ``seq``: the set of visible data runs.
+def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
+    """Replay the log up to ``seq``: (visible data runs, delete runs).
 
-    append/rewrite add their run; a rollback entry RESETS visibility to
-    the state at its target (recursively — a rollback's target may
-    itself be a post-rollback snapshot). Vacuum entries change nothing
-    here: deletion is physical, visibility is logical.
+    append/rewrite add their data run; a ``delete`` entry adds its
+    equality-delete run (deletes/run=<id>, engine.delete_where); a
+    rollback entry RESETS both sets to the state at its target
+    (recursively — a rollback's target may itself be a post-rollback
+    snapshot), so rolling back past a delete un-deletes. Vacuum entries
+    change nothing here: deletion is physical, visibility is logical.
     """
     vis: set[str] = set()
+    dels: set[str] = set()
     for e in entries:
         if e["seq"] > seq:
             break
         if e["kind"] in _DATA_KINDS and e["run"]:
             vis.add(e["run"])
+        elif e["kind"] == "delete" and e["run"]:
+            dels.add(e["run"])
         elif e["kind"] == "rollback":
-            vis = _state_at(entries, e["target"])
-    return vis
+            vis, dels = _state_at(entries, e["target"])
+    return vis, dels
 
 
 def resolve(output_dir: str, as_of: int) -> dict:
     """Visibility state at snapshot ``as_of``.
 
-    Returns ``{"runs": set[str], "removed": set[str], "max_seq": int}``
-    where ``runs`` is the rollback-aware replay of the log up to
+    Returns ``{"runs", "deletes", "removed", "max_seq"}`` where
+    ``runs``/``deletes`` are the rollback-aware replay of the log up to
     ``as_of`` and ``removed`` is every run physically deleted by a
     vacuum at ANY seq (deletion is physical — it affects every
     snapshot's readability, not just later ones). Raises if the output
@@ -123,7 +128,8 @@ def resolve(output_dir: str, as_of: int) -> dict:
         if e["kind"] == "vacuum"
         for r in e.get("removed_runs", [])
     }
-    return dict(runs=_state_at(entries, as_of), removed=removed,
+    runs, dels = _state_at(entries, as_of)
+    return dict(runs=runs, deletes=dels, removed=removed,
                 max_seq=entries[-1]["seq"])
 
 
@@ -137,7 +143,7 @@ def current(output_dir: str) -> dict | None:
     filter to the replayed run set.
     """
     entries = log(output_dir)
-    if not any(e["kind"] == "rollback" for e in entries):
+    if not any(e["kind"] in ("rollback", "delete") for e in entries):
         return None
     return resolve(output_dir, entries[-1]["seq"])
 

@@ -475,6 +475,54 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "enc_delete_where",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source
+               FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(0 AS BIGINT) AS n_deleted_left,
+           true AS committed
+    FROM d WHERE source <> 'src3'
+    """,
+)
+def enc_delete_where(spark, sf_dir):
+    """Row-level delete end-to-end, oracle-checked.
+
+    Freeze, then ``delete_where(source = 'src3')`` — an equality-delete
+    run committed through the snapshot log, applied merge-on-read by
+    every read (engine._apply_deletes). The oracle recomputes the
+    surviving corpus from the raw table; ``n_deleted_left`` pins that
+    not one deleted row leaks back through either read path, and the
+    row/token sums pin that nothing EXTRA was deleted.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_delete_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=100_000)
+    d = engine.delete_where(spark, out, filters=[("source", "=", "src3")])
+    dec = engine.decode_frozen(spark, out)
+    return dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.sum(F.when(F.col("source") == "src3", 1).otherwise(0))
+        .cast("long").alias("n_deleted_left"),
+    ).select(
+        "*",
+        F.lit(d["n_deleted"] > 0 and d["snapshot"] is not None)
+        .alias("committed"),
+    )
+
+
+@q(
     "enc_schema_evolution",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
