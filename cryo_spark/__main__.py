@@ -115,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="scalar predicate (see collect --filter)")
     dl.add_argument("--master", default=None)
 
+    pg = sub.add_parser("purge",
+                        help="physically apply committed deletes "
+                             "(copy-on-write rewrite of affected chunks)")
+    pg.add_argument("--output", required=True)
+    pg.add_argument("--table", default="sequences")
+    pg.add_argument("--target-tokens", type=int, default=2 << 20)
+    pg.add_argument("--master", default=None)
+
     rb = sub.add_parser("rollback",
                         help="reset current state to snapshot N "
                              "(history stays append-only; see snapshots)")
@@ -231,6 +239,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(cryo_spark.delete_where(
                 spark, args.output, keys=args.keys,
                 filters=_parse_filters(args.filter), spec=spec)))
+            return 0
+
+        if args.cmd == "purge":
+            import cryo_spark
+
+            print(json.dumps(cryo_spark.purge_deletes(
+                spark, args.output, target_tokens=args.target_tokens,
+                spec=spec)))
             return 0
 
         import cryo_spark

@@ -881,6 +881,116 @@ def delete_where(
                 wall_s=time.perf_counter() - t0)
 
 
+def purge_deletes(
+    spark: SparkSession,
+    output_dir: str,
+    target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
+    spec: TableSpec = SEQUENCES,
+) -> dict:
+    """Physically apply the visible equality deletes (copy-on-write).
+
+    ``delete_where`` is merge-on-read: every read pays the anti-join
+    until the deleted rows stop existing. This is the major-compaction
+    step that ends that: chunks whose key range can contain a deleted
+    key are decoded, the deleted rows dropped, the survivors re-encoded
+    as one new run; the originals retire via tombstones and the delete
+    runs leave the merge-on-read set in the SAME snapshot (kind
+    'purge'), so reads flip atomically from filtered-old-chunks to
+    clean-new-chunks — Iceberg's rewrite_data_files +
+    rewrite_position_delete_files pair in one commit. Untouched chunks
+    (key range disjoint from every deleted key) are not rewritten or
+    even read.
+    """
+    t_start = time.perf_counter()
+    no_op = dict(snapshot=None, run=None, n_rewritten=0, n_purged_rows=0,
+                 wall_s=0.0)
+    vis = snapshots.current(output_dir) if "://" not in output_dir else None
+    if vis is None or not vis["deletes"]:
+        return no_op
+    man = read_manifest(spark, output_dir)  # current-visible rows
+    if man is None:
+        return no_op
+    payload_col = spec.list_column or spec.key
+    dk_paths = [f"{_deletes_path(output_dir)}/run={r}"
+                for r in sorted(vis["deletes"])]
+    dk = spark.read.parquet(*dk_paths).select(spec.key).distinct()
+    # affected = live chunks whose manifest key range intersects any
+    # delete key (zone-map range join; the delete side is the small
+    # one). Numeric compare when the key has a numeric form; the
+    # manifest stores str(key), so generic string keys compare
+    # lexicographically (exact for equality-in-range checks).
+    try:
+        dk_num = _key_expr(spec)
+        kmin_e = _manifest_key_num("min_doc_id", spec)
+        kmax_e = _manifest_key_num("max_doc_id", spec)
+    except ValueError:
+        dk_num = F.col(spec.key).cast("string")
+        kmin_e, kmax_e = F.col("min_doc_id"), F.col("max_doc_id")
+    live = _visible_ok_keys(spark, output_dir, man)
+    ranges_df = man.filter(
+        (F.col("status") == "ok") & (F.col("column") == payload_col)
+    ).select("run", "partition_id", "chunk_id",
+             kmin_e.alias("kmin"), kmax_e.alias("kmax"))
+    affected = (
+        ranges_df.join(live, ["run", "partition_id", "chunk_id"], "left_semi")
+        .join(F.broadcast(dk.select(dk_num.alias("kdel"))),
+              (F.col("kdel") >= F.col("kmin"))
+              & (F.col("kdel") <= F.col("kmax")), "left_semi")
+        .select("run", "partition_id", "chunk_id")
+        .distinct()
+    )
+    n_affected = affected.count()
+    if n_affected == 0:
+        # keys match nothing physical (already purged / never existed):
+        # still retire the delete runs so reads stop anti-joining
+        snap = snapshots.commit(output_dir, None, "purge",
+                                purged_deletes=sorted(vis["deletes"]))
+        return dict(snapshot=snap, run=None, n_rewritten=0, n_purged_rows=0,
+                    wall_s=time.perf_counter() - t_start)
+    enc_subset = read_encoded(spark, output_dir).join(
+        F.broadcast(affected), ["run", "partition_id", "chunk_id"],
+        "left_semi")
+    rows = decode(enc_subset, spec=spec)
+    keep = rows.join(dk, spec.key, "left_anti").localCheckpoint()
+    n_before = rows.count()
+    n_keep = keep.count()
+    if n_keep == 0:
+        # nothing survives the rewrite: an empty run cannot carry the
+        # manifest commit that retires the originals — keep merge-on-read
+        # (documented edge; a later append makes the next purge succeed)
+        return dict(snapshot=None, run=None, n_rewritten=0, n_purged_rows=0,
+                    wall_s=time.perf_counter() - t_start,
+                    reason="all affected rows deleted; merge-on-read kept")
+    plan = layout.plan_chunks(keep, target_tokens, spec=spec)
+    run_id = uuid.uuid4().hex[:12]
+    enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
+    _grouped_encode(keep, plan, spec=spec).write.mode("error") \
+        .option("compression", "uncompressed") \
+        .option("parquet.enable.dictionary", "false") \
+        .parquet(enc_dir)
+    affected.withColumnRenamed("run", "target_run").coalesce(1) \
+        .write.mode("error") \
+        .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
+    written = spark.read.parquet(enc_dir)
+    man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
+    written.select(*MANIFEST_COLUMNS).withColumn(
+        "plan_id", F.lit(_plan_fingerprint(plan))
+    ).write.mode("error").parquet(man_dir)
+    snap = snapshots.commit(output_dir, run_id, "purge",
+                            purged_deletes=sorted(vis["deletes"]),
+                            n_retired=n_affected)
+    summary = dict(
+        snapshot=snap, run=run_id, n_rewritten=n_affected,
+        n_new_chunks=plan.n_chunks, n_purged_rows=n_before - n_keep,
+        wall_s=time.perf_counter() - t_start,
+    )
+    _write_report(output_dir, run_id, dict(
+        version="cryo_spark 0.1.0", status="completed",
+        command="purge_deletes", **summary,
+    ))
+    return summary
+
+
 def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
     """Tombstone rows (target_run, partition_id, chunk_id) + writer `run`.
 

@@ -100,6 +100,13 @@ def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
             vis.add(e["run"])
         elif e["kind"] == "delete" and e["run"]:
             dels.add(e["run"])
+        elif e["kind"] == "purge":
+            # physical apply (engine.purge_deletes): the rewrite run
+            # joins the data set, the applied delete runs leave the
+            # merge-on-read set in the same atomic step
+            if e["run"]:
+                vis.add(e["run"])
+            dels -= set(e.get("purged_deletes", []))
         elif e["kind"] == "rollback":
             vis, dels = _state_at(entries, e["target"])
     return vis, dels

@@ -482,19 +482,24 @@ def enc_time_travel(spark, sf_dir):
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(n_tok) AS BIGINT) AS tok_sum,
            CAST(0 AS BIGINT) AS n_deleted_left,
-           true AS committed
+           true AS committed,
+           true AS purged
     FROM d WHERE source <> 'src3'
     """,
 )
 def enc_delete_where(spark, sf_dir):
-    """Row-level delete end-to-end, oracle-checked.
+    """Row-level delete + physical purge end-to-end, oracle-checked.
 
     Freeze, then ``delete_where(source = 'src3')`` — an equality-delete
     run committed through the snapshot log, applied merge-on-read by
-    every read (engine._apply_deletes). The oracle recomputes the
+    every read (engine._apply_deletes) — then ``purge_deletes``: the
+    copy-on-write rewrite that drops the rows physically and retires
+    the delete runs in one snapshot. The oracle recomputes the
     surviving corpus from the raw table; ``n_deleted_left`` pins that
-    not one deleted row leaks back through either read path, and the
-    row/token sums pin that nothing EXTRA was deleted.
+    not one deleted row leaks back, the row/token sums pin that nothing
+    EXTRA was deleted, and ``purged`` pins that the RAW file read (which
+    bypasses delete files) now matches too — i.e. the bytes are gone,
+    not merely masked.
     """
     import os
     import shutil
@@ -509,7 +514,10 @@ def enc_delete_where(spark, sf_dir):
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=100_000)
     d = engine.delete_where(spark, out, filters=[("source", "=", "src3")])
+    p = engine.purge_deletes(spark, out, target_tokens=100_000)
     dec = engine.decode_frozen(spark, out)
+    n_logical = dec.count()
+    n_raw = engine.decode(engine.read_encoded(spark, out)).count()
     return dec.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("n_tok").cast("long").alias("tok_sum"),
@@ -519,6 +527,7 @@ def enc_delete_where(spark, sf_dir):
         "*",
         F.lit(d["n_deleted"] > 0 and d["snapshot"] is not None)
         .alias("committed"),
+        F.lit(p["run"] is not None and n_raw == n_logical).alias("purged"),
     )
 
 

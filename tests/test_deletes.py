@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cryo_spark import (collect, compact, decode, decode_frozen,
-                        delete_where, freeze, write_sequences)
+                        delete_where, freeze, purge_deletes, write_sequences)
 from cryo_spark import snapshots
 from cryo_spark.engine import read_encoded
 
@@ -107,3 +107,53 @@ def test_delete_validation(spark, frozen):
     _, out = frozen
     with pytest.raises(ValueError, match="keys= and/or filters="):
         delete_where(spark, out)
+
+
+def test_purge_physically_applies(spark, frozen):
+    src, out = frozen
+    delete_where(spark, out, keys="0:100")
+    p = purge_deletes(spark, out, target_tokens=400_000)
+    assert p["run"] is not None and p["n_purged_rows"] == 100
+    assert p["n_rewritten"] > 0
+    want = _ids(spark.read.parquet(src).filter(
+        "doc_id >= 'doc-000000000100'"))
+    # logical view unchanged...
+    assert _ids(decode_frozen(spark, out)) == want
+    assert _ids(collect(spark, out)) == want
+    # ...but now it's PHYSICAL: the raw file read no longer contains the
+    # deleted rows (pre-purge it did, test_raw_read_bypasses_deletes)
+    assert _ids(decode(read_encoded(spark, out))) == want
+    # current state carries no delete runs anymore (no anti-join cost)
+    cur = snapshots.current(out)
+    assert cur is not None and cur["deletes"] == set()
+
+
+def test_purge_time_travel(spark, frozen):
+    src, out = frozen
+    all_ids = _ids(spark.read.parquet(src))
+    delete_where(spark, out, keys="0:100")     # seq 2
+    purge_deletes(spark, out, target_tokens=400_000)  # seq 3
+    # pre-delete snapshot: everything; post-delete pre-purge: filtered
+    # via merge-on-read; post-purge: filtered physically
+    assert _ids(decode_frozen(spark, out, as_of=1)) == all_ids
+    assert len(_ids(decode_frozen(spark, out, as_of=2))) == 400
+    assert len(_ids(decode_frozen(spark, out, as_of=3))) == 400
+    # rollback to pre-delete restores the rows (originals still on disk)
+    snapshots.rollback(out, 1)
+    assert _ids(decode_frozen(spark, out)) == all_ids
+
+
+def test_purge_untouched_chunks_not_rewritten(spark, frozen):
+    _, out = frozen
+    from cryo_spark.engine import read_manifest
+    n_chunks = read_manifest(spark, out).count() // 4  # 4 columns/chunk
+    delete_where(spark, out, keys="0:10")
+    p = purge_deletes(spark, out, target_tokens=400_000)
+    # the keys live in few chunks; most chunks must not be touched
+    assert 0 < p["n_rewritten"] < n_chunks
+
+
+def test_purge_noop_without_deletes(spark, frozen):
+    _, out = frozen
+    p = purge_deletes(spark, out)
+    assert p["run"] is None and p["snapshot"] is None
