@@ -115,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="scalar predicate (see collect --filter)")
     dl.add_argument("--master", default=None)
 
+    tg = sub.add_parser("tag",
+                        help="name a snapshot (collect --as-of <name>); "
+                             "re-tagging moves it (WAP publish idiom)")
+    tg.add_argument("--output", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--seq", type=int, default=None,
+                    help="target snapshot (default: latest)")
+
     pg = sub.add_parser("purge",
                         help="physically apply committed deletes "
                              "(copy-on-write rewrite of affected chunks)")
@@ -143,9 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="table spec name (tablespec.SPECS)")
     co.add_argument("--columns", default=None, help="comma list or 'all'")
     co.add_argument("--keys", default=None, help="key-range spec (see freeze --keys)")
-    co.add_argument("--as-of", type=int, default=None, dest="as_of",
-                    help="read an encoded output at snapshot seq N "
-                         "(see the snapshots command)")
+    co.add_argument("--as-of", default=None, dest="as_of",
+                    help="read an encoded output at snapshot seq N or "
+                         "tag name (see the snapshots / tag commands)")
     co.add_argument("--filter", action="append", default=None,
                     help="scalar predicate, e.g. source=s1 or n_tok>=10 "
                          "(repeatable; AND-combined; zone-map pruned on "
@@ -190,6 +198,15 @@ def main(argv: list[str] | None = None) -> int:
 
         seq = snap_mod.rollback(args.output, args.to_seq)
         print(json.dumps({"snapshot": seq, "target": args.to_seq}))
+        return 0
+
+    if args.cmd == "tag":
+        from cryo_spark import snapshots as snap_mod
+
+        seq = snap_mod.tag(args.output, args.name, args.seq)
+        print(json.dumps({"snapshot": seq, "tag": args.name,
+                          "target": snap_mod.resolve_ref(args.output,
+                                                         args.name)}))
         return 0
 
     from cryo_spark.session import get_spark
@@ -257,7 +274,9 @@ def main(argv: list[str] | None = None) -> int:
             include=_split(args.include_columns),
             exclude=_split(args.exclude_columns),
             sort=args.sort, hex=args.hex, keys=args.keys,
-            spec=spec, as_of=args.as_of,
+            spec=spec,
+            as_of=(int(args.as_of) if args.as_of is not None
+                   and args.as_of.lstrip("-").isdigit() else args.as_of),
             filters=_parse_filters(args.filter),
         )
         if args.format:

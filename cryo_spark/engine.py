@@ -649,7 +649,7 @@ def _decode_files_kernel(columns: list[str], spec: TableSpec,
 def decode_frozen(spark: SparkSession, output_dir: str,
                   columns: list[str] | None = None,
                   spec: TableSpec = SEQUENCES,
-                  as_of: int | None = None) -> DataFrame:
+                  as_of: int | str | None = None) -> DataFrame:
     """Shuffle-free decode of a frozen output dir.
 
     The encode stage co-locates every chunk's rows inside one encoded
@@ -1008,7 +1008,7 @@ def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
 
 
 def read_manifest(spark: SparkSession, output_dir: str,
-                  as_of: int | None = None,
+                  as_of: int | str | None = None,
                   raw: bool = False) -> DataFrame | None:
     """Manifest rows; ``as_of`` restricts to runs committed at seq <= as_of.
 
@@ -1066,7 +1066,7 @@ def _check_reconstructable(spark: SparkSession, output_dir: str,
 
 
 def read_encoded(spark: SparkSession, output_dir: str,
-                 as_of: int | None = None) -> DataFrame:
+                 as_of: int | str | None = None) -> DataFrame:
     """Committed chunks only: encoded rows whose chunk is in the manifest.
 
     A run that died between writing encoded files and committing its
@@ -1728,7 +1728,7 @@ def collect(
     hex: bool = False,
     keys: str | None = None,
     spec: TableSpec = SEQUENCES,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
     filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Projected (optionally sorted) dataset as one DataFrame, no sink.

@@ -112,8 +112,8 @@ def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
     return vis, dels
 
 
-def resolve(output_dir: str, as_of: int) -> dict:
-    """Visibility state at snapshot ``as_of``.
+def resolve(output_dir: str, as_of: int | str) -> dict:
+    """Visibility state at snapshot ``as_of`` (a seq number or tag name).
 
     Returns ``{"runs", "deletes", "removed", "max_seq"}`` where
     ``runs``/``deletes`` are the rollback-aware replay of the log up to
@@ -129,6 +129,8 @@ def resolve(output_dir: str, as_of: int) -> dict:
             f"no snapshot log under {output_dir!r}: output predates "
             "snapshotting (or is not a frozen output dir)"
         )
+    if isinstance(as_of, str):
+        as_of = resolve_ref(output_dir, as_of)
     removed = {
         r
         for e in entries
@@ -153,6 +155,41 @@ def current(output_dir: str) -> dict | None:
     if not any(e["kind"] in ("rollback", "delete") for e in entries):
         return None
     return resolve(output_dir, entries[-1]["seq"])
+
+
+def tag(output_dir: str, name: str, seq: int | None = None) -> int:
+    """Name a snapshot (Iceberg tag): ``as_of='name'`` resolves to it.
+
+    Tags are append-only log entries too (kind 'tag'); re-tagging the
+    same name moves it (latest entry wins), which doubles as the
+    branch-head idiom for a write-audit-publish flow: freeze, verify at
+    the new seq, then ``tag(out, 'published', seq)``. Defaults to the
+    latest snapshot.
+    """
+    entries = log(output_dir)
+    if not entries:
+        raise ValueError("nothing to tag: no snapshot log")
+    head = entries[-1]["seq"]
+    seq = head if seq is None else seq
+    if not 0 <= seq <= head:
+        raise ValueError(f"tag target {seq} outside history [0, {head}]")
+    if not name or name.strip() != name:
+        raise ValueError(f"bad tag name {name!r}")
+    return commit(output_dir, None, "tag", tag=name, target=seq)
+
+
+def resolve_ref(output_dir: str, ref: int | str) -> int:
+    """A snapshot reference -> sequence number.
+
+    Ints pass through; a string resolves the latest tag entry with that
+    name (latest wins, so moved tags behave like branch heads).
+    """
+    if not isinstance(ref, str):
+        return ref
+    for e in reversed(log(output_dir)):
+        if e["kind"] == "tag" and e.get("tag") == ref:
+            return e["target"]
+    raise ValueError(f"unknown tag {ref!r} under {output_dir!r}")
 
 
 def rollback(output_dir: str, target: int) -> int:

@@ -183,3 +183,30 @@ def test_rollback_validation(tmp_path):
     snapshots.commit(out, "r1", "append")
     with pytest.raises(ValueError, match="outside history"):
         snapshots.rollback(out, 5)
+
+
+def test_tags_resolve_and_move(spark, two_appends):
+    src, out = two_appends
+    first = _ids(spark.read.parquet(src).filter(
+        F.col("doc_id") < "doc-000000000300"))
+    both = _ids(spark.read.parquet(src))
+    snapshots.tag(out, "v1", 1)
+    snapshots.tag(out, "published")  # defaults to latest (= 2)
+    assert _ids(decode_frozen(spark, out, as_of="v1")) == first
+    assert _ids(collect(spark, out, as_of="published")) == both
+    # re-tagging moves the name (WAP publish): point 'published' at v1
+    snapshots.tag(out, "published", 1)
+    assert _ids(collect(spark, out, as_of="published")) == first
+    with pytest.raises(ValueError, match="unknown tag"):
+        decode_frozen(spark, out, as_of="nope").count()
+
+
+def test_tag_validation(tmp_path):
+    out = str(tmp_path)
+    with pytest.raises(ValueError, match="nothing to tag"):
+        snapshots.tag(out, "x")
+    snapshots.commit(out, "r1", "append")
+    with pytest.raises(ValueError, match="outside history"):
+        snapshots.tag(out, "x", 9)
+    with pytest.raises(ValueError, match="bad tag name"):
+        snapshots.tag(out, " padded ")
