@@ -37,12 +37,13 @@ ENCODED_DDL = (
     "partition_id int, chunk_id int, column string, codec_id string, "
     "n_rows long, n_values long, raw_bytes long, enc_bytes long, "
     "min_doc_id string, max_doc_id string, min_value string, "
-    "max_value string, wall_ms double, status string, payload binary"
+    "max_value string, key_bloom binary, wall_ms double, status string, "
+    "payload binary"
 )
 MANIFEST_COLUMNS = [
     "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
     "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "min_value",
-    "max_value", "wall_ms", "status",
+    "max_value", "key_bloom", "wall_ms", "status",
 ]
 SEQUENCES_DDL = SEQUENCES.spark_ddl()  # "doc_id string, tokens array<int>, ..."
 
@@ -74,6 +75,12 @@ _ENCODED_PA_SCHEMA = pa.schema(
         # the parquet row-group statistics idiom applied to this layout.
         ("min_value", pa.string()),
         ("max_value", pa.string()),
+        # key Bloom filter (hashing.bloom_build), on the key column's
+        # row only: chunk placement is hash-bucketed, so key RANGES span
+        # the whole space and zone maps can't prune point lookups; the
+        # bloom restores O(matching chunks) point reads (~10 bits/key,
+        # ~1% FP) — the parquet bloom-filter idiom for this layout
+        ("key_bloom", pa.binary()),
         ("wall_ms", pa.float64()),
         ("status", pa.string()),
         ("payload", pa.binary()),
@@ -257,6 +264,7 @@ def _failed_chunk_row(chunk: pa.Table, err: Exception,
         codec_id=f"error:{type(err).__name__}",
         n_rows=chunk.num_rows, n_values=0, raw_bytes=0, enc_bytes=0,
         min_doc_id="", max_doc_id="", min_value=None, max_value=None,
+        key_bloom=None,
         wall_ms=0.0, status=f"failed: {err}"[:200], payload=b"",
     )
     return pa.table({k: [v] for k, v in row.items()}, schema=_ENCODED_PA_SCHEMA)
@@ -298,7 +306,8 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
 
     def emit(column: str, codec_id: str, payload: bytes, n_values: int,
              raw_bytes: int, wall_ms: float,
-             stats: tuple[str, str] | None = None) -> None:
+             stats: tuple[str, str] | None = None,
+             bloom: bytes | None = None) -> None:
         out.append(
             dict(
                 partition_id=pid, chunk_id=cid, column=column, codec_id=codec_id,
@@ -306,6 +315,7 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
                 enc_bytes=len(payload), min_doc_id=min_doc, max_doc_id=max_doc,
                 min_value=None if stats is None else stats[0],
                 max_value=None if stats is None else stats[1],
+                key_bloom=bloom,
                 wall_ms=wall_ms, status="ok", payload=payload,
             )
         )
@@ -324,6 +334,10 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
             return None
         mm = pc.min_max(arr)  # ignores nulls
         return str(mm["min"].as_py()), str(mm["max"].as_py())
+
+    # bloom over the key strings (int keys hash their decimal form via
+    # hash_utf8's cast — the same form the manifest min/max store)
+    key_bloom = hashing.bloom_build(hashing.hash_utf8(key))
 
     for c in spec.columns:
         t0 = time.perf_counter()
@@ -361,14 +375,16 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
             raw = int(pc.sum(pc.binary_length(arr)).as_py() or 0) + 4 * n_rows
             emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr), n_rows,
                  raw, (time.perf_counter() - t0) * 1000,
-                 stats=None if c.kind == "binary" else _arr_stats(arr))
+                 stats=None if c.kind == "binary" else _arr_stats(arr),
+                 bloom=key_bloom if c.name == spec.key else None)
         else:
             dt = c.np_dtype
             vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(dt)
             ch = (choose_float if dt.kind == "f" else choose_int)(vals)
             emit(c.name, ch.codec_id, _frame_validity(ch.payload, arr),
                  n_rows, int(vals.nbytes), (time.perf_counter() - t0) * 1000,
-                 stats=_arr_stats(arr))
+                 stats=_arr_stats(arr),
+                 bloom=key_bloom if c.name == spec.key else None)
 
     cols = {name: [r[name] for r in out] for name in _ENCODED_PA_SCHEMA.names}
     return pa.table(cols, schema=_ENCODED_PA_SCHEMA)
@@ -939,6 +955,15 @@ def purge_deletes(
         .select("run", "partition_id", "chunk_id")
         .distinct()
     )
+    # hash layout: chunk key ranges span the space, so the range join
+    # alone marks nearly every chunk affected; for bounded delete sets
+    # the per-chunk key blooms cut that to the true containers (+FP)
+    probe = dk.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
+    if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+        bk = _bloom_chunk_keys(man, [str(r[0]) for r in probe], spec)
+        if bk is not None:
+            affected = affected.join(bk, ["run", "partition_id", "chunk_id"],
+                                     "left_semi")
     n_affected = affected.count()
     if n_affected == 0:
         # keys match nothing physical (already purged / never existed):
@@ -1616,6 +1641,81 @@ def _chunk_stat_prune(enc: DataFrame, chunks,
     return enc.filter(pred)
 
 
+_BLOOM_PRUNE_MAX_KEYS = 4096
+
+
+def _point_numbers(chunks) -> list[int] | None:
+    """Explicit key points of a parsed range spec (bloom-prunable), or
+    None when any token is a dense range too wide to enumerate."""
+    from . import ranges
+
+    nums: list[int] = []
+    for c in chunks:
+        if isinstance(c, ranges.KeyNumbers):
+            nums.extend(c.numbers)
+        elif (c.end - c.start) // c.stride + 1 <= _BLOOM_PRUNE_MAX_KEYS and (
+            c.stride > 1 or c.end - c.start + 1 <= 64
+        ):
+            nums.extend(range(c.start, c.end + 1, c.stride))
+        else:
+            return None
+    return nums if 0 < len(nums) <= _BLOOM_PRUNE_MAX_KEYS else None
+
+
+def _key_str_forms(numbers, spec: TableSpec) -> list[str] | None:
+    """Requested key numbers -> the stored key-string forms, or None
+    when the key has no known string format (no bloom pruning then)."""
+    if spec.key_col.kind in ("int32", "int64"):
+        return [str(int(n)) for n in numbers]
+    if spec.name == SEQUENCES.name:
+        return [KEY_FMT % int(n) for n in numbers]
+    return None
+
+
+def _bloom_chunk_keys(man: DataFrame, key_strs: list[str],
+                      spec: TableSpec) -> DataFrame | None:
+    """Chunks whose key bloom possibly contains ANY requested key.
+
+    Hash placement makes chunk key RANGES span the whole space, so zone
+    maps cannot prune point lookups; the per-chunk bloom can. Runs as a
+    mapInArrow kernel over the manifest's key-column rows (metadata
+    only — bounded bytes/chunk); the requested hashes ride the closure.
+    A key row with a NULL bloom (legacy output) is conservatively kept.
+    Returns None when the manifest predates blooms entirely.
+    """
+    if "key_bloom" not in man.columns or not key_strs:
+        return None
+    h = hashing.hash_utf8(pa.array(key_strs, pa.string()))
+    hb = h.tobytes()
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from cryo_spark import hashing as hm
+
+        want = np.frombuffer(hb, dtype=np.uint64)
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            blooms = t.column("key_bloom")
+            keep = [
+                blooms[i].as_py() is None
+                or bool(hm.bloom_test(blooms[i].as_py(), want).any())
+                for i in range(t.num_rows)
+            ]
+            if any(keep):
+                yield t.select(["run", "partition_id", "chunk_id"]) \
+                    .filter(pa.array(keep)).to_batches()[0]
+
+    rows = man.filter(
+        (F.col("status") == "ok") & (F.col("column") == spec.key)
+    ).select("run", "partition_id", "chunk_id", "key_bloom")
+    return rows.mapInArrow(
+        kernel, "run string, partition_id int, chunk_id int")
+
+
 _FILTER_OPS = ("=", "<", "<=", ">", ">=", "between")
 
 
@@ -1803,6 +1903,17 @@ def collect(
                     ).first()[0],
                 )
                 enc = _chunk_stat_prune(enc, key_chunks, spec)
+                # point lookups: the hash layout defeats range pruning
+                # (every chunk's key range spans the space), so refine
+                # with the per-chunk key blooms — metadata only
+                nums = _point_numbers(key_chunks)
+                strs = None if nums is None else _key_str_forms(nums, spec)
+                bk = (None if strs is None
+                      else _bloom_chunk_keys(man, strs, spec))
+                if bk is not None:
+                    enc = enc.join(F.broadcast(bk),
+                                   ["run", "partition_id", "chunk_id"],
+                                   "left_semi")
             if filters:
                 enc = _zone_map_prune(
                     enc, filters, spec,

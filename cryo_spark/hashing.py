@@ -132,3 +132,60 @@ def partition_keys(n_parts: int) -> np.ndarray:
                     break
         base += batch
     return keys.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# per-chunk key Bloom filters (point-lookup pruning under the hash layout)
+#
+# Chunk placement is hash-bucketed, so a chunk's [min_key, max_key] spans
+# nearly the whole key space and zone-map range pruning is useless for
+# point lookups — every chunk's range "contains" every key. A small Bloom
+# filter over the chunk's key strings (same hash_utf8 the layout already
+# uses) restores O(matching chunks) point reads: ~10 bits/key => ~1% false
+# positives, so a 1-key lookup decodes the 1 true chunk plus ~1% noise
+# instead of all of them. The parquet column-index/bloom idiom applied to
+# this layout.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 6
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 20  # 128 KiB cap per chunk
+
+
+def _bloom_bits(n_keys: int) -> int:
+    bits = _BLOOM_MIN_BITS
+    while bits < 10 * n_keys and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
+def _bloom_indices(h: np.ndarray, bits: int):
+    """k index arrays via double hashing of the 64-bit key hash."""
+    h = h.astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    m = np.uint64(bits)
+    with np.errstate(over="ignore"):
+        return [((h1 + np.uint64(i) * h2) % m) for i in range(BLOOM_K)]
+
+
+def bloom_build(h: np.ndarray) -> bytes:
+    """Packed Bloom filter over 64-bit key hashes (hash_utf8 output)."""
+    bits = _bloom_bits(len(h))
+    arr = np.zeros(bits >> 3, dtype=np.uint8)
+    for idx in _bloom_indices(h, bits):
+        np.bitwise_or.at(
+            arr, (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return arr.tobytes()
+
+
+def bloom_test(bloom: bytes, h: np.ndarray) -> np.ndarray:
+    """Per-key possibly-present bools (no false negatives)."""
+    arr = np.frombuffer(bloom, dtype=np.uint8)
+    bits = len(arr) << 3
+    out = np.ones(len(h), dtype=bool)
+    for idx in _bloom_indices(h, bits):
+        byte = arr[(idx >> np.uint64(3)).astype(np.int64)]
+        out &= ((byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+    return out

@@ -475,6 +475,52 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "scan_point_lookup",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source
+               FROM documents)
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST(n_tok AS INT) AS n_tok, source, true AS bloom_pruned
+    FROM d WHERE doc_id IN (3, 141, 442)
+    """,
+)
+def scan_point_lookup(spark, sf_dir):
+    """Point lookups through the per-chunk key Bloom filters.
+
+    Chunk placement is hash-bucketed, so every chunk's key RANGE spans
+    the key space and zone maps cannot prune a point read; the key
+    column's manifest bloom (hashing.bloom_build, ~10 bits/key) can.
+    ``bloom_pruned`` pins that the metadata pass really shrank the
+    chunk set to a fraction before any payload decode; the rows
+    themselves are oracle-checked against the raw table.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .tablespec import SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pointlookup_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=20_000)
+    man = engine.read_manifest(spark, out)
+    total = man.filter(
+        (F.col("status") == "ok") & (F.col("column") == "doc_id")).count()
+    kept = engine._bloom_chunk_keys(
+        man, [f"doc-{n:012d}" for n in (3, 141, 442)], SEQUENCES).count()
+    return engine.collect(
+        spark, out, keys="3 141 442", columns=["doc_id", "n_tok", "source"]
+    ).select(
+        "doc_id", F.col("n_tok").cast("int").alias("n_tok"), "source",
+        F.lit(0 < kept < total).alias("bloom_pruned"),
+    )
+
+
+@q(
     "enc_delete_where",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source

@@ -33,7 +33,7 @@ def test_encoded_schema(encoded):
     assert names == [
         "partition_id", "chunk_id", "column", "codec_id", "n_rows", "n_values",
         "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "min_value",
-        "max_value", "wall_ms", "status", "payload",
+        "max_value", "key_bloom", "wall_ms", "status", "payload",
     ]
 
 
