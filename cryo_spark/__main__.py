@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                          "a:b:stride, a:b/n, K/M/B suffixes, 'latest')")
     fz.add_argument("--n-chunks", type=int, default=None,
                     help="target this many chunks instead of --target-tokens")
+    fz.add_argument("--chunk-by", default="hash", choices=["hash", "range"],
+                    help="hash buckets (balance-first, default) or key-"
+                         "range chunks (tight zone maps, exact range "
+                         "pruning - the reference's chunk semantics)")
     fz.add_argument("--partition-by", default=None,
                     help="comma list of encoded-table key columns to "
                          "partition the output directories by")
@@ -226,7 +230,7 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite, dry_run=args.dry_run,
                 keys=args.keys, n_chunks=args.n_chunks,
                 partition_by=_split(args.partition_by),
-                spec=spec,
+                spec=spec, chunk_by=args.chunk_by,
             )
             print(json.dumps(summary))
             return 0

@@ -160,7 +160,8 @@ def _pack_list_binary(arr, col: ColumnSpec):
 def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                  chunk_id_offset: int = 0,
                  part_keys: np.ndarray | None = None,
-                 spec: TableSpec = SEQUENCES):
+                 spec: TableSpec = SEQUENCES,
+                 bounds: dict | None = None):
     """Kernel factory: assign (partition_id, chunk_id) + pack lists to binary.
 
     One fused pre-shuffle pass. Assignment is a numpy hash + gather
@@ -183,7 +184,9 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
                 t.column(spec.partition_col).combine_chunks()
                 if spec.partition_col else None
             )
-            pid, cid = layout.assign_arrays(key_str, src, lut_b.value, n_buckets)
+            pid, cid = layout.assign_arrays(
+                key_str, src, lut_b.value, n_buckets, bounds=bounds,
+                knum=None if bounds is None else layout.key_nums(t, spec))
             if keep_mask is not None:
                 keep = keep_mask[cid]
                 if not keep.all():
@@ -538,7 +541,7 @@ def _pack_kernel(spark: SparkSession, plan: layout.ChunkPlan,
     # cid % n_parts exactly — round-robin, no hash-placement skew
     part_keys = hashing.partition_keys(n_parts)
     return _pack_assign(lut_b, plan.n_buckets, keep_mask, chunk_id_offset,
-                        part_keys, spec)
+                        part_keys, spec, bounds=plan.range_bounds)
 
 
 def _n_parts(spark: SparkSession, n_chunks: int) -> int:
@@ -1190,8 +1193,15 @@ def freeze(
     n_chunks: int | None = None,
     partition_by: list[str] | None = None,
     spec: TableSpec = SEQUENCES,
+    chunk_by: str = "hash",
 ) -> dict:
     """Run the full encode job with skip-existing resume.
+
+    ``chunk_by='range'`` plans key-range chunks (the reference's
+    number_chunk semantics) instead of hash buckets: per-chunk manifest
+    key ranges come out tight and disjoint, so key-range reads prune
+    exactly; hash (default) stays the balance-first layout for
+    append-heavy tables.
 
     Returns a summary dict (cryo's FreezeSummary analog,
     /root/reference/crates/freeze/src/types/summaries.rs:21-31).
@@ -1222,15 +1232,16 @@ def freeze(
                                  **_key_envelope(spec))
         )
     use_arrow = key_df is None and sources.supports(input_path)
-    if use_arrow and spec.footer_stat_col is not None:
+    if use_arrow and spec.footer_stat_col is not None and chunk_by == "hash":
         plan = layout.plan_chunks_arrow(spark, input_path, target_tokens,
                                         n_chunks=n_chunks, spec=spec)
     else:
-        # scalar-weight specs have no exact footer sum statistic: plan
-        # via the scan path (the encode stage still uses the arrow scan)
+        # scalar-weight specs have no exact footer sum statistic, and
+        # range layout needs a per-source bounds agg: plan via the scan
+        # path (the encode stage still uses the arrow scan)
         plan = layout.plan_chunks(
             key_df if key_df is not None else spark.read.parquet(input_path),
-            target_tokens, n_chunks=n_chunks, spec=spec)
+            target_tokens, n_chunks=n_chunks, spec=spec, layout=chunk_by)
     # Relational resume: planned chunk ids are exactly [0, n_chunks) (the
     # sweep numbers them contiguously, layout.py); done-ness comes back
     # from the manifest as a packed bitmap folded executor-side — no
@@ -1533,8 +1544,17 @@ def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
     """Stable id of a chunk plan — equal iff the chunk layout is equal."""
     import hashlib
 
-    key = repr((plan.n_buckets, plan.target_tokens, plan.n_chunks,
-                sorted(plan.mapping, key=repr)))
+    if plan.layout == "hash":
+        # formula unchanged since round 1: hash-plan ids in existing
+        # manifests keep matching (resume compatibility)
+        key = repr((plan.n_buckets, plan.target_tokens, plan.n_chunks,
+                    sorted(plan.mapping, key=repr)))
+    else:
+        key = repr((plan.n_buckets, plan.target_tokens, plan.n_chunks,
+                    plan.layout,
+                    sorted(plan.range_bounds.items(),
+                           key=lambda kv: (kv[0] is not None, kv[0] or "")),
+                    sorted(plan.mapping, key=repr)))
     return hashlib.md5(key.encode()).hexdigest()[:16]
 
 

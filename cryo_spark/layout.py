@@ -65,6 +65,14 @@ class ChunkPlan:
     partition_of_source: dict[str, int]
     # rows: (source, bucket, partition_id, chunk_base, n_salts)
     mapping: list[tuple[str, int, int, int, int]]
+    # "hash" (default): buckets by key hash — balance-first, the layout
+    # every incremental append can reuse. "range": buckets by a
+    # monotone per-source affine map of the numeric key — the
+    # reference's key-range chunks (number_chunk.rs:76-89); chunk key
+    # ranges come out tight and disjoint, so manifest zone maps prune
+    # range reads exactly. range_bounds: per-source (key_min, key_max).
+    layout: str = "hash"
+    range_bounds: dict | None = None
 
     def lookup(self) -> dict[str | None, tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
         """Dense per-source arrays indexed by bucket: (pid, chunk_base,
@@ -118,6 +126,57 @@ def _source_groups(src: pa.Array | None, n_rows: int | None = None):
         yield s, codes == ci
 
 
+def key_nums(t: pa.Table, spec: TableSpec) -> np.ndarray:
+    """Numeric key per row, vectorized (the kernels' _key_expr analog).
+
+    Int keys pass through; the sequences 'doc-%012d' format parses its
+    12 digits with one reshape + matmul (no per-row Python). Other
+    string keys have no numeric form — range layout refuses them at
+    plan time, so kernels never reach this error.
+    """
+    arr = t.column(spec.key).combine_chunks()
+    if spec.key_col.kind in ("int32", "int64"):
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    if spec.name == SEQUENCES.name:
+        n = len(arr)
+        off = arr.offset
+        offsets = np.frombuffer(arr.buffers()[1], np.int32)[off: off + n + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        if not (np.diff(offsets) == 16).all():
+            raise ValueError("sequences keys must be 'doc-%012d'")
+        digits = (
+            data[offsets[0]: offsets[-1]].reshape(n, 16)[:, 4:16]
+            .astype(np.int64) - 48
+        )
+        return digits @ (10 ** np.arange(11, -1, -1)).astype(np.int64)
+    raise ValueError(
+        f"range layout needs a numeric key form; table {spec.name!r} has "
+        "a string key with no known numeric format")
+
+
+def _range_bucket(knum: np.ndarray, kmin: int, kmax: int,
+                  n_buckets: int) -> np.ndarray:
+    """Monotone affine key -> bucket map (float64: monotone, and exact
+    for key spans below 2^53 — document-id spaces by a wide margin)."""
+    span = max(1, int(kmax) - int(kmin) + 1)
+    b = ((knum - np.int64(kmin)).astype(np.float64)
+         * (n_buckets / span)).astype(np.int64)
+    return np.clip(b, 0, n_buckets - 1)
+
+
+def _bucketize(t: pa.Table, key_str: pa.Array, src, n_buckets: int,
+               spec: TableSpec, bounds: dict | None) -> np.ndarray:
+    """Per-row bucket ids: hash (default) or per-source range map."""
+    if bounds is None:
+        return bucket_of(key_str, n_buckets)
+    knum = key_nums(t, spec)
+    buckets = np.zeros(t.num_rows, dtype=np.int64)
+    for s, mask in _source_groups(src, t.num_rows):
+        lo, hi = bounds.get(s, (0, 0))
+        buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
+    return buckets
+
+
 def sweep(
     hist: list[tuple[str, int, int]], target_tokens: int
 ) -> tuple[list[tuple[str, int, int, int, int]], int, int, dict[str, int]]:
@@ -159,19 +218,21 @@ def sweep(
 _HIST_DDL = "source string, bucket int, tokens long"
 
 
-def _hist_kernel(n_buckets: int, spec: TableSpec = SEQUENCES):
+def _hist_kernel(n_buckets: int, spec: TableSpec = SEQUENCES,
+                 bounds: dict | None = None):
     """mapInArrow kernel: per-task (source, bucket) -> sum(weight) bincount."""
 
     def fn(batches):
         acc: dict[str | None, np.ndarray] = {}
         for b in batches:
             t = pa.Table.from_batches([b])
-            buckets = bucket_of(tablespec.key_strings(t, spec), n_buckets)
-            n_tok = tablespec.row_weights(t, spec)  # null weight weighs 0
             src = (
                 t.column(spec.partition_col).combine_chunks()
                 if spec.partition_col else None
             )
+            buckets = _bucketize(t, tablespec.key_strings(t, spec), src,
+                                 n_buckets, spec, bounds)
+            n_tok = tablespec.row_weights(t, spec)  # null weight weighs 0
             # group rows by source (few distinct values), bincount within
             for s, mask in _source_groups(src, t.num_rows):
                 h = acc.setdefault(s, np.zeros(n_buckets, dtype=np.int64))
@@ -205,7 +266,8 @@ def _hist_kernel(n_buckets: int, spec: TableSpec = SEQUENCES):
     return fn
 
 
-def _finish_plan(hist_df: DataFrame, n_buckets: int, target_tokens: int) -> ChunkPlan:
+def _finish_plan(hist_df: DataFrame, n_buckets: int, target_tokens: int,
+                 bounds: dict | None = None) -> ChunkPlan:
     hist_rows = (
         hist_df.groupBy("source", "bucket")
         .agg(F.sum("tokens").alias("tokens"))
@@ -220,6 +282,8 @@ def _finish_plan(hist_df: DataFrame, n_buckets: int, target_tokens: int) -> Chun
         n_salted_buckets=n_salted,
         partition_of_source=partition_of_source,
         mapping=mapping,
+        layout="hash" if bounds is None else "range",
+        range_bounds=bounds,
     )
 
 
@@ -239,17 +303,45 @@ def _weight_expr(spec: TableSpec):
     return F.coalesce(F.col(spec.weight), F.lit(0))
 
 
+def _key_num_expr(spec: TableSpec):
+    """Spark numeric key expression (the key_nums kernel's SQL twin)."""
+    if spec.key_col.kind in ("int32", "int64"):
+        return F.col(spec.key)
+    if spec.name == SEQUENCES.name:
+        return F.substring(spec.key, 5, 12).cast("long")
+    raise ValueError(
+        f"range layout needs a numeric key form; table {spec.name!r} has "
+        "a string key with no known numeric format")
+
+
+def _range_bounds_of(df: DataFrame, spec: TableSpec) -> dict:
+    """Per-source numeric key (min, max) — one tiny agg job."""
+    knum = _key_num_expr(spec)
+    gcol = (F.col(spec.partition_col) if spec.partition_col
+            else F.lit("")).alias("s")
+    rows = df.groupBy(gcol).agg(F.min(knum).alias("lo"),
+                                F.max(knum).alias("hi")).collect()
+    return {r["s"]: (int(r["lo"]), int(r["hi"]))
+            for r in rows if r["lo"] is not None}
+
+
 def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
                 n_chunks: int | None = None,
-                spec: TableSpec = SEQUENCES) -> ChunkPlan:
+                spec: TableSpec = SEQUENCES,
+                layout: str = "hash") -> ChunkPlan:
     """Compute deterministic chunk boundaries; two driver jobs, small collects.
 
     ``n_chunks`` is the subchunk_by_count analog (reference
     crates/freeze/src/types/chunks/subchunks.rs:28-33): the target size
     is derived from the total so the sweep lands near that many chunks
     (bucket-granular, so approximate where the reference's key-range
-    split is exact).
+    split is exact). ``layout='range'`` buckets by the monotone key map
+    instead of the hash — the reference's key-range chunks, with tight
+    disjoint per-chunk key ranges (one extra tiny bounds agg).
     """
+    if layout not in ("hash", "range"):
+        raise ValueError(f"unknown layout {layout!r}; 'hash' or 'range'")
+    bounds = _range_bounds_of(df, spec) if layout == "range" else None
     total_tokens = int(
         df.agg(F.sum(_weight_expr(spec)).alias("t")).first()["t"] or 0
     )
@@ -257,9 +349,9 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
     hist_df = df.select(*spec.plan_columns()).mapInArrow(
-        _hist_kernel(n_buckets, spec), _HIST_DDL
+        _hist_kernel(n_buckets, spec, bounds), _HIST_DDL
     )
-    return _finish_plan(hist_df, n_buckets, target_tokens)
+    return _finish_plan(hist_df, n_buckets, target_tokens, bounds)
 
 
 def plan_chunks_arrow(
@@ -302,18 +394,30 @@ def assign_arrays(
     source: pa.Array | pa.ChunkedArray,
     lut: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     n_buckets: int,
+    bounds: dict | None = None,
+    knum: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized (partition_id, chunk_id) for a batch of rows.
 
-    chunk_id is a pure function of (source, hash(doc_id), histogram) —
-    identical at any parallelism level. Salted buckets spread across
-    their chunk span by a second, independent hash (SALT_SEED).
+    chunk_id is a pure function of (source, bucket(doc_id), histogram) —
+    identical at any parallelism level. The bucket is the key hash
+    (default) or, for range-layout plans, the monotone key map
+    (``bounds`` per source + precomputed ``knum``). Salted buckets
+    spread across their chunk span by a second, independent hash
+    (SALT_SEED).
     """
     if isinstance(source, pa.ChunkedArray):
         source = source.combine_chunks()
     if (isinstance(doc_id, (pa.Array, pa.ChunkedArray)) and doc_id.null_count):
         raise ValueError("doc_id must be non-null (it is the key space)")
-    buckets = bucket_of(doc_id, n_buckets)
+    if bounds is None:
+        buckets = bucket_of(doc_id, n_buckets)
+    else:
+        n_ = len(knum)
+        buckets = np.zeros(n_, dtype=np.int64)
+        for s, mask in _source_groups(source, n_):
+            lo, hi = bounds.get(s, (0, 0))
+            buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
     n = len(buckets)
     pid = np.full(n, -1, dtype=np.int32)
     cid = np.zeros(n, dtype=np.int64)
@@ -359,11 +463,15 @@ def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", partition_id int, chunk_id int"
 
+    bounds = plan.range_bounds
+
     def fn(batches):
         for b in batches:
             t = pa.Table.from_batches([b])
             pid, cid = assign_arrays(
-                t.column("doc_id"), t.column("source"), lut_b.value, n_buckets
+                t.column("doc_id"), t.column("source"), lut_b.value,
+                n_buckets, bounds=bounds,
+                knum=None if bounds is None else key_nums(t, SEQUENCES),
             )
             t = t.append_column("partition_id", pa.array(pid, pa.int32()))
             t = t.append_column("chunk_id", pa.array(cid, pa.int32()))

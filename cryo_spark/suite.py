@@ -475,6 +475,73 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "enc_freeze_range",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           true AS ranges_disjoint,
+           true AS range_pruned
+    FROM d
+    """,
+)
+def enc_freeze_range(spark, sf_dir):
+    """Key-range chunk layout end-to-end (the reference's chunk shape).
+
+    ``freeze(chunk_by='range')`` buckets by the monotone key map —
+    chunks become contiguous key ranges (number_chunk.rs:76-89
+    semantics). Pinned: the corpus round-trips (row/token sums), every
+    partition's chunk key ranges are pairwise DISJOINT, and a key-range
+    read prunes most chunks via the manifest zone maps — the property
+    hash layout cannot offer and this layout exists to provide.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine, ranges
+    from .tablespec import SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_rangelayout_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    # small target => several chunks per source, so the pruning
+    # property is actually exercisable (one chunk/source would span
+    # the source's whole key range and nothing could prune)
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200,
+                  chunk_by="range")
+    man_rows = engine.read_manifest(spark, out).filter(
+        (F.col("status") == "ok") & (F.col("column") == "doc_id")
+    ).select("partition_id", "min_doc_id", "max_doc_id").collect()
+    spans: dict[int, list] = {}
+    for r in man_rows:
+        spans.setdefault(r.partition_id, []).append(
+            (r.min_doc_id, r.max_doc_id))
+    disjoint = all(
+        hi1 < lo2
+        for ss in spans.values()
+        for (_, hi1), (lo2, _) in zip(sorted(ss), sorted(ss)[1:])
+    )
+    enc = engine.read_encoded(spark, out)
+    ck = ["run", "partition_id", "chunk_id"]
+    total = enc.select(*ck).distinct().count()
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    kept = engine._chunk_stat_prune(
+        enc, ranges.parse_key_specs(f"0:{max(1, mx // 20)}"), SEQUENCES
+    ).select(*ck).distinct().count()
+    return engine.decode_frozen(spark, out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+    ).select(
+        "*",
+        F.lit(disjoint).alias("ranges_disjoint"),
+        F.lit(0 < kept < total / 2).alias("range_pruned"),
+    )
+
+
+@q(
     "scan_point_lookup",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source
