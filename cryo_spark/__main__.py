@@ -119,6 +119,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="scalar predicate (see collect --filter)")
     dl.add_argument("--master", default=None)
 
+    up = sub.add_parser("upsert",
+                        help="MERGE by key: replace matching rows, insert "
+                             "the rest (copy-on-write, one snapshot)")
+    up.add_argument("--input", required=True,
+                    help="parquet batch keyed like the table")
+    up.add_argument("--output", required=True)
+    up.add_argument("--table", default="sequences")
+    up.add_argument("--target-tokens", type=int, default=2 << 20)
+    up.add_argument("--master", default=None)
+
     tg = sub.add_parser("tag",
                         help="name a snapshot (collect --as-of <name>); "
                              "re-tagging moves it (WAP publish idiom)")
@@ -260,6 +270,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(cryo_spark.delete_where(
                 spark, args.output, keys=args.keys,
                 filters=_parse_filters(args.filter), spec=spec)))
+            return 0
+
+        if args.cmd == "upsert":
+            import cryo_spark
+
+            print(json.dumps(cryo_spark.upsert(
+                spark, args.output, args.input,
+                target_tokens=args.target_tokens, spec=spec)))
             return 0
 
         if args.cmd == "purge":

@@ -900,6 +900,152 @@ def delete_where(
                 wall_s=time.perf_counter() - t0)
 
 
+def upsert(
+    spark: SparkSession,
+    output_dir: str,
+    input_path: str | DataFrame,
+    target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
+    spec: TableSpec = SEQUENCES,
+) -> dict:
+    """MERGE by key (copy-on-write): replace matching rows, insert the rest.
+
+    The Iceberg ``MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED
+    INSERT`` shape for full-row upserts. Only chunks that can contain a
+    batch key are rewritten (zone-map range join + key blooms,
+    _affected_chunks); their surviving rows union the batch into ONE
+    new run whose manifest commit atomically retires the originals —
+    readers flip from old rows to the merged state in one step, and
+    time travel to the pre-upsert snapshot still shows the old values.
+
+    Pending merge-on-read deletes are purged first: an equality-delete
+    key would otherwise mask a re-inserted row (our delete runs carry
+    no sequence numbers — the documented simplification vs Iceberg's
+    sequence-numbered delete files).
+
+    The batch must be key-unique (validated); re-running a crashed
+    upsert is safe — death before the manifest write leaves everything
+    invisible (orphan discipline), after it the merge is complete.
+    """
+    t_start = time.perf_counter()
+    batch = (input_path if isinstance(input_path, DataFrame)
+             else spark.read.parquet(input_path))
+    all_cols = [c.name for c in spec.columns]
+    batch = batch.select(*all_cols)
+    n_batch, n_batch_keys = (
+        batch.agg(F.count(F.lit(1)), F.countDistinct(spec.key)).first()
+    )
+    if n_batch == 0:
+        return dict(snapshot=None, run=None, n_updated=0, n_inserted=0,
+                    n_rewritten=0, wall_s=time.perf_counter() - t_start)
+    if n_batch != n_batch_keys:
+        raise ValueError(
+            f"upsert batch has duplicate keys ({n_batch} rows, "
+            f"{n_batch_keys} distinct {spec.key})")
+    if "://" not in output_dir:
+        vis = snapshots.current(output_dir)
+        if vis is not None and vis["deletes"]:
+            purge_deletes(spark, output_dir, target_tokens, spec)
+    man = read_manifest(spark, output_dir)
+    if man is None:
+        # empty table: the merge degenerates to a plain freeze append
+        summary = freeze(spark, input_path, output_dir,
+                         target_tokens=target_tokens, spec=spec) \
+            if not isinstance(input_path, DataFrame) else None
+        if summary is not None:
+            return dict(snapshot=summary["snapshot"], run=summary["run"],
+                        n_updated=0, n_inserted=n_batch,
+                        n_rewritten=0, wall_s=time.perf_counter() - t_start)
+        raise ValueError("upsert into an empty output needs a parquet "
+                         "input path (or freeze the DataFrame first)")
+    bkeys = batch.select(spec.key).localCheckpoint()
+    # consumed three times (count, payload semi-join, tombstone write):
+    # pin the chunk set once
+    affected = _affected_chunks(spark, output_dir, man, bkeys, spec) \
+        .localCheckpoint()
+    n_affected = affected.count()
+    old_rows = spark.createDataFrame([], spec.spark_ddl())
+    if n_affected:
+        enc_subset = read_encoded(spark, output_dir).join(
+            F.broadcast(affected), ["run", "partition_id", "chunk_id"],
+            "left_semi")
+        old_rows = decode(enc_subset, spec=spec)
+    survivors = old_rows.join(bkeys, spec.key, "left_anti")
+    merged = survivors.select(*all_cols).unionByName(batch).localCheckpoint()
+    n_old = old_rows.count()
+    n_survive = merged.count() - n_batch
+    n_updated = n_old - n_survive
+    plan = layout.plan_chunks(merged, target_tokens, spec=spec)
+    run_id = uuid.uuid4().hex[:12]
+    enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
+    _grouped_encode(merged, plan, spec=spec).write.mode("error") \
+        .option("compression", "uncompressed") \
+        .option("parquet.enable.dictionary", "false") \
+        .parquet(enc_dir)
+    if n_affected:
+        affected.withColumnRenamed("run", "target_run").coalesce(1) \
+            .write.mode("error") \
+            .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
+    written = spark.read.parquet(enc_dir)
+    man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
+    written.select(*MANIFEST_COLUMNS).withColumn(
+        "plan_id", F.lit(_plan_fingerprint(plan))
+    ).write.mode("error").parquet(man_dir)
+    snap = snapshots.commit(output_dir, run_id, "rewrite",
+                            n_retired=n_affected, command="upsert")
+    summary = dict(
+        snapshot=snap, run=run_id,
+        n_updated=int(n_updated), n_inserted=int(n_batch - n_updated),
+        n_rewritten=int(n_affected), n_new_chunks=plan.n_chunks,
+        wall_s=time.perf_counter() - t_start,
+    )
+    _write_report(output_dir, run_id, dict(
+        version="cryo_spark 0.1.0", status="completed", command="upsert",
+        **summary,
+    ))
+    return summary
+
+
+def _affected_chunks(spark: SparkSession, output_dir: str, man: DataFrame,
+                     keys_df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Live chunks that can contain any of the given key values.
+
+    Zone-map range join first (numeric compare when the key has a
+    numeric form; the manifest stores str(key), so generic string keys
+    compare lexicographically — exact for membership-in-range checks);
+    for bounded key sets the per-chunk key blooms then cut the hash
+    layout's everything-matches ranges down to the true containers
+    (+~1% FP). The keys side is the small one throughout.
+    """
+    payload_col = spec.list_column or spec.key
+    try:
+        k_num = _key_expr(spec)
+        kmin_e = _manifest_key_num("min_doc_id", spec)
+        kmax_e = _manifest_key_num("max_doc_id", spec)
+    except ValueError:
+        k_num = F.col(spec.key).cast("string")
+        kmin_e, kmax_e = F.col("min_doc_id"), F.col("max_doc_id")
+    live = _visible_ok_keys(spark, output_dir, man)
+    ranges_df = man.filter(
+        (F.col("status") == "ok") & (F.col("column") == payload_col)
+    ).select("run", "partition_id", "chunk_id",
+             kmin_e.alias("kmin"), kmax_e.alias("kmax"))
+    affected = (
+        ranges_df.join(live, ["run", "partition_id", "chunk_id"], "left_semi")
+        .join(F.broadcast(keys_df.select(k_num.alias("kq"))),
+              (F.col("kq") >= F.col("kmin"))
+              & (F.col("kq") <= F.col("kmax")), "left_semi")
+        .select("run", "partition_id", "chunk_id")
+        .distinct()
+    )
+    probe = keys_df.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
+    if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+        bk = _bloom_chunk_keys(man, [str(r[0]) for r in probe], spec)
+        if bk is not None:
+            affected = affected.join(bk, ["run", "partition_id", "chunk_id"],
+                                     "left_semi")
+    return affected
+
+
 def purge_deletes(
     spark: SparkSession,
     output_dir: str,
@@ -933,40 +1079,8 @@ def purge_deletes(
     dk_paths = [f"{_deletes_path(output_dir)}/run={r}"
                 for r in sorted(vis["deletes"])]
     dk = spark.read.parquet(*dk_paths).select(spec.key).distinct()
-    # affected = live chunks whose manifest key range intersects any
-    # delete key (zone-map range join; the delete side is the small
-    # one). Numeric compare when the key has a numeric form; the
-    # manifest stores str(key), so generic string keys compare
-    # lexicographically (exact for equality-in-range checks).
-    try:
-        dk_num = _key_expr(spec)
-        kmin_e = _manifest_key_num("min_doc_id", spec)
-        kmax_e = _manifest_key_num("max_doc_id", spec)
-    except ValueError:
-        dk_num = F.col(spec.key).cast("string")
-        kmin_e, kmax_e = F.col("min_doc_id"), F.col("max_doc_id")
-    live = _visible_ok_keys(spark, output_dir, man)
-    ranges_df = man.filter(
-        (F.col("status") == "ok") & (F.col("column") == payload_col)
-    ).select("run", "partition_id", "chunk_id",
-             kmin_e.alias("kmin"), kmax_e.alias("kmax"))
-    affected = (
-        ranges_df.join(live, ["run", "partition_id", "chunk_id"], "left_semi")
-        .join(F.broadcast(dk.select(dk_num.alias("kdel"))),
-              (F.col("kdel") >= F.col("kmin"))
-              & (F.col("kdel") <= F.col("kmax")), "left_semi")
-        .select("run", "partition_id", "chunk_id")
-        .distinct()
-    )
-    # hash layout: chunk key ranges span the space, so the range join
-    # alone marks nearly every chunk affected; for bounded delete sets
-    # the per-chunk key blooms cut that to the true containers (+FP)
-    probe = dk.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
-    if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
-        bk = _bloom_chunk_keys(man, [str(r[0]) for r in probe], spec)
-        if bk is not None:
-            affected = affected.join(bk, ["run", "partition_id", "chunk_id"],
-                                     "left_semi")
+    affected = _affected_chunks(spark, output_dir, man, dk, spec) \
+        .localCheckpoint()
     n_affected = affected.count()
     if n_affected == 0:
         # keys match nothing physical (already purged / never existed):

@@ -475,6 +475,57 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "enc_upsert",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 2 AS split FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(sum(CASE WHEN doc_id < split
+                    THEN (doc_id * 2654435761 + (n_tok - 1) * 48271) % 50257
+                    ELSE (doc_id * 2654435761) % 50257 END) AS BIGINT)
+               AS first_tok_sum
+    FROM d, s
+    """,
+)
+def enc_upsert(spark, sf_dir):
+    """Copy-on-write MERGE end-to-end, oracle-checked at value level.
+
+    Freeze the corpus, then upsert a batch holding REVERSED-token
+    copies of the first half of the key space. The upserted table must
+    contain the patched values for those keys and the untouched
+    originals for the rest; ``first_tok_sum`` pins it at token-value
+    granularity — a reversed row's first token is the original's LAST
+    ((doc_id*c + (n_tok-1)*s) % m), so a row that kept its old payload,
+    got replaced twice, or leaked both versions shifts the sum.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_upsert_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = sequences_from_documents(spark, sf_dir)
+    src.write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=100_000)
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = mx // 2
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    batch = spark.read.parquet(f"{base}/in").filter(key_num < split) \
+        .withColumn("tokens", F.reverse("tokens"))
+    engine.upsert(spark, out, batch, target_tokens=100_000)
+    return engine.decode_frozen(spark, out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.sum(F.element_at("tokens", 1)).cast("long").alias("first_tok_sum"),
+    )
+
+
+@q(
     "enc_freeze_range",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents)
