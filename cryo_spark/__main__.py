@@ -119,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="scalar predicate (see collect --filter)")
     dl.add_argument("--master", default=None)
 
+    de = sub.add_parser("describe",
+                        help="per-column storage summary (chunks, codec "
+                             "histogram, bytes, ratio) from the manifest")
+    de.add_argument("--output", required=True)
+    de.add_argument("--as-of", default=None, dest="as_of",
+                    help="snapshot seq or tag")
+    de.add_argument("--master", default=None)
+
     up = sub.add_parser("upsert",
                         help="MERGE by key: replace matching rows, insert "
                              "the rest (copy-on-write, one snapshot)")
@@ -270,6 +278,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(cryo_spark.delete_where(
                 spark, args.output, keys=args.keys,
                 filters=_parse_filters(args.filter), spec=spec)))
+            return 0
+
+        if args.cmd == "describe":
+            import cryo_spark
+
+            as_of = args.as_of
+            if as_of is not None and as_of.lstrip("-").isdigit():
+                as_of = int(as_of)
+            for row in cryo_spark.describe(spark, args.output,
+                                           as_of=as_of).collect():
+                print(json.dumps(row.asDict(), default=str))
             return 0
 
         if args.cmd == "upsert":

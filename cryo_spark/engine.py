@@ -900,6 +900,40 @@ def delete_where(
                 wall_s=time.perf_counter() - t0)
 
 
+def describe(spark: SparkSession, output_dir: str,
+             as_of: int | str | None = None) -> DataFrame:
+    """Per-column storage summary of a frozen output (metadata only).
+
+    One aggregation over the manifest — chunk count, codec histogram,
+    encoded/raw bytes and the compression ratio per column; the
+    .files/.partitions metadata-table idiom. Honors ``as_of``.
+    """
+    man = read_manifest(spark, output_dir, as_of=as_of)
+    if man is None:
+        return spark.createDataFrame(
+            [], "column string, n_chunks long, codecs string, "
+                "enc_bytes long, raw_bytes long, ratio double")
+    ok = man.filter(F.col("status") == "ok")
+    return (
+        ok.groupBy("column", "codec_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("enc_bytes").alias("eb"),
+             F.sum("raw_bytes").alias("rb"))
+        .groupBy("column")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.array_join(
+                F.array_sort(F.collect_list(
+                    F.concat_ws(":", "codec_id", F.col("n").cast("string"))
+                )), ",").alias("codecs"),
+            F.sum("eb").cast("long").alias("enc_bytes"),
+            F.sum("rb").cast("long").alias("raw_bytes"),
+            (F.sum("eb") / F.sum("rb")).cast("double").alias("ratio"),
+        )
+        .orderBy("column")
+    )
+
+
 def upsert(
     spark: SparkSession,
     output_dir: str,

