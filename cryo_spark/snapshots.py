@@ -59,12 +59,23 @@ def commit(output_dir: str, run: str | None, kind: str, **extra) -> int | None:
             if e["run"] == run and e["kind"] == kind:
                 return e["seq"]
     seq = 1 + max((e["seq"] for e in entries), default=0)
-    entry = dict(seq=seq, run=run, kind=kind, ts=time.time(), **extra)
-    tmp = os.path.join(d, f".tmp-{seq:010d}.json")
-    with open(tmp, "w") as f:
-        json.dump(entry, f)
-    os.replace(tmp, os.path.join(d, f"{seq:010d}.json"))
-    return seq
+    while True:
+        entry = dict(seq=seq, run=run, kind=kind, ts=time.time(), **extra)
+        tmp = os.path.join(d, f".tmp-{os.getpid()}-{seq:010d}.json")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            # link(2) claims the sequence number atomically AND fully
+            # written — the filesystem CAS standing in for the catalog's
+            # snapshot swap: if another writer took this seq, claim the
+            # next one instead of clobbering history
+            os.link(tmp, os.path.join(d, f"{seq:010d}.json"))
+        except FileExistsError:
+            os.unlink(tmp)
+            seq += 1
+            continue
+        os.unlink(tmp)
+        return seq
 
 
 def log(output_dir: str) -> list[dict]:

@@ -83,3 +83,21 @@ def test_minhash_long_docs_stable_across_batching():
     joint = _minhash_rows([1, 2, 3], texts)
     for k, t in zip([1, 2, 3], texts):
         assert _minhash_rows([k], [t])[k] == joint[k]
+
+
+def test_bloom_properties_hypothesis():
+    """No false negatives for ANY byte content; FP bounded on disjoint sets."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyarrow as pa
+    from cryo_spark.hashing import bloom_build, bloom_test, hash_utf8
+
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                    max_size=300, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def check(keys):
+        h = hash_utf8(pa.array(keys, pa.string()))
+        b = bloom_build(h)
+        assert bloom_test(b, h).all()
+
+    check()

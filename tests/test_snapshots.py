@@ -210,3 +210,17 @@ def test_tag_validation(tmp_path):
         snapshots.tag(out, "x", 9)
     with pytest.raises(ValueError, match="bad tag name"):
         snapshots.tag(out, " padded ")
+
+
+def test_concurrent_commits_never_clobber(tmp_path):
+    """link(2)-CAS: parallel writers get distinct seqs, history intact."""
+    import multiprocessing as mp
+
+    out = str(tmp_path)
+    with mp.Pool(6) as p:
+        seqs = p.starmap(snapshots.commit,
+                         [(out, f"r{i}", "append") for i in range(18)])
+    assert sorted(seqs) == list(range(1, 19))
+    log = snapshot_log(out)
+    assert [e["seq"] for e in log] == list(range(1, 19))
+    assert len({e["run"] for e in log}) == 18

@@ -100,6 +100,35 @@ def main() -> None:
             plan_of(flt),
         ))
 
+    # 3c. key-range read on the range-chunked layout
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/frozen_rng"
+        seqs.write.parquet(f"{td}/in")
+        engine.freeze(spark, f"{td}/in", out, target_tokens=4_096,
+                      chunk_by="range")
+        rng = engine.collect(spark, out, keys="10:40")
+        sections.append((
+            "collect over a key range (range-chunked layout)",
+            "chunk_by='range' makes manifest min/max TIGHT and disjoint, "
+            "so the key-range predicate on the encoded scan "
+            "(min_doc_id/max_doc_id comparisons in the Filter directly "
+            "above the payload scan) drops whole chunks before decode — "
+            "the reference's key-range chunk pruning, relationally.",
+            plan_of(rng),
+        ))
+
+        # 3d. point lookup through the per-chunk key blooms
+        pt = engine.collect(spark, out, keys="17")
+        sections.append((
+            "collect of a single key (bloom point lookup)",
+            "The MapInArrow leg over the manifest is the bloom membership "
+            "pass (metadata only — run/partition/chunk + key_bloom, no "
+            "payload); its output semi-joins the encoded scan, so a "
+            "1-key read decodes ~1 chunk even under hash layout where "
+            "key ranges cannot prune.",
+            plan_of(pt),
+        ))
+
     # 4. projection+filter pushdown on a raw scan
     q = suite.QUERIES["scan_projection_filter"](spark, SF_DIR)
     sections.append((
