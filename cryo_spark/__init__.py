@@ -17,7 +17,8 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
 
 from .engine import (collect, compact, decode, decode_frozen, delete_where,
                      describe, encode, export, freeze, purge_deletes,
-                     read_encoded, read_manifest, upsert, vacuum)
+                     read_encoded, read_manifest, upsert, vacuum,
+                     verify_output)
 from .snapshots import log as snapshot_log
 from .fixtures import (
     generate_embeddings,
@@ -33,7 +34,7 @@ __version__ = "0.1.0"
 __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
     "export", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
-    "delete_where", "purge_deletes", "upsert", "describe",
+    "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
     "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
     "generate_embeddings", "write_embeddings",

@@ -119,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="scalar predicate (see collect --filter)")
     dl.add_argument("--master", default=None)
 
+    vf = sub.add_parser("verify",
+                        help="structural audit: manifest vs files vs "
+                             "tombstones vs snapshot log (fsck analog)")
+    vf.add_argument("--output", required=True)
+    vf.add_argument("--master", default=None)
+
     de = sub.add_parser("describe",
                         help="per-column storage summary (chunks, codec "
                              "histogram, bytes, ratio) from the manifest")
@@ -279,6 +285,13 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.output, keys=args.keys,
                 filters=_parse_filters(args.filter), spec=spec)))
             return 0
+
+        if args.cmd == "verify":
+            import cryo_spark
+
+            report = cryo_spark.verify_output(spark, args.output)
+            print(json.dumps(report))
+            return 0 if report["status"] != "corrupt" else 1
 
         if args.cmd == "describe":
             import cryo_spark

@@ -900,6 +900,95 @@ def delete_where(
                 wall_s=time.perf_counter() - t0)
 
 
+def verify_output(spark: SparkSession, output_dir: str) -> dict:
+    """Structural audit of a frozen output (fsck / Iceberg verify analog).
+
+    Cross-checks the four metadata surfaces against each other and the
+    encoded files — all metadata-column reads, no payload decode:
+
+    - every committed ok manifest row has its encoded row (missing
+      payload = corruption, ``n_missing_payload``);
+    - encoded rows without a manifest row are orphans (invisible by
+      design — reported, not an error, ``n_orphan_rows``);
+    - tombstones must target rows that exist in the manifest
+      (``n_dangling_tombstones``);
+    - every data/delete run named by the snapshot log must have its
+      manifest dir / delete files (``missing_runs``/
+      ``missing_delete_runs``) unless vacuum recorded its removal;
+    - duplicate ok rows for one (run, chunk, column) would decode a
+      chunk twice (``n_duplicate_rows``);
+    - failed chunks are counted (informational — resume retries them).
+
+    Returns a dict with ``status`` 'ok' (clean), 'warn' (only
+    informational findings) or 'corrupt'.
+    """
+    import os
+
+    report: dict = {}
+    man = read_manifest(spark, output_dir, raw=True)
+    if man is None:
+        report.update(status="ok", empty=True)
+        return report
+    keys4 = ["run", "partition_id", "chunk_id", "column"]
+    ok = man.filter(F.col("status") == "ok").select(*keys4)
+    try:
+        enc = spark.read.parquet(_encoded_path(output_dir)).select(*keys4)
+    except Exception:
+        enc = ok.limit(0)
+    report["n_missing_payload"] = ok.join(enc, keys4, "left_anti").count()
+    report["n_orphan_rows"] = enc.join(ok, keys4, "left_anti").count()
+    report["n_duplicate_rows"] = (
+        ok.groupBy(*keys4).count().filter(F.col("count") > 1).count())
+    ts = _read_tombstones(spark, output_dir)
+    report["n_dangling_tombstones"] = 0
+    if ts is not None:
+        targets = ts.select(F.col("target_run").alias("run"),
+                            "partition_id", "chunk_id")
+        have = man.select("run", "partition_id", "chunk_id").distinct()
+        report["n_dangling_tombstones"] = targets.join(
+            have, ["run", "partition_id", "chunk_id"], "left_anti").count()
+    report["n_failed_chunks"] = man.filter(
+        F.col("status") != "ok").select("run", "chunk_id").distinct().count()
+    entries = snapshots.log(output_dir) if "://" not in output_dir else []
+    man_runs = {r["run"] for r in man.select("run").distinct().collect()}
+    removed = {r for e in entries if e["kind"] == "vacuum"
+               for r in e.get("removed_runs", [])}
+    report["missing_runs"] = sorted(
+        e["run"] for e in entries
+        if e["kind"] in ("append", "rewrite", "purge") and e["run"]
+        and e["run"] not in man_runs
+    )
+    report["missing_delete_runs"] = sorted(
+        e["run"] for e in entries
+        if e["kind"] == "delete" and e["run"]
+        and not os.path.isdir(
+            f"{_deletes_path(output_dir)}/run={e['run']}")
+    )
+    # visible runs whose payload bytes are gone without a vacuum record
+    enc_base = _encoded_path(output_dir)
+    present = set()
+    if os.path.isdir(enc_base):
+        present = {d[4:] for d in os.listdir(enc_base)
+                   if d.startswith("run=")}
+    live_runs = {
+        r["run"] for r in
+        _visible_ok_keys(spark, output_dir,
+                         read_manifest(spark, output_dir))
+        .select("run").distinct().collect()
+    }
+    report["unaccounted_missing_dirs"] = sorted(
+        (live_runs - present) - removed)
+    errors = (
+        report["n_missing_payload"] or report["n_duplicate_rows"]
+        or report["missing_runs"] or report["missing_delete_runs"]
+        or report["unaccounted_missing_dirs"]
+        or report["n_dangling_tombstones"]
+    )
+    warns = report["n_orphan_rows"] or report["n_failed_chunks"]
+    report["status"] = "corrupt" if errors else ("warn" if warns else "ok")
+    return report
+
+
 def describe(spark: SparkSession, output_dir: str,
              as_of: int | str | None = None) -> DataFrame:
     """Per-column storage summary of a frozen output (metadata only).

@@ -1,0 +1,66 @@
+"""verify_output(): structural fsck of a frozen output dir."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from cryo_spark import (compact, delete_where, freeze, purge_deletes,
+                        upsert, vacuum, verify_output, write_sequences)
+
+
+@pytest.fixture()
+def frozen(spark, tmp_path):
+    src = str(tmp_path / "seqs.parquet")
+    write_sequences(src, n=400, seed=23)
+    out = str(tmp_path / "out")
+    freeze(spark, src, out, target_tokens=30_000)
+    return src, out
+
+
+def test_clean_output_verifies_ok(spark, frozen):
+    _, out = frozen
+    r = verify_output(spark, out)
+    assert r["status"] == "ok", r
+    assert r["n_missing_payload"] == 0 and r["n_orphan_rows"] == 0
+
+
+def test_full_lifecycle_stays_clean(spark, frozen):
+    src, out = frozen
+    delete_where(spark, out, keys="0:40")
+    purge_deletes(spark, out, target_tokens=200_000)
+    compact(spark, out, target_tokens=400_000)
+    vacuum(spark, out)
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(src).filter("doc_id < 'doc-000000000005'") \
+        .withColumn("tokens", F.reverse("tokens"))
+    upsert(spark, out, batch, target_tokens=400_000)
+    r = verify_output(spark, out)
+    assert r["status"] == "ok", r
+
+
+def test_orphan_run_is_warn_not_corrupt(spark, frozen):
+    _, out = frozen
+    run = os.listdir(f"{out}/encoded")[0]
+    shutil.copytree(f"{out}/encoded/{run}", f"{out}/encoded/run=orphan000000")
+    r = verify_output(spark, out)
+    assert r["status"] == "warn" and r["n_orphan_rows"] > 0
+    assert r["n_missing_payload"] == 0
+
+
+def test_deleted_payload_detected_as_corrupt(spark, frozen):
+    _, out = frozen
+    run_dir = glob.glob(f"{out}/encoded/run=*")[0]
+    shutil.rmtree(run_dir)
+    r = verify_output(spark, out)
+    assert r["status"] == "corrupt"
+    assert r["n_missing_payload"] > 0
+    assert r["unaccounted_missing_dirs"]
+
+
+def test_empty_dir_ok(spark, tmp_path):
+    r = verify_output(spark, str(tmp_path / "nothing"))
+    assert r == {"status": "ok", "empty": True}
