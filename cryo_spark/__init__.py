@@ -17,8 +17,8 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
 
 from .engine import (collect, compact, decode, decode_frozen, delete_where,
                      describe, encode, export, freeze, purge_deletes,
-                     read_encoded, read_manifest, upsert, vacuum,
-                     verify_output)
+                     read_appends, read_encoded, read_manifest, upsert,
+                     vacuum, verify_output)
 from .snapshots import log as snapshot_log
 from .fixtures import (
     generate_embeddings,
@@ -35,6 +35,7 @@ __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
     "export", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
+    "read_appends",
     "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
     "generate_embeddings", "write_embeddings",

@@ -900,6 +900,59 @@ def delete_where(
                 wall_s=time.perf_counter() - t0)
 
 
+def read_appends(
+    spark: SparkSession,
+    output_dir: str,
+    from_seq: int | str,
+    to_seq: int | str | None = None,
+    columns: list[str] | None = None,
+    spec: TableSpec = SEQUENCES,
+) -> DataFrame:
+    """Rows appended in snapshot range (from_seq, to_seq] — incremental scan.
+
+    The Iceberg incremental-read contract: the range may contain only
+    plain appends (freeze / stream batches). A rewrite, purge, delete
+    or rollback inside it makes row-level increments ambiguous (rows
+    moved or vanished, not just arrived) and raises — the caller then
+    falls back to a full read, exactly as with Iceberg. Tags and
+    vacuums are metadata/physical-only and pass through. Feeds
+    downstream incremental pipelines (tokenizer re-runs, index updates)
+    without rescanning the 10^12-sequence table.
+    """
+    entries = snapshots.log(output_dir)
+    if not entries:
+        raise ValueError(f"no snapshot log under {output_dir!r}")
+    from_seq = snapshots.resolve_ref(output_dir, from_seq)
+    to_seq = (entries[-1]["seq"] if to_seq is None
+              else snapshots.resolve_ref(output_dir, to_seq))
+    in_range = [e for e in entries if from_seq < e["seq"] <= to_seq]
+    bad = [e for e in in_range
+           if e["kind"] not in ("append", "tag", "vacuum")]
+    if bad:
+        kinds = sorted({e["kind"] for e in bad})
+        raise ValueError(
+            f"incremental scan ({from_seq}, {to_seq}] crosses non-append "
+            f"history ({', '.join(kinds)}); read the full table at "
+            f"as_of={to_seq} instead")
+    runs = [e["run"] for e in in_range if e["kind"] == "append"]
+    from . import schema as schema_mod
+
+    all_cols = [c.name for c in spec.columns]
+    cols = all_cols if columns is None else schema_mod.compute_used_columns(
+        all_cols, columns=columns)
+    if not runs:
+        return spark.createDataFrame([], spec.spark_ddl(cols))
+    man = read_manifest(spark, output_dir, raw=True).filter(
+        F.col("run").isin(runs))
+    keys = man.filter(F.col("status") == "ok").select(
+        "run", "partition_id", "chunk_id").distinct()
+    enc = spark.read.parquet(_encoded_path(output_dir)).filter(
+        F.col("run").isin(runs)
+    ).join(F.broadcast(keys), ["run", "partition_id", "chunk_id"],
+           "left_semi")
+    return decode(enc, columns=cols, spec=spec)
+
+
 def verify_output(spark: SparkSession, output_dir: str) -> dict:
     """Structural audit of a frozen output (fsck / Iceberg verify analog).
 

@@ -475,6 +475,52 @@ def enc_time_travel(spark, sf_dir):
 
 
 @q(
+    "enc_incremental_scan",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 2 AS split FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(min(doc_id) AS BIGINT) AS key_min,
+           CAST(max(doc_id) AS BIGINT) AS key_max
+    FROM d, s WHERE doc_id >= split
+    """,
+)
+def enc_incremental_scan(spark, sf_dir):
+    """Incremental append scan (Iceberg incremental read), oracle-checked.
+
+    Two ordered appends; ``read_appends(from=1)`` must return EXACTLY
+    the second commit's rows — no first-commit leakage, no loss. The
+    oracle recomputes that increment from the raw table with the same
+    split arithmetic as enc_time_travel.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_increment_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = mx // 2
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                  keys=f"0:{split}")
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                  keys=f"{split}:{mx + 1}")
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    return engine.read_appends(spark, out, 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.min(key_num).cast("long").alias("key_min"),
+        F.max(key_num).cast("long").alias("key_max"),
+    )
+
+
+@q(
     "enc_upsert",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),

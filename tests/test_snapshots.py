@@ -224,3 +224,26 @@ def test_concurrent_commits_never_clobber(tmp_path):
     log = snapshot_log(out)
     assert [e["seq"] for e in log] == list(range(1, 19))
     assert len({e["run"] for e in log}) == 18
+
+
+def test_read_appends_incremental_scan(spark, two_appends, tmp_path):
+    src, out = two_appends
+    from cryo_spark import read_appends
+    from cryo_spark.engine import read_manifest
+
+    second = _ids(spark.read.parquet(src).filter(
+        "doc_id >= 'doc-000000000300'"))
+    assert _ids(read_appends(spark, out, 0, 1)) != second
+    assert _ids(read_appends(spark, out, 1)) == second      # (1, latest]
+    assert _ids(read_appends(spark, out, 1, 2)) == second
+    assert read_appends(spark, out, 2).count() == 0          # empty range
+    # projection works
+    assert read_appends(spark, out, 1, columns=["doc_id"]).columns == ["doc_id"]
+    # a tag inside the range is fine; a rewrite is not
+    snapshots.tag(out, "head")
+    assert _ids(read_appends(spark, out, 1, "head")) == second
+    compact(spark, out, target_tokens=400_000)
+    with pytest.raises(ValueError, match="non-append history"):
+        read_appends(spark, out, 1)
+    # ...but a range that stops before the rewrite still works
+    assert _ids(read_appends(spark, out, 1, 2)) == second
