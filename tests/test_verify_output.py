@@ -64,3 +64,42 @@ def test_deleted_payload_detected_as_corrupt(spark, frozen):
 def test_empty_dir_ok(spark, tmp_path):
     r = verify_output(spark, str(tmp_path / "nothing"))
     assert r == {"status": "ok", "empty": True}
+
+
+def test_crashed_rewrite_is_invisible_and_flagged(spark, frozen):
+    """Death between payload write and manifest commit: the half-done
+    rewrite (new run + tombstones, no manifest) must change nothing for
+    readers, resume must not count it, and verify reports only a warn."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cryo_spark import decode, decode_frozen
+    from cryo_spark.engine import read_encoded
+
+    src, out = frozen
+    before = sorted(r.doc_id for r in
+                    decode_frozen(spark, out).select("doc_id").collect())
+    # simulate: copy an existing committed run's encoded files to a new
+    # run id and write tombstones against the ORIGINAL run, but no
+    # manifest (the compact/upsert crash window)
+    run = os.listdir(f"{out}/encoded")[0]
+    shutil.copytree(f"{out}/encoded/{run}", f"{out}/encoded/run=deadc0de0000")
+    man_dir = glob.glob(f"{out}/manifest/run=*")[0]
+    t = pq.read_table(man_dir, columns=["partition_id", "chunk_id"])
+    import pyarrow as pa
+
+    ts = pa.table({
+        "target_run": pa.array([run[4:]] * t.num_rows),
+        "partition_id": t.column("partition_id"),
+        "chunk_id": t.column("chunk_id"),
+    })
+    os.makedirs(f"{out}/tombstones/run=deadc0de0000")
+    pq.write_table(ts, f"{out}/tombstones/run=deadc0de0000/part-0.parquet")
+
+    after = sorted(r.doc_id for r in
+                   decode_frozen(spark, out).select("doc_id").collect())
+    assert after == before
+    assert sorted(r.doc_id for r in decode(read_encoded(spark, out))
+                  .select("doc_id").collect()) == before
+    r = verify_output(spark, out)
+    assert r["status"] == "warn" and r["n_orphan_rows"] > 0
