@@ -2382,3 +2382,71 @@ def token_count_regex(spark, sf_dir):
         .cast("long")
         .alias("total_regex_tokens")
     )
+
+
+@q(
+    "pipeline_corpus_freeze",
+    f"WITH RECURSIVE {_sql_cluster_ctes()}, "
+    "drops AS (SELECT u FROM labels WHERE u != label), "
+    "surv AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents "
+    "WHERE n_chars > 100 "
+    "AND length(text) - length(replace(text, ' the ', '')) > 0 "
+    "AND CAST(doc_id AS BIGINT) NOT IN (SELECT u FROM drops)) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS tok_sum, "
+    "CAST(sum(doc_id) AS BIGINT) AS doc_id_sum, "
+    "true AS compressed, true AS clean FROM surv",
+)
+def pipeline_corpus_freeze(spark, sf_dir):
+    """The whole mission in one query: clean -> dedup -> tokenize -> freeze.
+
+    The training-data funnel end-to-end: quality filter (length bucket
+    medium+, text_quality_score's rule) and language heuristic
+    (lang_id_heuristic's stopword rule) -> corpus-wide near-dup
+    resolution (minhash kernel -> LSH band join -> jaccard verify ->
+    connected components -> drop non-keepers, the dedup_apply machinery)
+    -> deterministic tokenization -> freeze through the compression
+    engine -> read back. The DuckDB oracle replays the ENTIRE funnel
+    (recursive-CTE closure included) and pins the surviving corpus's
+    membership and token mass; ``compressed``/``clean`` pin that the
+    freeze beat raw bytes with zero failed chunks.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pipeline_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    drops = _connected_components(
+        _jaccard_verify(d, _lsh_candidate_pairs(mh))
+    ).filter(F.col("u") != F.col("label")).select(F.col("u").alias("doc_id"))
+    n_the = F.length("text") - F.length(
+        F.regexp_replace("text", F.lit(" the "), F.lit("")))
+    surv = (
+        docs.filter((F.col("n_chars") > 100) & (n_the > 0))
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+    )
+    surv.select(
+        F.format_string("doc-%012d", "doc_id").alias("doc_id"),
+        F.expr(_TOK_EXPR).alias("tokens"),
+        (F.col("n_chars") % 64 + 1).cast("int").alias("n_tok"),
+        "source",
+    ).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    s = engine.freeze(spark, f"{base}/in", out, target_tokens=100_000)
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    return engine.decode_frozen(spark, out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.sum(key_num).cast("long").alias("doc_id_sum"),
+    ).select(
+        "*",
+        F.lit(0 < s["enc_bytes"] < s["raw_bytes"]).alias("compressed"),
+        F.lit(s["n_failed"] == 0).alias("clean"),
+    )
