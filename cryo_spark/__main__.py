@@ -57,6 +57,31 @@ def _parse_filters(items: list[str] | None) -> list[tuple] | None:
     return out
 
 
+def _resolve_table(args) -> "TableSpec":  # noqa: F821 (lazy import below)
+    """--table resolution: explicit name-or-JSON-path wins; otherwise
+    commands that operate on an existing frozen output read the spec the
+    freeze persisted there (engine._persist_spec), so users only ever
+    state the table family once, at freeze time. Falls back to the
+    default sequences family."""
+    from cryo_spark.tablespec import SPECS, resolve_spec
+
+    table_arg = getattr(args, "table", None)
+    if table_arg is not None:
+        return resolve_spec(table_arg)
+    if args.cmd != "freeze":
+        from cryo_spark.engine import load_output_spec
+
+        # collect reads FROM a (possibly frozen) --input; the rest
+        # operate on an existing frozen --output
+        probe = (getattr(args, "input", None) if args.cmd == "collect"
+                 else getattr(args, "output", None))
+        if probe:
+            spec = load_output_spec(probe)
+            if spec is not None:
+                return spec
+    return SPECS["sequences"]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m cryo_spark")
     sub = ap.add_subparsers(dest="cmd", required=False)
@@ -64,9 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     fz = sub.add_parser("freeze", help="encode with manifest + resume")
     fz.add_argument("--input", required=True)
     fz.add_argument("--output", required=True)
-    fz.add_argument("--table", default="sequences",
-                    help="table spec name (tablespec.SPECS: "
-                         "sequences|embeddings)")
+    fz.add_argument("--table", default=None,
+                    help="table family: a spec name (tablespec.SPECS) or a "
+                         "path to a JSON TableSpec file (default: sequences, "
+                         "or the spec persisted in --output)")
     fz.add_argument("--target-tokens", type=int, default=2 << 20)
     fz.add_argument("--keys", default=None,
                     help="key-range spec (reference block grammar: a:b, a:+n, "
@@ -91,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="merge undersized chunks of a frozen output")
     cp.add_argument("--output", required=True,
                     help="frozen output dir to compact in place")
-    cp.add_argument("--table", default="sequences",
+    cp.add_argument("--table", default=None,
                     help="table family (see freeze --table)")
     cp.add_argument("--target-tokens", type=int, default=2 << 20)
     cp.add_argument("--min-tokens", type=int, default=None,
@@ -112,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="row-level delete by predicate (equality-"
                              "delete run + snapshot; merge-on-read)")
     dl.add_argument("--output", required=True)
-    dl.add_argument("--table", default="sequences")
+    dl.add_argument("--table", default=None)
     dl.add_argument("--keys", default=None,
                     help="key-range spec (see freeze --keys)")
     dl.add_argument("--filter", action="append", default=None,
@@ -139,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--input", required=True,
                     help="parquet batch keyed like the table")
     up.add_argument("--output", required=True)
-    up.add_argument("--table", default="sequences")
+    up.add_argument("--table", default=None)
     up.add_argument("--target-tokens", type=int, default=2 << 20)
     up.add_argument("--master", default=None)
 
@@ -155,7 +181,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="physically apply committed deletes "
                              "(copy-on-write rewrite of affected chunks)")
     pg.add_argument("--output", required=True)
-    pg.add_argument("--table", default="sequences")
+    pg.add_argument("--table", default=None)
     pg.add_argument("--target-tokens", type=int, default=2 << 20)
     pg.add_argument("--master", default=None)
 
@@ -175,8 +201,8 @@ def main(argv: list[str] | None = None) -> int:
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
-    co.add_argument("--table", default="sequences",
-                    help="table spec name (tablespec.SPECS)")
+    co.add_argument("--table", default=None,
+                    help="table family: spec name or JSON spec path")
     co.add_argument("--columns", default=None, help="comma list or 'all'")
     co.add_argument("--keys", default=None, help="key-range spec (see freeze --keys)")
     co.add_argument("--as-of", default=None, dest="as_of",
@@ -238,11 +264,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from cryo_spark.session import get_spark
-    from cryo_spark.tablespec import SPECS
 
-    spec = SPECS.get(getattr(args, "table", "sequences"))
-    if spec is None:
-        ap.error(f"unknown --table {args.table!r}; choose from {sorted(SPECS)}")
+    try:
+        spec = _resolve_table(args)
+    except (ValueError, OSError) as exc:
+        ap.error(str(exc))
     spark = get_spark(app=f"cryo_spark_{args.cmd}", master=args.master)
     try:
         if args.cmd == "freeze":

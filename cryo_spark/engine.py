@@ -1577,6 +1577,7 @@ def freeze(
         input_path=input_path, target_tokens=target_tokens,
         n_chunks=plan.n_chunks, n_to_encode=n_missing, n_skipped=n_skipped,
     ))
+    _persist_spec(output_dir, spec)
     keep_mask = None
     if n_done:
         keep_mask = ~np.unpackbits(
@@ -1846,6 +1847,35 @@ def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
                            key=lambda kv: (kv[0] is not None, kv[0] or "")),
                     sorted(plan.mapping, key=repr)))
     return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _persist_spec(output_dir: str, spec: TableSpec) -> None:
+    """Write the table spec into the output (Iceberg stores the schema in
+    table metadata for the same reason: readers should not need an
+    out-of-band spec). Written before the first encode task so even an
+    interrupted run leaves a readable output; idempotent across runs —
+    the spec of an existing output never changes except via the
+    schema-evolution path, which rewrites it."""
+    import os
+
+    try:
+        os.makedirs(output_dir, exist_ok=True)
+        tmp = f"{output_dir}/spec.json.tmp"
+        with open(tmp, "w") as f:
+            f.write(spec.to_json())
+        os.replace(tmp, f"{output_dir}/spec.json")  # atomic, like reports
+    except OSError:
+        pass  # non-local output_dir: best-effort, like _write_report
+
+
+def load_output_spec(output_dir: str) -> TableSpec | None:
+    """Read back the spec persisted by freeze; None when the output
+    predates spec persistence (callers fall back to SEQUENCES)."""
+    try:
+        with open(f"{output_dir}/spec.json") as f:
+            return TableSpec.from_json(f.read())
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _write_report(output_dir: str, run_id: str, payload: dict) -> None:

@@ -234,6 +234,46 @@ class TableSpec:
             cols.append(self.partition_col)
         return cols
 
+    def to_dict(self) -> dict:
+        """JSON-portable form (the Iceberg table-metadata schema analog:
+        frozen outputs persist this next to the snapshot log so readers
+        need no out-of-band spec)."""
+        return {
+            "name": self.name,
+            "key": self.key,
+            "columns": [{"name": c.name, "kind": c.kind}
+                        for c in self.columns],
+            "partition_col": self.partition_col,
+            "weight": self.weight,
+        }
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict(), indent=1)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TableSpec":
+        """Inverse of :meth:`to_dict`; ``__post_init__`` re-validates, so
+        a hand-written JSON spec gets the same checks as a literal one."""
+        extra = set(d) - {"name", "key", "columns", "partition_col", "weight"}
+        if extra:
+            raise ValueError(f"unknown TableSpec fields: {sorted(extra)}")
+        return cls(
+            name=d["name"],
+            key=d["key"],
+            columns=tuple(ColumnSpec(c["name"], c["kind"])
+                          for c in d["columns"]),
+            partition_col=d.get("partition_col"),
+            weight=d.get("weight"),
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "TableSpec":
+        import json
+
+        return cls.from_dict(json.loads(text))
+
 
 def key_strings(t: pa.Table, spec: TableSpec) -> pa.Array:
     """The key column as a string array (identity for str keys).
@@ -325,3 +365,21 @@ DOCUMENTS = TableSpec(
 SPECS: dict[str, TableSpec] = {
     s.name: s for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA)
 }
+
+
+def resolve_spec(name_or_path: str) -> TableSpec:
+    """Resolve a ``--table`` argument: a registry name, or a path to a
+    JSON spec file (user-defined table family — the reference takes only
+    built-in dataset names; JSON specs are this engine's extension point
+    for arbitrary (key, lists, scalars) tables without code changes)."""
+    import os
+
+    if name_or_path in SPECS:
+        return SPECS[name_or_path]
+    if name_or_path.endswith(".json") or os.path.sep in name_or_path:
+        with open(name_or_path) as f:
+            return TableSpec.from_json(f.read())
+    raise ValueError(
+        f"unknown table {name_or_path!r}: not in {sorted(SPECS)} and not a "
+        "JSON spec path"
+    )

@@ -281,3 +281,80 @@ def test_int_key_range_requests(spark, embeddings_path, tmp_path):
     df2 = engine.collect(spark, out, keys="3:100", spec=EMBEDDINGS)
     got2 = sorted(r["vec_id"] for r in df2.select("vec_id").collect())
     assert got2 == [v for v in expect if v <= 100]
+
+
+def test_spec_json_roundtrip():
+    """to_dict/from_json inverse for every built-in spec; validation
+    still fires on malformed JSON-sourced specs."""
+    from cryo_spark.tablespec import SPECS
+
+    for spec in SPECS.values():
+        assert TableSpec.from_json(spec.to_json()) == spec
+    with pytest.raises(ValueError):
+        TableSpec.from_dict({"name": "x", "key": "k", "columns": [
+            {"name": "k", "kind": "str"}], "bogus": 1})
+    with pytest.raises(ValueError):
+        TableSpec.from_dict({"name": "x", "key": "missing", "columns": [
+            {"name": "k", "kind": "str"}]})
+
+
+def test_resolve_spec_name_and_path(tmp_path):
+    """resolve_spec: registry names and JSON file paths; user-defined
+    families (the reference only has built-in dataset names) load with
+    full validation."""
+    from cryo_spark.tablespec import resolve_spec
+
+    assert resolve_spec("embeddings") is EMBEDDINGS
+    custom = TableSpec(
+        name="labels", key="row_id",
+        columns=(ColumnSpec("row_id", "int64"),
+                 ColumnSpec("scores", "list<float64>"),
+                 ColumnSpec("split", "str")),
+        partition_col="split", weight="scores")
+    p = tmp_path / "labels.json"
+    p.write_text(custom.to_json())
+    assert resolve_spec(str(p)) == custom
+    with pytest.raises(ValueError):
+        resolve_spec("not_a_table")
+
+
+def test_freeze_persists_spec_and_cli_autodetects(spark, embeddings_path,
+                                                  tmp_path):
+    """freeze writes spec.json into the output; load_output_spec reads it
+    back; the CLI's table resolution can recover the family without
+    --table (the Iceberg self-describing-table property)."""
+    out = str(tmp_path / "emb_spec_out")
+    engine.freeze(spark, embeddings_path, out, target_tokens=TARGET,
+                  spec=EMBEDDINGS)
+    assert engine.load_output_spec(out) == EMBEDDINGS
+    # a JSON-defined custom spec persists equally (engine path, not CLI,
+    # to avoid a second SparkSession)
+    assert engine.load_output_spec(str(tmp_path)) is None  # no spec.json
+
+
+def test_cli_table_resolution(tmp_path):
+    """_resolve_table: explicit name > JSON path > persisted output spec
+    > sequences default — no SparkSession involved."""
+    import argparse
+
+    from cryo_spark.__main__ import _resolve_table
+    from cryo_spark.engine import _persist_spec
+    from cryo_spark.tablespec import SPECS
+
+    ns = lambda **kw: argparse.Namespace(**kw)  # noqa: E731
+    assert _resolve_table(ns(cmd="freeze", table="embeddings")) is EMBEDDINGS
+    custom = TableSpec(name="t", key="k",
+                       columns=(ColumnSpec("k", "int64"),
+                                ColumnSpec("v", "list<int32>")))
+    p = tmp_path / "t.json"
+    p.write_text(custom.to_json())
+    assert _resolve_table(ns(cmd="freeze", table=str(p))) == custom
+    out = str(tmp_path / "frozen")
+    _persist_spec(out, custom)
+    assert _resolve_table(ns(cmd="describe", table=None, output=out)) == custom
+    assert _resolve_table(ns(cmd="collect", table=None, input=out)) == custom
+    assert _resolve_table(
+        ns(cmd="describe", table=None, output=str(tmp_path))
+    ) is SPECS["sequences"]
+    with pytest.raises(ValueError):
+        _resolve_table(ns(cmd="freeze", table="nope"))
