@@ -207,6 +207,8 @@ QUERY_SUBSET = [
     "scan_zone_pruned",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "pack_sequences",
+    "decontaminate_ngrams",
 ]
 
 

@@ -2450,3 +2450,329 @@ def pipeline_corpus_freeze(spark, sf_dir):
         F.lit(0 < s["enc_bytes"] < s["raw_bytes"]).alias("compressed"),
         F.lit(s["n_failed"] == 0).alias("clean"),
     )
+
+
+# ===========================================================================
+# training-data pipeline: packing, mixture sampling, sharding, decontamination
+# ===========================================================================
+
+_PACK_W = 256
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH seq AS (
+      SELECT doc_id, (n_chars % 64 + 1)::BIGINT AS n_tok, {_TOK_SQL} AS l
+      FROM documents
+    ),
+    off AS (
+      SELECT doc_id, n_tok, l,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM seq
+    ),
+    pos AS (
+      SELECT doc_id, start, l, unnest(range(0, n_tok)) AS i FROM off
+    ),
+    tok AS (
+      SELECT doc_id, CAST((start + i) // {_PACK_W} AS BIGINT) AS window_id,
+             l[i + 1] AS tok
+      FROM pos
+    )
+    SELECT window_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tok_sum
+    FROM tok GROUP BY window_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Context-window packing: concat token streams, split at W tokens.
+
+    The standard LLM-pretraining packing step (concat-and-chunk): order
+    documents by key, lay their token streams end to end, and cut the
+    global stream into fixed W-token training windows. Per window the
+    query reports how many tokens/documents it spans and the token-value
+    sum — bit-level evidence every token landed in exactly one window.
+
+    Scale shape: the global offset of each document is a distributed
+    two-phase cumulative sum — deterministic range buckets from the key
+    span (NOT spark_partition_id, so the plan is parallelism-invariant),
+    per-bucket window cumsum, and a driver-side prefix over the ~P
+    bucket totals (bounded, like cryo's chunk plan) broadcast back.
+    No global single-partition sort anywhere; the per-doc window slice
+    runs as array ops (sequence/slice/aggregate) without exploding
+    individual tokens through a shuffle.
+    """
+    from pyspark.sql import Window
+
+    W = _PACK_W
+    seqs = sequences_from_documents(spark, sf_dir)
+    df = seqs.select(
+        F.substring("doc_id", 5, 12).cast("long").alias("k"),
+        "tokens",
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+    lo, hi = df.agg(F.min("k"), F.max("k")).first()
+    n_buckets = 8
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("k") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("int"),
+    )
+    b = df.withColumn("pid", bucket).repartition(n_buckets, "pid")
+    w_local = (
+        Window.partitionBy("pid").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = b.withColumn(
+        "local_start", F.coalesce(F.sum("n_tok").over(w_local), F.lit(0))
+    )
+    totals = sorted(
+        b.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    prefix, run = [], 0
+    for r in totals:
+        prefix.append((r["pid"], run))
+        run += int(r["tot"])
+    pre_df = spark.createDataFrame(prefix, "pid int, offset long")
+    g = (
+        loc.join(F.broadcast(pre_df), "pid")
+        .withColumn("start", F.col("offset") + F.col("local_start"))
+    )
+    e = g.select(
+        "k", "tokens", "n_tok", "start",
+        F.explode(
+            F.expr(f"sequence(start div {W}, (start + n_tok - 1) div {W})")
+        ).alias("window_id"),
+    )
+    sl = F.expr(
+        f"slice(tokens, CAST(greatest(window_id * {W} - start, 0) AS INT) + 1, "
+        f"CAST(least(start + n_tok, (window_id + 1) * {W}) "
+        f"- greatest(start, window_id * {W}) AS INT))"
+    )
+    return (
+        e.withColumn("sl", sl)
+        .groupBy("window_id")
+        .agg(
+            F.sum(F.size("sl")).cast("long").alias("n_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("aggregate(sl, 0L, (a, x) -> a + x)"))
+            .cast("long")
+            .alias("tok_sum"),
+        )
+        .select(F.col("window_id").cast("long").alias("window_id"),
+                "n_tok", "n_docs", "tok_sum")
+    )
+
+
+@q(
+    "sample_mixture",
+    """
+    WITH w AS (
+      SELECT source, doc_id, n_chars,
+             250 + (CAST(substr(source, 4) AS INT) * 317) % 1901 AS w_mille,
+             (doc_id * 2654435761) % 1000 AS u
+      FROM documents
+    ),
+    k AS (
+      SELECT source, doc_id, n_chars,
+             w_mille // 1000
+               + CASE WHEN u < w_mille % 1000 THEN 1 ELSE 0 END AS copies
+      FROM w
+    )
+    SELECT source,
+           CAST(sum(copies) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(n_chars * copies), 0) AS BIGINT) AS chars_total
+    FROM k GROUP BY source
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Deterministic per-source mixture sampling with upsampling.
+
+    Builds a training mixture from per-source sampling weights (the
+    data-recipe step of an LLM pipeline): weight < 1.0 downsamples by a
+    deterministic per-doc coin (hash arithmetic, reproducible across
+    runs/engines — no rand()), weight > 1.0 upsamples by emitting
+    floor(w) copies plus a fractional-probability extra. Weights live in
+    a small dim table broadcast-joined to the corpus; the upsampled rows
+    come from exploding sequence(1, copies) (guarded: Spark's sequence
+    is descending when copies = 0).
+    """
+    d = _t(spark, sf_dir, "documents")
+    wdf = (
+        d.select("source").distinct()
+        .withColumn(
+            "w_mille",
+            F.lit(250)
+            + (F.regexp_extract("source", "(\\d+)", 1).cast("int") * 317)
+            % 1901,
+        )
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    copies = (
+        F.expr("w_mille div 1000")
+        + F.when(u < F.col("w_mille") % 1000, 1).otherwise(0)
+    )
+    sampled = (
+        d.join(F.broadcast(wdf), "source")
+        .withColumn("copies", copies)
+        .withColumn(
+            "rep",
+            F.explode(
+                F.expr(
+                    "CASE WHEN copies > 0 THEN sequence(1, copies) "
+                    "ELSE array() END"
+                )
+            ),
+        )
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+
+
+@q(
+    "shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, (doc_id * 2654435761 + 12345) % 999983 AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, h, h % 16 AS shard_id,
+             row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      FROM h
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+           CAST(min(h) AS BIGINT) AS h_min,
+           CAST(max(h) AS BIGINT) AS h_max
+    FROM r GROUP BY shard_id
+    """,
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment for training data.
+
+    Training corpora are written as N shards in a reproducible
+    pseudo-random document order (so every epoch/worker sees the same
+    shuffle). Order key h = affine-mod hash of the key; shard = h mod
+    16. The physical write shape is repartition(shard) +
+    sortWithinPartitions(h) — here the window per shard computes each
+    doc's position and the checksum sum(pos * doc_id) pins the exact
+    within-shard order, not just membership.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761 + 12345) % 999983
+    s = d.select("doc_id", h.alias("h"), (h % 16).alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        s.withColumn("pos", F.row_number().over(w))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long")
+            .alias("order_checksum"),
+            F.min("h").cast("long").alias("h_min"),
+            F.max("h").cast("long").alias("h_max"),
+        )
+        .select(F.col("shard_id").cast("long").alias("shard_id"),
+                "n_docs", "order_checksum", "h_min", "h_max")
+    )
+
+
+_G3_SPARK = (
+    "CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3), "
+    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) "
+    "ELSE array() END"
+)
+
+
+@q(
+    "decontaminate_ngrams",
+    """
+    WITH wd AS (
+      SELECT doc_id, source, n_chars,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS grams
+      FROM wd
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ),
+    corpus_grams AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 != 0
+    ),
+    contam AS (
+      SELECT DISTINCT c.doc_id FROM corpus_grams c JOIN eg USING (gram)
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE doc_id NOT IN
+             (SELECT doc_id FROM contam)) AS BIGINT) AS n_clean,
+           CAST(count(*) FILTER (WHERE doc_id IN
+             (SELECT doc_id FROM contam)) AS BIGINT) AS n_contam,
+           CAST(COALESCE(sum(n_chars) FILTER (WHERE doc_id NOT IN
+             (SELECT doc_id FROM contam)), 0) AS BIGINT) AS chars_clean
+    FROM g WHERE doc_id % 97 != 0
+    GROUP BY source
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """Benchmark decontamination: drop corpus docs sharing eval n-grams.
+
+    The eval-leakage guard of an LLM data pipeline: extract word
+    3-grams from a held-out eval set (docs with doc_id % 97 == 0) and
+    flag any training doc sharing at least one 3-gram. The eval n-gram
+    set is small by construction, so the membership test is a
+    broadcast left-semi join on the exploded corpus grams — the shape
+    that survives 100 TB (no shuffle of the corpus text; the only wide
+    exchange is the distinct over flagged doc ids). Reports per-source
+    surviving/flagged counts and surviving char mass.
+    """
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.withColumn("w", F.expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("grams", F.expr(_G3_SPARK))
+        .select("doc_id", "source", "n_chars", "grams")
+    )
+    eg = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % 97 != 0)
+    contam = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eg), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    flagged = corpus.select("doc_id", "source", "n_chars").join(
+        contam, "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.sum(F.when(F.col("is_contam").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_clean"),
+        F.sum(F.when(F.col("is_contam").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_contam"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_contam").isNull(), F.col("n_chars"))),
+            F.lit(0),
+        ).cast("long").alias("chars_clean"),
+    )
