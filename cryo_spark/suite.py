@@ -2790,3 +2790,172 @@ def decontaminate_ngrams(spark, sf_dir):
             F.lit(0),
         ).cast("long").alias("chars_clean"),
     )
+
+
+_KM_K = 8
+
+
+@q(
+    "kmeans_embeddings",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS k, d, x AS c FROM dims WHERE vec_id < 8),
+    a1 AS (
+      SELECT dims.vec_id, c0.k, sum((dims.x - c0.c) * (dims.x - c0.c)) AS dist
+      FROM dims JOIN c0 USING (d) GROUP BY dims.vec_id, c0.k
+    ),
+    b1 AS (
+      SELECT vec_id, k FROM a1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) = 1
+    ),
+    m1 AS (
+      SELECT b1.k, dims.d, avg(dims.x) AS c
+      FROM b1 JOIN dims USING (vec_id) GROUP BY b1.k, dims.d
+    ),
+    c1 AS (
+      SELECT c0.k, c0.d, COALESCE(m1.c, c0.c) AS c
+      FROM c0 LEFT JOIN m1 ON m1.k = c0.k AND m1.d = c0.d
+    ),
+    a2 AS (
+      SELECT dims.vec_id, c1.k, sum((dims.x - c1.c) * (dims.x - c1.c)) AS dist
+      FROM dims JOIN c1 USING (d) GROUP BY dims.vec_id, c1.k
+    ),
+    b2 AS (
+      SELECT vec_id, k FROM a2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) = 1
+    ),
+    m2 AS (
+      SELECT b2.k, dims.d, avg(dims.x) AS c
+      FROM b2 JOIN dims USING (vec_id) GROUP BY b2.k, dims.d
+    ),
+    chk AS (SELECT k, round(sum(c), 4) AS centroid_sum FROM m2 GROUP BY k)
+    SELECT CAST(b2.k AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(e.label) AS BIGINT) AS label_sum,
+           chk.centroid_sum
+    FROM b2 JOIN embeddings e USING (vec_id) JOIN chk ON chk.k = b2.k
+    GROUP BY b2.k, chk.centroid_sum
+    """,
+)
+def kmeans_embeddings(spark, sf_dir):
+    """K-means over embeddings: the iterative-algorithm operator class.
+
+    Two Lloyd iterations, K=8, deterministic init (vec_id < K), squared
+    L2, argmin ties to the lowest cluster id. The Spark shape is
+    MLlib's treeAggregate idiom done with DataFrame primitives: each
+    iteration is ONE mapInArrow pass whose kernel assigns a whole Arrow
+    batch with a broadcasted (n,1,d)-(K,d) float64 difference (exactly
+    the oracle's per-dim arithmetic — no dot-product expansion, so the
+    argmin can't drift on cancellation) and emits K partial-sum rows
+    (sum vector + count) per batch; the driver folds the tiny partials
+    into new centroids. No shuffle of the vectors, ever — the only wide
+    exchange is the final K-row stats groupBy. Empty clusters keep
+    their previous centroid (oracle: COALESCE). The DuckDB oracle
+    replays both iterations dim-unnested and pins counts, label mass,
+    and the rounded final centroid sums.
+    """
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    init = (
+        e.filter(F.col("vec_id") < _KM_K).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+
+    def _batch_xy(b):
+        import numpy as np
+        import pyarrow as pa
+
+        t = pa.Table.from_batches([b])
+        n = t.num_rows
+        col = t.column("embedding").combine_chunks()
+        lens = np.diff(np.asarray(col.offsets))
+        d = int(lens[0]) if n else 0
+        assert (lens == d).all(), "ragged embedding dims"
+        X = np.asarray(
+            col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(n, d)
+        return t, X
+
+    def partials_fn(Cb):
+        def fn(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                _, X = _batch_xy(b)
+                k = ((X[:, None, :] - Cb[None, :, :]) ** 2).sum(2).argmin(1)
+                K, d = Cb.shape
+                sums = np.zeros((K, d))
+                cnts = np.zeros(K, dtype=np.int64)
+                np.add.at(sums, k, X)
+                np.add.at(cnts, k, 1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(K, dtype=np.int64)),
+                        pa.array(list(sums), type=pa.list_(pa.float64())),
+                        pa.array(cnts),
+                    ],
+                    names=["k", "vsum", "cnt"],
+                )
+        return fn
+
+    def lloyd_update(Cb):
+        rows = e.select("embedding").mapInArrow(
+            partials_fn(Cb), "k long, vsum array<double>, cnt long"
+        ).collect()
+        K, d = Cb.shape
+        sums = np.zeros((K, d))
+        cnts = np.zeros(K, dtype=np.int64)
+        for r in rows:
+            sums[r.k] += np.asarray(r.vsum)
+            cnts[r.k] += r.cnt
+        out = Cb.copy()
+        nz = cnts > 0
+        out[nz] = sums[nz] / cnts[nz, None]
+        return out
+
+    C1 = lloyd_update(C)
+    C2 = lloyd_update(C1)
+
+    def assign_fn(Cb):
+        def fn(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                t, X = _batch_xy(b)
+                k = ((X[:, None, :] - Cb[None, :, :]) ** 2).sum(2).argmin(1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        t.column("vec_id").combine_chunks().cast(pa.int64()),
+                        t.column("label").combine_chunks().cast(pa.int64()),
+                        pa.array(k.astype(np.int64)),
+                    ],
+                    names=["vec_id", "label", "cluster_id"],
+                )
+        return fn
+
+    asg = e.mapInArrow(assign_fn(C1), "vec_id long, label long, cluster_id long")
+    chk = spark.createDataFrame(
+        [(int(k), float(round(C2[k].sum(), 4))) for k in range(_KM_K)],
+        "cluster_id long, centroid_sum double",
+    )
+    return (
+        asg.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("label").cast("long").alias("label_sum"),
+        )
+        .join(F.broadcast(chk), "cluster_id")
+        .select("cluster_id", "n_vecs", "label_sum", "centroid_sum")
+    )
