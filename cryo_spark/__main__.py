@@ -73,7 +73,8 @@ def _resolve_table(args) -> "TableSpec":  # noqa: F821 (lazy import below)
 
         # collect reads FROM a (possibly frozen) --input; the rest
         # operate on an existing frozen --output
-        probe = (getattr(args, "input", None) if args.cmd == "collect"
+        probe = (getattr(args, "input", None)
+                 if args.cmd in ("collect", "export-shards")
                  else getattr(args, "output", None))
         if probe:
             spec = load_output_spec(probe)
@@ -191,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--output", required=True)
     rb.add_argument("--to", type=int, required=True, dest="to_seq",
                     help="target snapshot sequence number")
+
+    es = sub.add_parser("export-shards",
+                        help="write the corpus as N training shards in a "
+                             "reproducible pseudo-random order")
+    es.add_argument("--input", required=True,
+                    help="sequences parquet OR a frozen output dir")
+    es.add_argument("--dest", required=True, help="shard output directory")
+    es.add_argument("--n-shards", type=int, default=16, dest="n_shards")
+    es.add_argument("--seed", type=int, default=12345)
+    es.add_argument("--table", default=None,
+                    help="table family: spec name or JSON spec path")
+    es.add_argument("--keys", default=None,
+                    help="key-range spec (see freeze --keys)")
+    es.add_argument("--as-of", default=None, dest="as_of")
+    es.add_argument("--filter", action="append", default=None)
+    es.add_argument("--master", default=None)
 
     sn = sub.add_parser("snapshots",
                         help="list the output dir's commit history "
@@ -328,6 +345,18 @@ def main(argv: list[str] | None = None) -> int:
             for row in cryo_spark.describe(spark, args.output,
                                            as_of=as_of).collect():
                 print(json.dumps(row.asDict(), default=str))
+            return 0
+
+        if args.cmd == "export-shards":
+            import cryo_spark
+
+            as_of = args.as_of
+            if as_of is not None and as_of.lstrip("-").isdigit():
+                as_of = int(as_of)
+            print(json.dumps(cryo_spark.export_shards(
+                spark, args.input, args.dest, n_shards=args.n_shards,
+                seed=args.seed, spec=spec, as_of=as_of, keys=args.keys,
+                filters=_parse_filters(args.filter))))
             return 0
 
         if args.cmd == "upsert":

@@ -2325,3 +2325,56 @@ def export(
     if format == "csv":
         writer = writer.option("header", "true")
     getattr(writer, format)(path)
+
+
+def export_shards(
+    spark: SparkSession,
+    source: str | DataFrame,
+    dest: str,
+    n_shards: int = 16,
+    seed: int = 12345,
+    spec: TableSpec = SEQUENCES,
+    as_of: int | str | None = None,
+    keys: str | None = None,
+    filters: list[tuple] | None = None,
+) -> dict:
+    """Write the corpus as ``n_shards`` training shards in a
+    reproducible pseudo-random order.
+
+    The last step of the training-data funnel: after clean / dedup /
+    freeze, trainers consume the corpus as a fixed set of shard files
+    whose order is a pure function of the data (every epoch, worker,
+    and re-run sees the same global shuffle — no rand()). Order key
+    h = xxhash64(key, seed); shard = pmod(h, n_shards). The physical
+    plan is the canonical shard-writer shape: ONE exchange
+    (repartition on the shard column) + sortWithinPartitions(h) +
+    partitionBy(shard) parquet write, so each task streams exactly one
+    shard directory with one file in h-order. ``source``/``keys``/
+    ``filters``/``as_of`` follow collect() semantics (an encoded dir
+    decodes chunk-pruned; a parquet path scans with pushdown).
+
+    Returns {"n_shards", "rows": {shard: n}, "dest"}.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    df = collect(spark, source, spec=spec, as_of=as_of, keys=keys,
+                 filters=filters)
+    h = F.xxhash64(F.col(spec.key), F.lit(seed))
+    sharded = (
+        df.withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "shard")
+        # the partitionBy writer requires task rows ordered by the
+        # partition column and would otherwise insert its own UNSTABLE
+        # sort on `shard` alone, scrambling the h-order; sorting with
+        # `shard` as the prefix satisfies the requirement so the writer
+        # streams rows exactly in this order
+        .sortWithinPartitions("shard", "h", spec.key)
+    )
+    sharded.write.partitionBy("shard").parquet(dest)
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(dest).groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {"n_shards": n_shards, "rows": counts, "dest": dest}
