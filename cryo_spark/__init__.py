@@ -16,7 +16,7 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
 """
 
 from .engine import (collect, compact, decode, decode_frozen, delete_where,
-                     describe, encode, export, export_shards, freeze,
+                     describe, encode, export, export_shards, freeze, pack,
                      purge_deletes, read_appends, read_encoded,
                      read_manifest, upsert, vacuum, verify_output)
 from .snapshots import log as snapshot_log
@@ -33,7 +33,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
-    "export", "export_shards", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
+    "export", "export_shards", "pack", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
     "read_appends",
     "compute_used_columns", "hex_columns", "unhex_columns",

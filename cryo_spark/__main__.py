@@ -74,7 +74,7 @@ def _resolve_table(args) -> "TableSpec":  # noqa: F821 (lazy import below)
         # collect reads FROM a (possibly frozen) --input; the rest
         # operate on an existing frozen --output
         probe = (getattr(args, "input", None)
-                 if args.cmd in ("collect", "export-shards")
+                 if args.cmd in ("collect", "export-shards", "pack")
                  else getattr(args, "output", None))
         if probe:
             spec = load_output_spec(probe)
@@ -192,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--output", required=True)
     rb.add_argument("--to", type=int, required=True, dest="to_seq",
                     help="target snapshot sequence number")
+
+    pk = sub.add_parser("pack",
+                        help="concat-and-chunk context-window packing; "
+                             "freezes the packed_sequences table")
+    pk.add_argument("--input", required=True,
+                    help="sequences parquet OR a frozen output dir")
+    pk.add_argument("--dest", required=True, help="packed output dir")
+    pk.add_argument("--window", type=int, default=2048)
+    pk.add_argument("--target-tokens", type=int, default=None,
+                    dest="target_tokens")
+    pk.add_argument("--table", default=None,
+                    help="table family of the INPUT (spec name or JSON)")
+    pk.add_argument("--keys", default=None)
+    pk.add_argument("--as-of", default=None, dest="as_of")
+    pk.add_argument("--filter", action="append", default=None)
+    pk.add_argument("--master", default=None)
 
     es = sub.add_parser("export-shards",
                         help="write the corpus as N training shards in a "
@@ -345,6 +361,22 @@ def main(argv: list[str] | None = None) -> int:
             for row in cryo_spark.describe(spark, args.output,
                                            as_of=as_of).collect():
                 print(json.dumps(row.asDict(), default=str))
+            return 0
+
+        if args.cmd == "pack":
+            from cryo_spark import engine as eng
+            from cryo_spark import layout as lay
+
+            as_of = args.as_of
+            if as_of is not None and as_of.lstrip("-").isdigit():
+                as_of = int(as_of)
+            print(json.dumps(eng.pack(
+                spark, args.input, args.dest, window=args.window,
+                spec=spec,
+                target_tokens=(args.target_tokens
+                               or lay.DEFAULT_TARGET_TOKENS),
+                keys=args.keys, as_of=as_of,
+                filters=_parse_filters(args.filter))))
             return 0
 
         if args.cmd == "export-shards":

@@ -2378,3 +2378,124 @@ def export_shards(
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     return {"n_shards": n_shards, "rows": counts, "dest": dest}
+
+
+def pack(
+    spark: SparkSession,
+    source: str | DataFrame,
+    dest: str,
+    window: int = 2048,
+    spec: TableSpec = SEQUENCES,
+    target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
+    keys: str | None = None,
+    filters: list[tuple] | None = None,
+    as_of: int | str | None = None,
+    n_buckets: int = 32,
+) -> dict:
+    """Concat-and-chunk context-window packing, frozen as its own table.
+
+    The training-example assembly step: documents ordered by key, token
+    streams laid end to end, the global stream cut into fixed
+    ``window``-token rows, and the packed table frozen through the
+    compression engine under the ``packed_sequences`` family
+    (window_id, tokens, n_tok, n_docs). Every input token lands in
+    exactly one window; window lengths are ``window`` except the tail.
+
+    Scale shape: each document's global offset comes from a distributed
+    two-phase cumulative sum — deterministic range buckets over the key
+    span (parallelism-invariant, NOT spark_partition_id), a per-bucket
+    window cumsum, and a driver-side prefix over the ~n_buckets totals
+    broadcast back (bounded, like the chunk plan). Per-doc window
+    slices are array ops under one Generate; windows assemble with one
+    groupBy exchange (slices ordered by their global start, so the
+    concatenation is deterministic). No global sort, no per-token
+    shuffle rows. ``source``/``keys``/``filters``/``as_of`` follow
+    collect() semantics.
+    """
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from .tablespec import PACKED_SEQUENCES
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    lc = spec.list_column
+    if lc is None:
+        raise ValueError(f"table {spec.name!r} has no list column to pack")
+    df = collect(spark, source, spec=spec, keys=keys, filters=filters,
+                 as_of=as_of)
+    base = df.select(
+        _key_expr(spec).alias("k"),
+        F.col(lc).alias("toks"),
+        F.size(F.col(lc)).cast("long").alias("w"),
+    )
+    lo, hi = base.agg(F.min("k"), F.max("k")).first()
+    if lo is None:
+        raise ValueError("pack: empty input")
+    span = max(int(hi) - int(lo) + 1, 1)
+    nb = max(1, n_buckets)
+    bucket = F.least(
+        F.lit(nb - 1), ((F.col("k") - F.lit(int(lo))) * nb / F.lit(span))
+        .cast("int"),
+    )
+    b = base.withColumn("pid", bucket).repartition(nb, "pid")
+    w_local = (
+        W.partitionBy("pid").orderBy("k")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    loc = b.withColumn(
+        "local_start", F.coalesce(F.sum("w").over(w_local), F.lit(0))
+    )
+    totals = sorted(
+        b.groupBy("pid").agg(F.sum("w").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    prefix, run = [], 0
+    for r in totals:
+        prefix.append((int(r["pid"]), run))
+        run += int(r["tot"])
+    pre_df = spark.createDataFrame(prefix, "pid int, offset long")
+    g = (
+        loc.join(F.broadcast(pre_df), "pid")
+        .withColumn("start", F.col("offset") + F.col("local_start"))
+        .filter(F.col("w") > 0)
+    )
+    e = g.select(
+        "toks", "w", "start",
+        F.explode(
+            F.expr(f"sequence(start div {window}, "
+                   f"(start + w - 1) div {window})")
+        ).alias("window_id"),
+    )
+    sl = F.expr(
+        f"slice(toks, CAST(greatest(window_id * {window} - start, 0) AS INT)"
+        f" + 1, CAST(least(start + w, (window_id + 1) * {window}) "
+        f"- greatest(start, window_id * {window}) AS INT))"
+    )
+    packed = (
+        e.withColumn("sl", sl)
+        .groupBy("window_id")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(start, sl)))"
+                       ", x -> x.sl)")
+            ).alias("tokens"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .select(
+            F.col("window_id").cast("long").alias("window_id"),
+            "tokens",
+            F.size("tokens").cast("int").alias("n_tok"),
+            "n_docs",
+        )
+    )
+    staging = dest.rstrip("/") + "/_staging_packed"
+    packed.write.mode("overwrite").parquet(staging)
+    n_windows = spark.read.parquet(staging).count()  # footer metadata only
+    stats = freeze(spark, staging, dest, target_tokens=target_tokens,
+                   spec=PACKED_SEQUENCES)
+    shutil.rmtree(staging, ignore_errors=True)
+    stats["window"] = window
+    stats["n_windows"] = int(n_windows)
+    return stats

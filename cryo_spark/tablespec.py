@@ -362,8 +362,22 @@ DOCUMENTS = TableSpec(
 # Named registry for CLI/job surfaces (`--table sequences|embeddings|...`)
 # — the analog of the reference's dataset-name lookup
 # (/root/reference/crates/freeze/src/datasets/mod.rs).
+PACKED_SEQUENCES = TableSpec(
+    name="packed_sequences",
+    key="window_id",
+    columns=(
+        ColumnSpec("window_id", "int64"),
+        ColumnSpec("tokens", "list<int32>"),
+        ColumnSpec("n_tok", "int32"),
+        ColumnSpec("n_docs", "int32"),
+    ),
+    partition_col=None,
+    weight="n_tok",
+)
+
 SPECS: dict[str, TableSpec] = {
-    s.name: s for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA)
+    s.name: s
+    for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA, PACKED_SEQUENCES)
 }
 
 
