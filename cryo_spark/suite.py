@@ -2459,9 +2459,7 @@ def pipeline_corpus_freeze(spark, sf_dir):
 _PACK_W = 256
 
 
-@q(
-    "pack_sequences",
-    f"""
+_PACK_ORACLE = f"""
     WITH seq AS (
       SELECT doc_id, (n_chars % 64 + 1)::BIGINT AS n_tok, {_TOK_SQL} AS l
       FROM documents
@@ -2485,8 +2483,10 @@ _PACK_W = 256
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(sum(tok) AS BIGINT) AS tok_sum
     FROM tok GROUP BY window_id
-    """,
-)
+    """
+
+
+@q("pack_sequences", _PACK_ORACLE)
 def pack_sequences(spark, sf_dir):
     """Context-window packing: concat token streams, split at W tokens.
 
@@ -2958,4 +2958,38 @@ def kmeans_embeddings(spark, sf_dir):
         )
         .join(F.broadcast(chk), "cluster_id")
         .select("cluster_id", "n_vecs", "label_sum", "centroid_sum")
+    )
+
+
+@q("enc_pack_freeze", _PACK_ORACLE)
+def enc_pack_freeze(spark, sf_dir):
+    """engine.pack end-to-end: pack -> freeze -> decode, per-window.
+
+    Same oracle as pack_sequences, but the Spark side goes through the
+    PRODUCT path: the derived corpus is written to parquet, packed and
+    frozen as the packed_sequences table (engine.pack), decoded back
+    (decode_frozen), and compared per window — window membership, doc
+    spans, and token-value mass all pinned bit-level through the codec
+    engine.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .tablespec import PACKED_SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pack_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    engine.pack(spark, f"{base}/in", f"{base}/out", window=_PACK_W,
+                target_tokens=100_000)
+    dec = engine.decode_frozen(spark, f"{base}/out", spec=PACKED_SEQUENCES)
+    return dec.select(
+        "window_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("CAST(aggregate(tokens, 0L, (a, x) -> a + x) AS BIGINT)")
+        .alias("tok_sum"),
     )
