@@ -2993,3 +2993,56 @@ def enc_pack_freeze(spark, sf_dir):
         F.expr("CAST(aggregate(tokens, 0L, (a, x) -> a + x) AS BIGINT)")
         .alias("tok_sum"),
     )
+
+
+@q(
+    "join_multiway_revenue",
+    """
+    SELECT n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_revenue(spark, sf_dir):
+    """Six-table star join (TPC-H Q5 shape): local-supplier revenue.
+
+    The reference has no general join operator (SURVEY.md §2.4), but a
+    user of this engine does — this pins the multiway case: fact table
+    (lineitem) joined through orders to customer, co-nation supplier,
+    nation and region, with a selective dim predicate. The dims are
+    tiny, so every join except lineitem⨝orders should broadcast; the
+    region filter prunes before the fan-in. Declared declaratively —
+    Catalyst/AQE own the join order and strategies.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
