@@ -3046,3 +3046,85 @@ def join_multiway_revenue(spark, sf_dir):
         .cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@q(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark, sf_dir):
+    """Exact linear-interpolation percentiles per group (p50/p90/p99).
+
+    Spark's `percentile` and DuckDB's `quantile_cont` share the
+    continuous-interpolation definition, so the values agree exactly.
+    At scale this is the operator behind latency/quality dashboards;
+    for approximate single-pass variants Spark's percentile_approx
+    (KLL-ish) drops in with the same plan shape.
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+_KMV_K = 64
+_KMV_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime, portable arithmetic)
+
+
+@q(
+    "sketch_distinct_kmv",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT (user_id * 48271 + 11) % {_KMV_P} AS hv FROM events
+    ),
+    kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    est AS (
+      SELECT max(hv) AS hk, count(*) AS k FROM kmin
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(hk AS BIGINT) AS kth_hash,
+           CAST(round(({_KMV_K} - 1.0) * {_KMV_P} / hk, 4) AS DOUBLE)
+             AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+             AS true_distinct
+    FROM est
+    """,
+)
+def sketch_distinct_kmv(spark, sf_dir):
+    """KMV distinct-count sketch with a portable hash, oracle-exact.
+
+    The k-minimum-values estimator (Bar-Yossef et al.): hash every key
+    with deterministic mod-prime arithmetic, keep the k smallest
+    distinct hashes, estimate |D| = (k-1) * P / h_k. Unlike HLL-based
+    approx_count_distinct, the arithmetic is engine-portable, so the
+    oracle pins the exact sketch state (k-th hash) AND the estimate —
+    the pattern for any sketch that must be mergeable across engines.
+    At scale: the distinct + TakeOrdered is one map-side-combined
+    exchange of k values per partition.
+    """
+    e = _t(spark, sf_dir, "events")
+    h = e.select(
+        ((F.col("user_id") * 48271 + 11) % _KMV_P).alias("hv")
+    ).distinct()
+    kmin = h.orderBy("hv").limit(_KMV_K)
+    true_d = e.agg(F.countDistinct("user_id")).first()[0]
+    return kmin.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("hv").cast("long").alias("kth_hash"),
+    ).select(
+        "k",
+        "kth_hash",
+        F.round((F.lit(_KMV_K) - 1.0) * _KMV_P / F.col("kth_hash"), 4)
+        .cast("double").alias("est_distinct"),
+        F.lit(int(true_d)).cast("long").alias("true_distinct"),
+    )
