@@ -2411,6 +2411,14 @@ def pack(
     concatenation is deterministic). No global sort, no per-token
     shuffle rows. ``source``/``keys``/``filters``/``as_of`` follow
     collect() semantics.
+
+    Rows whose list column is null or empty contribute no tokens and
+    are dropped from the packed output (a training window has no
+    representation for them). The packed table is materialized once as
+    a staging parquet inside ``dest`` before the freeze — the engine's
+    arrow-native scan plans tasks from parquet footers, so it needs a
+    file source; under a catalog this staging is an Iceberg staging
+    table and the freeze is the commit.
     """
     import shutil
 
@@ -2491,11 +2499,13 @@ def pack(
         )
     )
     staging = dest.rstrip("/") + "/_staging_packed"
-    packed.write.mode("overwrite").parquet(staging)
-    n_windows = spark.read.parquet(staging).count()  # footer metadata only
-    stats = freeze(spark, staging, dest, target_tokens=target_tokens,
-                   spec=PACKED_SEQUENCES)
-    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        packed.write.mode("overwrite").parquet(staging)
+        n_windows = spark.read.parquet(staging).count()  # footer metadata
+        stats = freeze(spark, staging, dest, target_tokens=target_tokens,
+                       spec=PACKED_SEQUENCES)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     stats["window"] = window
     stats["n_windows"] = int(n_windows)
     return stats
