@@ -2947,7 +2947,7 @@ def kmeans_embeddings(spark, sf_dir):
 
     asg = e.mapInArrow(assign_fn(C1), "vec_id long, label long, cluster_id long")
     chk = spark.createDataFrame(
-        [(int(k), float(round(C2[k].sum(), 4))) for k in range(_KM_K)],
+        [(int(k), float(round(C2[k].sum(), 4))) for k in range(C2.shape[0])],
         "cluster_id long, centroid_sum double",
     )
     return (
