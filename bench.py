@@ -173,6 +173,15 @@ def host_calibration() -> dict:
     first iteration was measured 100x slower than steady state) and
     "capability" is the best the host gave us, matching the best-based
     statistic BENCH/BASELINE.md uses for scaling efficiency.
+
+    host_memcpy_gbps copies into a PREALLOCATED destination (pure bus
+    bandwidth). The original probe allocated a fresh 100 MB per pass,
+    so it measured page-fault/zeroing cost, not the bus: on 2026-08-18
+    the two read 1.24 vs 9.15 GB/s in the same second — the multi-day
+    "memcpy collapse" BENCH/BASELINE.md describes was the ALLOCATOR
+    path degrading while the bus stayed healthy. The allocation probe
+    survives as host_alloc_gbps (advisory: Arrow buffer churn does pay
+    it), but gates and normalization should read host_memcpy_gbps.
     """
     import numpy as np
 
@@ -183,13 +192,22 @@ def host_calibration() -> dict:
         t0 = time.perf_counter()
         int(a.astype(np.int64).sum())
         cpu = max(cpu, a.nbytes / (time.perf_counter() - t0) / 1e9)
-    buf = a.tobytes()
+    dst = np.empty_like(a)
+    np.copyto(dst, a)  # warm destination pages
     mem = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
+        np.copyto(dst, a)
+        mem = max(mem, a.nbytes / (time.perf_counter() - t0) / 1e9)
+    buf = a.tobytes()
+    alloc = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
         blen = len(bytes(memoryview(buf)))
-        mem = max(mem, blen / (time.perf_counter() - t0) / 1e9)
-    return {"host_cpu_scan_gbps": round(cpu, 2), "host_memcpy_gbps": round(mem, 2)}
+        alloc = max(alloc, blen / (time.perf_counter() - t0) / 1e9)
+    return {"host_cpu_scan_gbps": round(cpu, 2),
+            "host_memcpy_gbps": round(mem, 2),
+            "host_alloc_gbps": round(alloc, 2)}
 
 
 QUERY_SUBSET = [
