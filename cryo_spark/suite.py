@@ -1299,6 +1299,140 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+@q(
+    "quality_word_repetition",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS n_words, unnest(ws) AS word FROM w),
+    wc AS (SELECT doc_id, n_words, word, count(*) AS c
+           FROM tok GROUP BY doc_id, n_words, word)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(max(c) AS BIGINT) AS top_word_count,
+           CAST(max(c) AS DOUBLE) / n_words AS top_word_frac
+    FROM wc GROUP BY doc_id, n_words
+    """,
+)
+def quality_word_repetition(spark, sf_dir):
+    """Gopher-style unigram repetition signals per document.
+
+    distinct-word and top-word fractions drive "remove documents whose
+    most common word covers > X% of the text" quality rules (Gopher
+    Table A1 / RefinedWeb). Shape: explode -> two-level groupBy — the
+    canonical scalable form (map-side partial counts, shuffle keyed by
+    (doc_id, word) then doc_id; no per-doc quadratic array lambdas).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), " ", -1).alias("ws"))
+    tok = w.select(
+        "doc_id", F.size("ws").alias("n_words"), F.explode("ws").alias("word")
+    )
+    wc = tok.groupBy("doc_id", "n_words", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return wc.groupBy("doc_id", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.max("c").cast("long").alias("top_word_count"),
+        (F.max("c").cast("double") / F.col("n_words")).alias("top_word_frac"),
+    ).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_distinct_words",
+        "top_word_count",
+        "top_word_frac",
+    )
+
+
+@q(
+    "quality_top_bigram",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+               FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+    bgs AS (SELECT doc_id,
+                   list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgl
+            FROM w),
+    bg AS (SELECT doc_id, len(bgl) AS n_bigrams, unnest(bgl) AS bigram FROM bgs),
+    bc AS (SELECT doc_id, n_bigrams, bigram, count(*) AS c
+           FROM bg GROUP BY doc_id, n_bigrams, bigram)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(max(c) AS BIGINT) AS top_bigram_count,
+           CAST(max(c) AS DOUBLE) / n_bigrams AS top_bigram_frac
+    FROM bc GROUP BY doc_id, n_bigrams
+    """,
+)
+def quality_top_bigram(spark, sf_dir):
+    """Top word-2-gram coverage per document (Gopher repetition rule).
+
+    Bigrams are built with array expressions (zip_with over two slices
+    — JVM-side, no Python), then explode + groupBy for the frequency
+    max: the same scalable shape as quality_word_repetition.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ", -1).alias("ws")
+    ).where(F.size("ws") >= 2)
+    bg = w.select(
+        "doc_id",
+        (F.size("ws") - 1).alias("n_bigrams"),
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    bc = bg.groupBy("doc_id", "n_bigrams", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return bc.groupBy("doc_id", "n_bigrams").agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        (F.max("c").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "top_bigram_count",
+        "top_bigram_frac",
+    )
+
+
+@q(
+    "collapse_word_runs",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(1 + len(list_filter(range(2, len(ws) + 1),
+                                    i -> ws[i] != ws[i-1])) AS BIGINT) AS n_runs,
+           CAST(1 + len(list_filter(range(2, len(ws) + 1),
+                                    i -> ws[i] != ws[i-1])) AS DOUBLE)
+               / len(ws) AS distinct_run_frac
+    FROM w
+    """,
+)
+def collapse_word_runs(spark, sf_dir):
+    """Consecutive-duplicate word runs per document (RLE on words).
+
+    n_runs = length after collapsing adjacent repeats ("batch batch
+    batch" -> "batch"); low distinct_run_frac flags stutter-repetition
+    docs. Entirely array expressions on the row — narrow plan, zero
+    shuffle, whole-stage codegen (the per-doc analog of the engine's
+    RLE codec in codecs/ints.py).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), " ", -1).alias("ws"))
+    n_runs = F.expr(
+        "size(filter(ws, (x, i) -> i = 0 OR NOT (x = element_at(ws, i))))"
+    ).cast("long")
+    return w.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        n_runs.alias("n_runs"),
+        (n_runs.cast("double") / F.size("ws")).alias("distinct_run_frac"),
+    )
+
+
 _COS_SPARK = (
     "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
