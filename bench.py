@@ -332,6 +332,14 @@ def main() -> None:
         "host_degraded": cal["host_memcpy_gbps"] < 3.0,
     }
     if enc_stats:
+        # Second weather signal: 5 encode runs on identical input should
+        # agree within noise; a >2x max/min spread means CPU-steal waves
+        # hit mid-bench even if the bus probe happened to land in a calm
+        # second (observed: spread 3.4x with memcpy reading 10.96 GB/s).
+        runs = enc_stats["all_tokens_per_sec"]
+        spread = round(max(runs) / max(1, min(runs)), 2)
+        rec["encode_run_spread"] = spread
+        rec["host_degraded"] = rec["host_degraded"] or spread > 2.0
         rec.update(
             encode_tokens_per_sec=round(enc_stats["tokens_per_sec"]),
             encode_tokens_per_sec_runs=enc_stats["all_tokens_per_sec"],
