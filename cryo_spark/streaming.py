@@ -79,3 +79,142 @@ def stream_encode(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, value_sum double"
+)
+# open-session state: event-time bounds in microseconds + running aggs
+_SESSION_STATE_DDL = "start_us long, end_us long, n long, vsum double"
+
+
+def sessionize_stream(
+    events,
+    gap_s: int = 1800,
+    watermark: str = "0 seconds",
+):
+    """Custom stateful streaming operator: event-time sessionization.
+
+    The streaming counterpart of the batch ``sessionization`` query
+    (suite.py): events for a user belong to one session while gaps stay
+    <= ``gap_s``. Open sessions live in per-user state
+    (``applyInPandasWithState``); a session is emitted exactly once,
+    when it CLOSES — either a later event opens the next session, or
+    the event-time watermark passes ``session_end + gap`` and the
+    timeout fires (the late-data guard: a session only flushes when no
+    admissible event could still extend it).
+
+    Scale shape: state is O(open sessions) — four scalars per user, no
+    event retention; per-batch work is one vectorized numpy pass per
+    user (sort + diff > gap + reduceat), no per-row Python. Null
+    user_id/ts rows are dropped (no session identity / no event time).
+
+    ``events`` is a STREAMING DataFrame with at least
+    (user_id long, ts timestamp, value double). Returns the closed-
+    session DataFrame (append semantics).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_s) * 1_000_000
+    gap_ms = int(gap_s) * 1_000
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                dict(
+                    user_id=[user_id],
+                    session_start=[pd.Timestamp(start_us, unit="us")],
+                    session_end=[pd.Timestamp(end_us, unit="us")],
+                    n_events=[n],
+                    value_sum=[vsum],
+                )
+            )
+            return
+        ts_parts, val_parts = [], []
+        for pdf in pdf_iter:
+            ok = pdf["ts"].notna()
+            ts_parts.append(pdf["ts"][ok].values.astype("datetime64[us]").astype(np.int64))
+            val_parts.append(pdf["value"][ok].fillna(0.0).values.astype(np.float64))
+        ts = np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
+        if ts.size == 0:
+            return
+        vals = np.concatenate(val_parts)
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+        # prepend the open session (if any) as a pseudo-run so the same
+        # boundary arithmetic merges or closes it
+        if state.exists:
+            p_start, p_end, p_n, p_vsum = state.get
+        else:
+            p_start = p_end = p_n = None
+            p_vsum = 0.0
+        # session boundaries: index i starts a new session iff the gap
+        # from the previous event exceeds gap_us
+        new_sess = np.empty(ts.size, dtype=bool)
+        new_sess[0] = p_end is None or ts[0] - p_end > gap_us
+        new_sess[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new_sess)
+        closed = []
+        if p_end is not None and new_sess[0]:
+            closed.append((p_start, p_end, p_n, p_vsum))
+            p_start = p_end = p_n = None
+            p_vsum = 0.0
+        if starts.size == 0:
+            # whole batch extends the open session
+            sess_bounds = np.array([0], dtype=np.int64)
+        else:
+            sess_bounds = starts
+            if not new_sess[0]:
+                sess_bounds = np.concatenate(([0], sess_bounds))
+        n_per = np.diff(np.concatenate((sess_bounds, [ts.size])))
+        vsum_per = np.add.reduceat(vals, sess_bounds)
+        start_per = ts[sess_bounds]
+        end_per = ts[np.concatenate((sess_bounds[1:] - 1, [ts.size - 1]))]
+        # first block continues the open session
+        if p_end is not None:
+            start_per[0] = p_start
+            n_per[0] += p_n
+            vsum_per[0] += p_vsum
+        for i in range(len(sess_bounds) - 1):  # all but the last close now
+            closed.append(
+                (int(start_per[i]), int(end_per[i]), int(n_per[i]),
+                 float(vsum_per[i]))
+            )
+        state.update(
+            (int(start_per[-1]), int(end_per[-1]), int(n_per[-1]),
+             float(vsum_per[-1]))
+        )
+        # flush when no admissible event could still extend the session;
+        # the timeout must sit strictly past the current watermark
+        timeout_ms = max(end_per[-1] // 1000 + gap_ms,
+                         state.getCurrentWatermarkMs() + 1)
+        state.setTimeoutTimestamp(int(timeout_ms))
+        if closed:
+            yield pd.DataFrame(
+                dict(
+                    user_id=np.full(len(closed), user_id, dtype=np.int64),
+                    session_start=[pd.Timestamp(c[0], unit="us") for c in closed],
+                    session_end=[pd.Timestamp(c[1], unit="us") for c in closed],
+                    n_events=np.array([c[2] for c in closed], dtype=np.int64),
+                    value_sum=np.array([c[3] for c in closed], dtype=np.float64),
+                )
+            )
+
+    return (
+        events.filter("user_id IS NOT NULL AND ts IS NOT NULL")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            close_sessions,
+            _SESSION_OUT_DDL,
+            _SESSION_STATE_DDL,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

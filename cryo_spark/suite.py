@@ -1280,6 +1280,34 @@ def token_count_ws(spark, sf_dir):
 
 
 @q(
+    "token_vocab_topk",
+    f"""
+    WITH toks AS (SELECT unnest({_TOK_SQL}) AS token FROM documents)
+    SELECT CAST(token AS INT) AS token, CAST(count(*) AS BIGINT) AS freq
+    FROM toks GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+)
+def token_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary histogram: top-100 token ids by frequency.
+
+    The canonical distributed wordcount over the token payload
+    (explode -> hash aggregate). Scale shape: partial (map-side)
+    aggregation bounds the shuffle at |vocab| rows per task regardless
+    of corpus size, and the top-k is a TakeOrdered over <=50,257
+    aggregated rows — no global sort of token occurrences. Tie at the
+    k-th row is broken by token id so both engines cut identically.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    return (
+        seqs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
+
+
+@q(
     "doc_fingerprint",
     """
     SELECT substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
