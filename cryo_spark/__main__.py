@@ -107,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--partition-by", default=None,
                     help="comma list of encoded-table key columns to "
                          "partition the output directories by")
+    fz.add_argument("--branch", default=None,
+                    help="commit the run to this snapshot branch "
+                         "(invisible on main until publish)")
     fz.add_argument("--overwrite", action="store_true")
     fz.add_argument("--dry-run", action="store_true")
     fz.add_argument("--master", default=None)
@@ -169,6 +172,19 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--table", default=None)
     up.add_argument("--target-tokens", type=int, default=2 << 20)
     up.add_argument("--master", default=None)
+
+    br = sub.add_parser("branch",
+                        help="create a snapshot branch (write-audit-publish "
+                             "isolation; read with --as-of branch:<name>)")
+    br.add_argument("--output", required=True)
+    br.add_argument("--name", required=True)
+    br.add_argument("--seq", type=int, default=None,
+                    help="anchor snapshot (default: current head)")
+
+    pub = sub.add_parser("publish",
+                         help="fast-forward main to a branch head")
+    pub.add_argument("--output", required=True)
+    pub.add_argument("--name", required=True)
 
     tg = sub.add_parser("tag",
                         help="name a snapshot (collect --as-of <name>); "
@@ -296,6 +312,20 @@ def main(argv: list[str] | None = None) -> int:
                                                          args.name)}))
         return 0
 
+    if args.cmd == "branch":
+        from cryo_spark import snapshots as snap_mod
+
+        seq = snap_mod.branch(args.output, args.name, args.seq)
+        print(json.dumps({"snapshot": seq, "branch": args.name}))
+        return 0
+
+    if args.cmd == "publish":
+        from cryo_spark import snapshots as snap_mod
+
+        seq = snap_mod.publish(args.output, args.name)
+        print(json.dumps({"snapshot": seq, "published": args.name}))
+        return 0
+
     from cryo_spark.session import get_spark
 
     try:
@@ -313,7 +343,7 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite, dry_run=args.dry_run,
                 keys=args.keys, n_chunks=args.n_chunks,
                 partition_by=_split(args.partition_by),
-                spec=spec, chunk_by=args.chunk_by,
+                spec=spec, chunk_by=args.chunk_by, branch=args.branch,
             )
             print(json.dumps(summary))
             return 0

@@ -1484,6 +1484,7 @@ def freeze(
     partition_by: list[str] | None = None,
     spec: TableSpec = SEQUENCES,
     chunk_by: str = "hash",
+    branch: str | None = None,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
@@ -1492,6 +1493,12 @@ def freeze(
     key ranges come out tight and disjoint, so key-range reads prune
     exactly; hash (default) stays the balance-first layout for
     append-heavy tables.
+
+    ``branch`` commits the run to that snapshot branch (snapshots.py):
+    invisible to main readers until ``snapshots.publish``; branch reads
+    use ``as_of='branch:<name>'``. Resume on a branch counts chunks
+    done at the BRANCH head (base runs inherited from the anchor plus
+    earlier branch runs).
 
     Returns a summary dict (cryo's FreezeSummary analog,
     /root/reference/crates/freeze/src/types/summaries.rs:21-31).
@@ -1504,6 +1511,10 @@ def freeze(
     from . import sources
 
     t_start = time.perf_counter()
+    if branch is not None:
+        # fail fast on an unknown branch (branching requires an existing
+        # output with a snapshot log)
+        snapshots.resolve(output_dir, f"branch:{branch}")
     key_df = None
     if keys is not None:
         # Key-range freeze (the reference's block-range requests): the
@@ -1547,7 +1558,9 @@ def freeze(
     done_bits: np.ndarray | None = None
     n_done = 0
     if not overwrite:
-        man = read_manifest(spark, output_dir)
+        man = read_manifest(
+            spark, output_dir,
+            as_of=None if branch is None else f"branch:{branch}")
         if man is not None:
             ok = man.filter(F.col("status") == "ok")
             if "plan_id" in man.columns:
@@ -1638,7 +1651,9 @@ def freeze(
     stats = obs.get
     # the manifest write above IS the commit; the snapshot entry makes
     # it an ordered point in the output's history (time travel, as_of)
-    snap = snapshots.commit(output_dir, run_id, "append", plan_id=plan_fp)
+    snap = snapshots.commit(
+        output_dir, run_id, "append", plan_id=plan_fp,
+        **({} if branch is None else {"branch": branch}))
     tokens = int(stats["tokens"] or 0)
     n_failed = int(stats["n_failed"] or 0)
     summary = dict(
@@ -1807,6 +1822,9 @@ def vacuum(spark: SparkSession, output_dir: str) -> dict:
     cur = snapshots.current(output_dir)
     if cur is not None:
         live_runs |= cur["runs"]
+    # runs committed to any branch stay reachable from that branch's
+    # head even though main's visibility excludes them
+    live_runs |= snapshots.branch_data_runs(output_dir)
     all_runs = {r["run"] for r in man.select("run").distinct().collect()}
     dead = sorted(all_runs - live_runs)
     reclaimed = 0

@@ -92,7 +92,8 @@ def log(output_dir: str) -> list[dict]:
     return out
 
 
-def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
+def _state_at(entries: list[dict], seq: int,
+              branch: str | None = None) -> tuple[set[str], set[str]]:
     """Replay the log up to ``seq``: (visible data runs, delete runs).
 
     append/rewrite add their data run; a ``delete`` entry adds its
@@ -101,12 +102,34 @@ def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
     (recursively — a rollback's target may itself be a post-rollback
     snapshot), so rolling back past a delete un-deletes. Vacuum entries
     change nothing here: deletion is physical, visibility is logical.
+
+    ``branch``: replay that branch's lineage instead of main. A branch
+    anchors at its creation entry (main state at the anchor target) and
+    then applies only entries committed TO the branch — main commits
+    after the anchor are invisible (divergence), and branch commits are
+    invisible on main until a ``publish`` entry fast-forwards main to
+    the branch state (Iceberg branch + fast_forward semantics).
     """
     vis: set[str] = set()
     dels: set[str] = set()
     for e in entries:
         if e["seq"] > seq:
             break
+        eb = e.get("branch")
+        if branch is None:
+            if eb is not None:
+                if e["kind"] == "publish":
+                    # fast-forward: main becomes the branch state at the
+                    # published snapshot
+                    vis, dels = _state_at(entries, e["target"], eb)
+                continue
+        else:
+            if e["kind"] == "branch" and eb == branch:
+                # anchor: branch lineage starts from main at the target
+                vis, dels = _state_at(entries, e["target"])
+                continue
+            if eb != branch or e["kind"] == "publish":
+                continue
         if e["kind"] in _DATA_KINDS and e["run"]:
             vis.add(e["run"])
         elif e["kind"] == "delete" and e["run"]:
@@ -124,15 +147,15 @@ def _state_at(entries: list[dict], seq: int) -> tuple[set[str], set[str]]:
 
 
 def resolve(output_dir: str, as_of: int | str) -> dict:
-    """Visibility state at snapshot ``as_of`` (a seq number or tag name).
+    """Visibility state at snapshot ``as_of`` (seq, tag, or 'branch:name').
 
     Returns ``{"runs", "deletes", "removed", "max_seq"}`` where
     ``runs``/``deletes`` are the rollback-aware replay of the log up to
     ``as_of`` and ``removed`` is every run physically deleted by a
     vacuum at ANY seq (deletion is physical — it affects every
-    snapshot's readability, not just later ones). Raises if the output
-    has no snapshot log (pre-snapshot outputs have no history to
-    travel to).
+    snapshot's readability, not just later ones). ``'branch:name'``
+    reads the branch's current head. Raises if the output has no
+    snapshot log (pre-snapshot outputs have no history to travel to).
     """
     entries = log(output_dir)
     if not entries:
@@ -140,7 +163,12 @@ def resolve(output_dir: str, as_of: int | str) -> dict:
             f"no snapshot log under {output_dir!r}: output predates "
             "snapshotting (or is not a frozen output dir)"
         )
-    if isinstance(as_of, str):
+    branch = None
+    if isinstance(as_of, str) and as_of.startswith("branch:"):
+        branch = as_of[len("branch:"):]
+        _branch_anchor(entries, branch)  # raises on unknown branch
+        as_of = entries[-1]["seq"]
+    elif isinstance(as_of, str):
         as_of = resolve_ref(output_dir, as_of)
     removed = {
         r
@@ -148,7 +176,7 @@ def resolve(output_dir: str, as_of: int | str) -> dict:
         if e["kind"] == "vacuum"
         for r in e.get("removed_runs", [])
     }
-    runs, dels = _state_at(entries, as_of)
+    runs, dels = _state_at(entries, as_of, branch)
     return dict(runs=runs, deletes=dels, removed=removed,
                 max_seq=entries[-1]["seq"])
 
@@ -157,13 +185,17 @@ def current(output_dir: str) -> dict | None:
     """Rollback-aware CURRENT visibility, or None when the filesystem
     already tells the truth.
 
-    Without rollback entries the manifest/tombstone state on disk IS
-    current visibility (the common case — zero extra work on the read
-    path). After a rollback the log overrides it; readers must then
-    filter to the replayed run set.
+    Without rollback/delete/branch entries the manifest/tombstone state
+    on disk IS current visibility (the common case — zero extra work on
+    the read path). After a rollback the log overrides it; with
+    branches, runs committed to a branch exist on disk but are
+    invisible on main; readers must then filter to the replayed set.
     """
     entries = log(output_dir)
-    if not any(e["kind"] in ("rollback", "delete") for e in entries):
+    if not any(
+        e["kind"] in ("rollback", "delete") or e.get("branch") is not None
+        for e in entries
+    ):
         return None
     return resolve(output_dir, entries[-1]["seq"])
 
@@ -201,6 +233,72 @@ def resolve_ref(output_dir: str, ref: int | str) -> int:
         if e["kind"] == "tag" and e.get("tag") == ref:
             return e["target"]
     raise ValueError(f"unknown tag {ref!r} under {output_dir!r}")
+
+
+def _branch_anchor(entries: list[dict], name: str) -> dict:
+    """The creation entry of branch ``name`` (latest, if re-created)."""
+    for e in reversed(entries):
+        if e["kind"] == "branch" and e.get("branch") == name:
+            return e
+    raise ValueError(f"unknown branch {name!r}")
+
+
+def branch(output_dir: str, name: str, seq: int | None = None) -> int:
+    """Create branch ``name`` anchored at snapshot ``seq`` (default head).
+
+    The Iceberg branch idiom for write-audit-publish at isolation:
+    ``freeze(..., branch=name)`` commits land on the branch — invisible
+    to main readers — until :func:`publish` fast-forwards main to the
+    branch head. Branch reads use ``as_of='branch:name'`` on every read
+    path. Names must not collide with an existing branch.
+    """
+    entries = log(output_dir)
+    if not entries:
+        raise ValueError("nothing to branch from: no snapshot log")
+    if not name or name.strip() != name or name.startswith("branch:"):
+        raise ValueError(f"bad branch name {name!r}")
+    if any(e["kind"] == "branch" and e.get("branch") == name for e in entries):
+        raise ValueError(f"branch {name!r} already exists")
+    head = entries[-1]["seq"]
+    seq = head if seq is None else seq
+    if not 0 <= seq <= head:
+        raise ValueError(f"branch anchor {seq} outside history [0, {head}]")
+    return commit(output_dir, None, "branch", branch=name, target=seq)
+
+
+def publish(output_dir: str, name: str) -> int:
+    """Fast-forward main to branch ``name``'s head (Iceberg
+    fast_forward('main', branch)).
+
+    Fast-forward ONLY: raises if main's state advanced since the branch
+    anchor (a diverged main would silently lose its own commits under a
+    blind publish). After publishing, unqualified reads see everything
+    committed to the branch.
+    """
+    entries = log(output_dir)
+    anchor = _branch_anchor(entries, name)
+    head = entries[-1]["seq"]
+    if _state_at(entries, head) != _state_at(entries, anchor["target"]):
+        raise ValueError(
+            f"main diverged since branch {name!r} was created at "
+            f"seq {anchor['target']}: fast-forward publish refused")
+    return commit(output_dir, None, "publish", branch=name, target=head)
+
+
+def branch_data_runs(output_dir: str) -> set[str]:
+    """Every data/delete run committed to ANY branch (vacuum keep-set).
+
+    Conservative by design: a branch run stays on disk as long as its
+    branch entries exist, even if unreachable from the branch head —
+    the analog of Iceberg's rule that expire_snapshots only drops files
+    unreferenced by every branch/tag.
+    """
+    return {
+        e["run"]
+        for e in log(output_dir)
+        if e.get("branch") is not None and e.get("run")
+        and e["kind"] in (*_DATA_KINDS, "delete")
+    }
 
 
 def rollback(output_dir: str, target: int) -> int:
