@@ -831,15 +831,25 @@ def scan_zone_pruned(spark, sf_dir):
     base = f"{tempfile.gettempdir()}/cryo_spark_suite_zonemap_" \
            f"{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(base, ignore_errors=True)
-    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    seqs = sequences_from_documents(spark, sf_dir)
+    seqs.write.parquet(f"{base}/in")
     out = f"{base}/out"
-    engine.freeze(spark, f"{base}/in", out, target_tokens=2_000)
+    # ~30 chunks at every sf (avg n_tok ~ 32): pruning needs chunk-per-
+    # source granularity, not thousands of tiny chunks — at sf0.1 a
+    # fixed 2k target planned ~1000 chunks of pure per-chunk overhead
+    n_docs = seqs.count()
+    engine.freeze(spark, f"{base}/in", out,
+                  target_tokens=max(2_000, n_docs))
     filters = [("source", "=", "src7"), ("n_tok", ">=", 5)]
-    enc = engine.read_encoded(spark, out)
+    # the pruned-chunk accounting is METADATA-ONLY: both counts come from
+    # the manifest (tiny at any scale), never from listing/scanning the
+    # encoded table — the shape a 10^12-sequence read must have
+    man = engine.read_manifest(spark, out).filter(F.col("status") == "ok")
     chunk_keys = ["run", "partition_id", "chunk_id"]
-    n_total = enc.select(*chunk_keys).distinct().count()
-    n_kept = engine._zone_map_prune(enc, filters, SEQUENCES) \
-        .select(*chunk_keys).distinct().count()
+    keys_df = man.select(*chunk_keys).distinct()
+    n_total = keys_df.count()
+    n_kept = engine._zone_map_prune(keys_df, filters, SEQUENCES,
+                                    man=man).count()
     key_num = F.substring("doc_id", 5, 12).cast("long")
     return engine.collect(spark, out, filters=filters).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
