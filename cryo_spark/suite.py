@@ -2184,6 +2184,87 @@ def rollup_counts(spark, sf_dir):
 
 
 @q(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark, sf_dir):
+    """Full grouping-sets lattice (CUBE) over status x priority.
+
+    Spark expands the cube into grouping sets with map-side partial
+    aggregation — one shuffle of |lattice| x |groups| rows regardless
+    of input size.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube(F.col("o_orderstatus").alias("status"),
+               F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+_IVAL_US = 1800 * 1_000_000  # 30-minute purchase attribution window
+
+
+@q(
+    "interval_join_binned",
+    f"""
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND epoch_us(v.ts) >= epoch_us(p.ts)
+     AND epoch_us(v.ts) < epoch_us(p.ts) + {_IVAL_US}
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    GROUP BY p.user_id
+    """,
+)
+def interval_join_binned(spark, sf_dir):
+    """Range/interval join via the binning idiom (an operator Spark lacks).
+
+    Each purchase opens a [ts, ts+30min) attribution window; view
+    events of the same user falling inside any window pair with it. A
+    naive range join is a broadcast nested loop (quadratic per user);
+    the binned plan makes it an EQUI join: bin width = max interval
+    length, so every interval overlaps <= 2 bins (explode bounded at 2
+    rows) and every probe lives in exactly 1 bin — each qualifying
+    (probe, interval) pair meets exactly once, no dedup needed. The
+    residual range predicate runs post-join. Scale shape: one hash
+    shuffle on (user_id, bin); fan-out bounded by 2; skew bounded by
+    real data density per user-half-hour.
+    """
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the epoch shift from the cast is uniform, and
+    # the range predicate is shift-invariant (bins only gate candidates)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("start_us"))
+    purch = purch.withColumn("end_us", F.col("start_us") + F.lit(_IVAL_US))
+    intervals = purch.withColumn(
+        "bin",
+        F.explode(F.sequence(
+            F.floor(F.col("start_us") / _IVAL_US).cast("long"),
+            F.floor((F.col("end_us") - 1) / _IVAL_US).cast("long"))),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", us.alias("v_us"),
+        F.floor(us / _IVAL_US).cast("long").alias("bin"))
+    pairs = intervals.join(views, ["user_id", "bin"]).filter(
+        (F.col("v_us") >= F.col("start_us")) & (F.col("v_us") < F.col("end_us"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("event_id").cast("long").alias("n_views"),
+    )
+
+
+@q(
     "pivot_event_types",
     """
     SELECT user_id % 10 AS user_bucket,
