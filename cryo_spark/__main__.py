@@ -247,6 +247,19 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--output", required=True,
                     help="frozen output dir whose snapshot log to list")
 
+    rg = sub.add_parser("register",
+                        help="bind a table name to a frozen output in a "
+                             "JSON catalog (Iceberg catalog seam)")
+    rg.add_argument("--catalog", required=True, help="catalog JSON path")
+    rg.add_argument("--name", required=True)
+    rg.add_argument("--output", required=True)
+    rg.add_argument("--replace", action="store_true")
+
+    tb = sub.add_parser("tables",
+                        help="list catalog tables with their "
+                             "self-described family + snapshot head")
+    tb.add_argument("--catalog", required=True)
+
     co = sub.add_parser("collect", help="projected dataset to stdout or a sink")
     co.add_argument("--input", required=True,
                     help="sequences parquet OR a frozen output dir (auto-detected)")
@@ -310,6 +323,21 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"snapshot": seq, "tag": args.name,
                           "target": snap_mod.resolve_ref(args.output,
                                                          args.name)}))
+        return 0
+
+    if args.cmd == "register":
+        from cryo_spark.catalog import Catalog
+
+        Catalog(args.catalog).register(args.name, args.output,
+                                       replace=args.replace)
+        print(json.dumps({"registered": args.name, "output": args.output}))
+        return 0
+
+    if args.cmd == "tables":
+        from cryo_spark.catalog import Catalog
+
+        for name, info in Catalog(args.catalog).tables().items():
+            print(json.dumps({"table": name, **info}))
         return 0
 
     if args.cmd == "branch":
