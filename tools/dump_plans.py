@@ -158,6 +158,28 @@ def main() -> None:
         plan_of(q),
     ))
 
+    # 7. binned range join
+    q = suite.QUERIES["interval_join_binned"](spark, SF_DIR)
+    sections.append((
+        "interval_join_binned (range join via binning)",
+        "A HASH join on (user_id, bin) with the range condition as a "
+        "residual Join predicate — NO BroadcastNestedLoopJoin anywhere; "
+        "the Generate (explode) above the interval side is bounded at "
+        "2 rows per interval because bin width = max interval length.",
+        plan_of(q),
+    ))
+
+    # 8. token vocabulary histogram (wordcount over the payload)
+    q = suite.QUERIES["token_vocab_topk"](spark, SF_DIR)
+    sections.append((
+        "token_vocab_topk (wordcount over the token payload)",
+        "Partial HashAggregate below the exchange (map-side combine "
+        "bounds the shuffle at |vocab| rows per task) and "
+        "TakeOrderedAndProject for the top-k — no global sort of "
+        "token occurrences.",
+        plan_of(q),
+    ))
+
     out_lines = [
         "# PLANS — executed physical plans for the headline paths",
         "",
