@@ -227,6 +227,8 @@ QUERY_SUBSET = [
     "dedup_clusters",
     "pack_sequences",
     "decontaminate_ngrams",
+    "token_vocab_topk",
+    "interval_join_binned",
 ]
 
 

@@ -1099,7 +1099,7 @@ def sort_multi_key(spark, sf_dir):
 @q(
     "asof_timestamp_lookup",
     """
-    SELECT CAST(epoch(max(ts)) AS BIGINT) AS asof_epoch,
+    SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS asof_epoch,
            CAST(count(*) AS BIGINT) AS n_before
     FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
     """,
@@ -1314,6 +1314,44 @@ def token_vocab_topk(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .orderBy(F.desc("freq"), "token")
         .limit(100)
+    )
+
+
+@q(
+    "token_pair_topk",
+    f"""
+    WITH seq AS (SELECT {_TOK_SQL} AS l FROM documents),
+         pairs AS (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+                   FROM seq WHERE len(l) >= 2)
+    SELECT CAST(p[1] AS INT) AS t1, CAST(p[2] AS INT) AS t2,
+           CAST(count(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY 1, 2 ORDER BY freq DESC, t1, t2 LIMIT 50
+    """,
+)
+def token_pair_topk(spark, sf_dir):
+    """Adjacent token-pair frequencies: one BPE merge-statistics pass.
+
+    The counting step of a byte-pair-encoding vocabulary extension —
+    the top merge candidates over the corpus. Same wordcount shape as
+    token_vocab_topk but over bigrams: explode fan-out is n_tok-1 per
+    doc, partial aggregation bounds the shuffle at the distinct-pair
+    count per task, TakeOrdered cuts the top-k with a full (freq, t1,
+    t2) tiebreak so both engines cut identically. One-token docs
+    contribute no pairs (filtered before the transform so sequence()
+    never sees a negative stop).
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    pairs = seqs.filter(F.col("n_tok") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(0, n_tok - 2), "
+            "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2))"
+        )).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "t1", "t2")
+        .limit(50)
     )
 
 
@@ -2140,8 +2178,8 @@ def topk_per_group(spark, sf_dir):
                                         ROWS UNBOUNDED PRECEDING) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id)) > 1800 OR
+               CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id))) > 1800 OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
