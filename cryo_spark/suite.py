@@ -2226,7 +2226,8 @@ def rollup_counts(spark, sf_dir):
     """
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+           CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+               AS revenue_cents
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -2238,11 +2239,14 @@ def cube_order_stats(spark, sf_dir):
     of input size.
     """
     o = _t(spark, sf_dir, "orders")
+    # integer cents per row before the sum (order-independent, exact);
+    # see join_multiway_revenue for why round-after-sum is a hazard
     return (
         o.cube(F.col("o_orderstatus").alias("status"),
                F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+             .cast("long").alias("revenue_cents"))
     )
 
 
@@ -3290,8 +3294,8 @@ def enc_pack_freeze(spark, sf_dir):
     "join_multiway_revenue",
     """
     SELECT n_name,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
-                AS DOUBLE) AS revenue,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                AS BIGINT) AS revenue_cents,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -3332,9 +3336,15 @@ def join_multiway_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # money as per-row integer cents BEFORE the sum: per-row IEEE
+    # arithmetic is bit-identical across engines, so the integer sum is
+    # order-independent and exact — round(sum(double), 2) is a knife-
+    # edge whenever the two engines' summation orders differ by an ulp
+    # near a .005 boundary (the asof epoch-rounding bug's family)
     return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .cast("double").alias("revenue"),
+        F.sum(F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5))
+        .cast("long").alias("revenue_cents"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
 
