@@ -454,7 +454,13 @@ def _decode_chunk(t: pa.Table, columns: list[str],
                 vals, type=c.pa_type,
                 mask=None if valid is None else ~valid,
             )
-    return pa.table(out)
+    # conform to the declared arrow schema (zero-copy when already exact):
+    # Spark's ArrowColumnVector accessors dispatch on the concrete vector
+    # type, and an off-type column (large_string, dictionary, null) fails
+    # JVM-side with UNSUPPORTED_CALL only when a downstream projection
+    # touches it — cast here so no producer path can leak one
+    target = pa.schema([(name, spec.col(name).pa_type) for name in columns])
+    return pa.table(out).cast(target)
 
 
 def _decode_partition(columns: list[str], spec: TableSpec = SEQUENCES):
