@@ -31,6 +31,7 @@ def stream_encode(
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
     schema: str | None = None,
     spec: TableSpec = SEQUENCES,
+    branch: str | None = None,
 ):
     """Start a file-source stream that encodes new files as they land.
 
@@ -38,9 +39,16 @@ def stream_encode(
     ``processAllAvailable()`` (tests) or leave it running (production).
     ``schema`` defaults to the spec's DDL (override only to widen the
     reader, e.g. extra ignored columns).
+
+    ``branch`` commits every micro-batch to that snapshot branch — the
+    streaming write-audit-publish flow: the stream lands on the branch
+    invisibly to main readers, an auditor reads ``as_of='branch:name'``,
+    and ``snapshots.publish`` fast-forwards main when satisfied.
     """
     if schema is None:
         schema = spec.spark_ddl()
+    if branch is not None:
+        snapshots.resolve(output_dir, f"branch:{branch}")  # fail fast
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -66,7 +74,8 @@ def stream_encode(
         )
         # ordered history entry (idempotent per run: a retried batch
         # re-commits the same run id and keeps its original seq)
-        snapshots.commit(output_dir, run_id, "append", batch_id=batch_id)
+        snapshots.commit(output_dir, run_id, "append", batch_id=batch_id,
+                         **({} if branch is None else {"branch": branch}))
 
     reader = (
         spark.readStream.schema(schema)

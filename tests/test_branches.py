@@ -97,6 +97,26 @@ def test_vacuum_keeps_branch_runs(spark, branched):
     assert decode_frozen(spark, out, as_of="branch:audit").count() == 450
 
 
+def test_stream_encode_to_branch(spark, branched, tmp_path):
+    """Streaming WAP: micro-batches land on the branch, publish reveals."""
+    from cryo_spark import streaming
+
+    src, out = branched
+    inp = tmp_path / "stream_in"
+    inp.mkdir()
+    write_sequences(str(inp / "a.parquet"), n=100, seed=21)
+    before_main = decode_frozen(spark, out).count()
+    q = streaming.stream_encode(spark, str(inp), out,
+                                str(tmp_path / "ckpt"),
+                                target_tokens=50_000, branch="audit")
+    q.awaitTermination()
+    # main unchanged; the branch gained the streamed batch
+    assert decode_frozen(spark, out).count() == before_main
+    assert decode_frozen(spark, out, as_of="branch:audit").count() == 450 + 100
+    snapshots.publish(out, "audit")
+    assert decode_frozen(spark, out).count() == before_main + 150 + 100
+
+
 def test_unknown_and_duplicate_branches(spark, branched):
     src, out = branched
     with pytest.raises(ValueError, match="unknown branch"):
