@@ -1506,6 +1506,14 @@ def freeze(
     done at the BRANCH head (base runs inherited from the anchor plus
     earlier branch runs).
 
+    ``overwrite=True`` REPLACES: previously visible chunks retire via
+    tombstones committed atomically with the new run (kind 'rewrite'
+    in the snapshot log; time travel below it sees the originals,
+    vacuum later reclaims them). A ranged (``keys=``) overwrite
+    retires only chunks of the same plan — re-freezing one range never
+    drops data outside it; replacing content whose plan changed (input
+    rewritten in place) needs a full-table overwrite or delete/purge.
+
     Returns a summary dict (cryo's FreezeSummary analog,
     /root/reference/crates/freeze/src/types/summaries.rs:21-31).
     ``dry_run`` plans and reports without executing (cryo's --dry-run,
@@ -1563,7 +1571,33 @@ def freeze(
     plan_fp = _plan_fingerprint(plan)
     done_bits: np.ndarray | None = None
     n_done = 0
-    if not overwrite:
+    retire_keys = None
+    if overwrite:
+        # overwrite REPLACES, it does not pile on: previously visible ok
+        # chunks retire via tombstones written with the new run (the
+        # compact mechanism — visible iff the new run's manifest
+        # commits, so the swap is atomic and time travel below it sees
+        # the originals). Full-table overwrite retires everything
+        # visible; a ranged (--keys) overwrite retires only chunks of
+        # the SAME plan (the same request re-frozen) so disjoint ranges
+        # keep coexisting.
+        man_prev = read_manifest(
+            spark, output_dir,
+            as_of=None if branch is None else f"branch:{branch}")
+        if man_prev is not None:
+            retire_keys = _visible_ok_keys(spark, output_dir, man_prev)
+            if keys is not None:
+                if "plan_id" not in man_prev.columns:
+                    retire_keys = None
+                else:
+                    same_plan = man_prev.filter(
+                        (F.col("status") == "ok")
+                        & (F.col("plan_id") == plan_fp)
+                    ).select("run", "partition_id", "chunk_id").distinct()
+                    retire_keys = retire_keys.join(
+                        same_plan, ["run", "partition_id", "chunk_id"],
+                        "left_semi")
+    else:
         man = read_manifest(
             spark, output_dir,
             as_of=None if branch is None else f"branch:{branch}")
@@ -1625,6 +1659,16 @@ def freeze(
     writer.parquet(enc_dir)
     enc_wall = time.perf_counter() - t_enc
 
+    # tombstones before the manifest: death in the window leaves both
+    # the new data and the retirements invisible (orphan discipline)
+    n_retired = 0
+    if retire_keys is not None:
+        n_retired = retire_keys.count()
+        if n_retired:
+            retire_keys.withColumnRenamed("run", "target_run").coalesce(1) \
+                .write.mode("error") \
+                .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
+
     # manifest rows derive from the committed files (payload column
     # pruned); the summary aggregates ride along as an Observation on the
     # SAME job, so deriving manifest + summary costs one pass total over
@@ -1658,7 +1702,8 @@ def freeze(
     # the manifest write above IS the commit; the snapshot entry makes
     # it an ordered point in the output's history (time travel, as_of)
     snap = snapshots.commit(
-        output_dir, run_id, "append", plan_id=plan_fp,
+        output_dir, run_id, "rewrite" if n_retired else "append",
+        plan_id=plan_fp,
         **({} if branch is None else {"branch": branch}))
     tokens = int(stats["tokens"] or 0)
     n_failed = int(stats["n_failed"] or 0)
@@ -1668,6 +1713,7 @@ def freeze(
         n_encoded=n_missing - n_failed,
         n_failed=n_failed,
         n_skipped=n_skipped,
+        n_retired=n_retired,
         wall_s=time.perf_counter() - t_start,
         encode_wall_s=enc_wall,
         tokens=tokens,

@@ -1696,9 +1696,18 @@ def _sql_minhash_ctes() -> str:
         f"sh AS (SELECT doc_id, {_sql_shingles()} AS s FROM documents), "
         f"mh AS (SELECT doc_id, {mh_cols} FROM sh), "
         f"bands AS ({bands}), "
+        # the hot-bucket star cap (_lsh_candidate_pairs): buckets over
+        # the cap emit only hub->other edges — replayed here so the
+        # oracle matches at EVERY scale, not just ones where no bucket
+        # exceeds the cap (found live: sf0.1 buckets trip it, sf0.01's
+        # don't)
+        "bstats AS (SELECT band_idx, sig, count(*) AS bkt_n, "
+        "min(doc_id) AS hub FROM bands GROUP BY band_idx, sig), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
-        "AND a.sig = b.sig AND a.doc_id < b.doc_id)"
+        "AND a.sig = b.sig AND a.doc_id < b.doc_id "
+        "JOIN bstats s ON s.band_idx = a.band_idx AND s.sig = a.sig "
+        f"WHERE s.bkt_n <= {_LSH_BUCKET_CAP} OR a.doc_id = s.hub)"
     )
 
 
