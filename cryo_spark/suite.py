@@ -1355,6 +1355,77 @@ def token_pair_topk(spark, sf_dir):
     )
 
 
+_TFIDF_TERMS = ("customer", "window", "merge")
+_TFIDF_TERMS_SQL = ", ".join(f"'{t}'" for t in _TFIDF_TERMS)
+
+
+@q(
+    "tfidf_topk_docs",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE word IN ({_TFIDF_TERMS_SQL})
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT word,
+             (SELECT count(*) FROM documents) * 1000000 // count(*) AS idf
+      FROM tf GROUP BY word
+    )
+    SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+           CAST(sum(tf.tf * idf.idf) AS BIGINT) AS score
+    FROM tf JOIN idf USING (word)
+    GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def tfidf_topk_docs(spark, sf_dir):
+    """Relevance search: top-20 documents for a fixed term set by tf-idf.
+
+    The retrieval primitive of a training-data search/filter pass
+    (keyword retrieval over the corpus, BM25's shape without the length
+    normalization). Scoring is *pure integer arithmetic* — idf is the
+    floor-divided ratio ``N * 1e6 div df`` instead of a float log — so
+    both engines produce bit-identical scores (float ln() differs in
+    the last ulp between libms; see the suite's float policy).
+
+    Scale shape: the term predicate filters the exploded words BEFORE
+    the (doc_id, word) partial aggregation, so the shuffle carries only
+    matching-term rows; idf is a per-term aggregate (|terms| rows)
+    broadcast back onto tf — no corpus-sized join shuffle; the top-k is
+    a TakeOrdered with a full (score, doc_id) tiebreak. tf's lineage is
+    evaluated twice (df pass + score pass) — at production scale,
+    checkpoint tf or source df from a corpus-statistics table.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ", -1)).alias("word")
+    )
+    tf = (
+        words.filter(F.col("word").isin(*_TFIDF_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select("word", F.expr("n_docs * 1000000L div df").alias("idf"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf")).cast("long").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+    )
+
+
 @q(
     "doc_fingerprint",
     """
