@@ -225,6 +225,8 @@ QUERY_SUBSET = [
     "scan_zone_pruned",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_span_exact",
+    "embed_quantize_int8",
     "pack_sequences",
     "decontaminate_ngrams",
     "token_vocab_topk",

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import hashing, layout, snapshots, tablespec
+from .arrowutil import amap
 from .codecs import choose_float, choose_int, choose_str, decode_any, encode_any
 from .codecs.bits import get_blob, put_blob
 from .tablespec import SEQUENCES, ColumnSpec, TableSpec
@@ -531,7 +532,8 @@ def _grouped_encode(df: DataFrame, plan: layout.ChunkPlan,
                     keep_mask: np.ndarray | None = None,
                     chunk_id_offset: int = 0,
                     spec: TableSpec = SEQUENCES) -> DataFrame:
-    packed = df.mapInArrow(
+    packed = amap(
+        df,
         _pack_kernel(df.sparkSession, plan, keep_mask, chunk_id_offset, spec),
         spec.packed_ddl(),
     )
@@ -569,7 +571,7 @@ def _encode_packed(packed: DataFrame, spark: SparkSession,
                    plan: layout.ChunkPlan,
                    spec: TableSpec = SEQUENCES) -> DataFrame:
     packed = packed.repartition(_n_parts(spark, plan.n_chunks), "shuffle_key")
-    return packed.mapInArrow(_encode_partition(spec), ENCODED_DDL)
+    return amap(packed, _encode_partition(spec), ENCODED_DDL)
 
 
 def _grouped_encode_arrow(spark: SparkSession, input_path: str,
@@ -616,12 +618,12 @@ def decode(enc_df: DataFrame, columns: list[str] | None = None,
         F.col("run") if "run" in enc_df.columns
         else F.lit("").alias("run")  # in-memory encode(): single plan
     )
-    return (
+    return amap(
         enc_df.select(run_col.alias("run"), "partition_id", "chunk_id",
                       "column", "n_rows", "payload")
         .filter(F.col("column").isin(columns))
-        .repartition(n_parts, "run", "partition_id", "chunk_id")
-        .mapInArrow(_decode_partition(columns, spec), ddl)
+        .repartition(n_parts, "run", "partition_id", "chunk_id"),
+        _decode_partition(columns, spec), ddl,
     )
 
 
@@ -891,7 +893,7 @@ def delete_where(
     t0 = time.perf_counter()
     matched = collect(spark, output_dir, columns=[spec.key], keys=keys,
                       filters=filters, spec=spec)
-    run_id = uuid.uuid4().hex[:12]
+    run_id = _new_run_id()
     del_dir = f"{_deletes_path(output_dir)}/run={run_id}"
     matched.distinct().write.mode("error").parquet(del_dir)
     n = spark.read.parquet(del_dir).count()
@@ -952,7 +954,7 @@ def read_appends(
         F.col("run").isin(runs))
     keys = man.filter(F.col("status") == "ok").select(
         "run", "partition_id", "chunk_id").distinct()
-    enc = spark.read.parquet(_encoded_path(output_dir)).filter(
+    enc = _read_run_partitioned(spark, _encoded_path(output_dir)).filter(
         F.col("run").isin(runs)
     ).join(F.broadcast(keys), ["run", "partition_id", "chunk_id"],
            "left_semi")
@@ -991,7 +993,8 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
     keys4 = ["run", "partition_id", "chunk_id", "column"]
     ok = man.filter(F.col("status") == "ok").select(*keys4)
     try:
-        enc = spark.read.parquet(_encoded_path(output_dir)).select(*keys4)
+        enc = _read_run_partitioned(
+            spark, _encoded_path(output_dir)).select(*keys4)
     except Exception:
         enc = ok.limit(0)
     report["n_missing_payload"] = ok.join(enc, keys4, "left_anti").count()
@@ -1157,7 +1160,7 @@ def upsert(
     n_survive = merged.count() - n_batch
     n_updated = n_old - n_survive
     plan = layout.plan_chunks(merged, target_tokens, spec=spec)
-    run_id = uuid.uuid4().hex[:12]
+    run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     _grouped_encode(merged, plan, spec=spec).write.mode("error") \
         .option("compression", "uncompressed") \
@@ -1286,7 +1289,7 @@ def purge_deletes(
                     wall_s=time.perf_counter() - t_start,
                     reason="all affected rows deleted; merge-on-read kept")
     plan = layout.plan_chunks(keep, target_tokens, spec=spec)
-    run_id = uuid.uuid4().hex[:12]
+    run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     _grouped_encode(keep, plan, spec=spec).write.mode("error") \
         .option("compression", "uncompressed") \
@@ -1315,6 +1318,45 @@ def purge_deletes(
     return summary
 
 
+def _new_run_id() -> str:
+    """Mint a run id that can never be mistaken for a number.
+
+    uuid4().hex[:12] occasionally produces all-digits-plus-one-'e'
+    strings ('622402893e04') that Spark's partition-value type
+    inference parses as scientific-notation DOUBLEs when the run= dir
+    is read back: the `run` column then carries a double where every
+    consumer declares a string — an executor-side UNSUPPORTED_CALL
+    (getUTF8String on a double accessor) when a kernel echoes it, or a
+    silently missing run in verify_output. A leading letter makes the
+    dir name structurally non-numeric.
+    """
+    return "r" + uuid.uuid4().hex[:11]
+
+
+def _read_run_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a run=-partitioned layout with ``run`` guaranteed string.
+
+    Belt to _new_run_id's suspenders: partition-value inference mangles
+    numeric-looking legacy run ids (value AND type). When inference
+    typed ``run`` as anything but string, re-read with an explicit
+    schema — the dir-name string then parses verbatim, and ``run``
+    stays a true partition column so filters on it still prune
+    directories (unlike recovering it from input_file_name, which
+    would forfeit partition pruning on every visibility filter).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = spark.read.parquet(path)
+    if "run" in df.columns and not isinstance(
+            df.schema["run"].dataType, StringType):
+        fields = [
+            StructField("run", StringType(), True) if f.name == "run" else f
+            for f in df.schema.fields
+        ]
+        df = spark.read.schema(StructType(fields)).parquet(path)
+    return df
+
+
 def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
     """Tombstone rows (target_run, partition_id, chunk_id) + writer `run`.
 
@@ -1326,7 +1368,7 @@ def _read_tombstones(spark: SparkSession, output_dir: str) -> DataFrame | None:
     an Iceberg rewrite commits added and deleted files in one snapshot.
     """
     try:
-        return spark.read.parquet(_tombstones_path(output_dir))
+        return _read_run_partitioned(spark, _tombstones_path(output_dir))
     except Exception:
         return None
 
@@ -1345,7 +1387,7 @@ def read_manifest(spark: SparkSession, output_dir: str,
     ``raw=True`` bypasses both (filesystem truth — vacuum's view).
     """
     try:
-        man = spark.read.parquet(_manifest_path(output_dir))
+        man = _read_run_partitioned(spark, _manifest_path(output_dir))
     except Exception:
         return None
     if raw:
@@ -1401,7 +1443,7 @@ def read_encoded(spark: SparkSession, output_dir: str,
     (snapshots.py), raising if vacuum already deleted those bytes.
     """
     try:
-        enc = spark.read.parquet(_encoded_path(output_dir))
+        enc = _read_run_partitioned(spark, _encoded_path(output_dir))
     except Exception:
         # an empty-input freeze commits nothing: no encoded dir is a
         # valid (empty) output, not an error
@@ -1473,7 +1515,7 @@ def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
                 [pa.array([bits.tobytes()], pa.binary())], names=["bits"])
 
     out = np.zeros(nbytes, dtype=np.uint8)
-    for row in man.select("chunk_id").mapInArrow(fold, "bits binary").toLocalIterator():
+    for row in amap(man.select("chunk_id"), fold, "bits binary").toLocalIterator():
         out |= np.frombuffer(row["bits"], dtype=np.uint8)
     return out
 
@@ -1624,7 +1666,7 @@ def freeze(
             raw_bytes=0, tokens_per_sec=0.0, run=None,
         )
 
-    run_id = uuid.uuid4().hex[:12]
+    run_id = _new_run_id()
     _write_report(output_dir, run_id, dict(
         version="cryo_spark " + "0.1.0", status="incomplete",
         input_path=input_path, target_tokens=target_tokens,
@@ -1804,7 +1846,7 @@ def compact(
         # chunks in distinct source partitions): guarantee monotone
         # progress / idempotence by writing nothing
         return no_op
-    run_id = uuid.uuid4().hex[:12]
+    run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     _grouped_encode(rows, plan, spec=spec).write.mode("error") \
         .option("compression", "uncompressed") \
@@ -2122,8 +2164,7 @@ def _bloom_chunk_keys(man: DataFrame, key_strs: list[str],
     rows = man.filter(
         (F.col("status") == "ok") & (F.col("column") == spec.key)
     ).select("run", "partition_id", "chunk_id", "key_bloom")
-    return rows.mapInArrow(
-        kernel, "run string, partition_id int, chunk_id int")
+    return amap(rows, kernel, "run string, partition_id int, chunk_id int")
 
 
 _FILTER_OPS = ("=", "<", "<=", ">", ">=", "between")

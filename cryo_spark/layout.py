@@ -47,6 +47,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from . import tablespec
+from .arrowutil import amap
 from .hashing import bucket_of, hash_utf8
 from .tablespec import SEQUENCES, TableSpec
 
@@ -348,9 +349,8 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
     if n_chunks is not None:
         target_tokens = max(1, math.ceil(total_tokens / n_chunks))
     n_buckets = _n_buckets_for(total_tokens, target_tokens)
-    hist_df = df.select(*spec.plan_columns()).mapInArrow(
-        _hist_kernel(n_buckets, spec, bounds), _HIST_DDL
-    )
+    hist_df = amap(df.select(*spec.plan_columns()),
+                   _hist_kernel(n_buckets, spec, bounds), _HIST_DDL)
     return _finish_plan(hist_df, n_buckets, target_tokens, bounds)
 
 
@@ -477,4 +477,4 @@ def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
             t = t.append_column("chunk_id", pa.array(cid, pa.int32()))
             yield from t.to_batches()
 
-    return df.mapInArrow(fn, out_ddl)
+    return amap(df, fn, out_ddl)

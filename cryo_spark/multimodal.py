@@ -32,6 +32,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from .arrowutil import amap
+
 try:  # optional real decoder (absent in this container; import-gated)
     from PIL import Image as _PILImage
 
@@ -176,7 +178,7 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload",
                 schema=out_schema,
             )
 
-    return df.select(id_col, payload_col).mapInArrow(run, MEDIA_META_DDL)
+    return amap(df.select(id_col, payload_col), run, MEDIA_META_DDL)
 
 
 RESIZED_DDL = "media_id string, payload binary, width int, height int"
@@ -259,7 +261,7 @@ def resize_media(df: DataFrame, width: int, height: int,
                 schema=out_schema,
             )
 
-    return df.select(id_col, payload_col).mapInArrow(run, RESIZED_DDL)
+    return amap(df.select(id_col, payload_col), run, RESIZED_DDL)
 
 
 def frame_sample_plan(n_frames: int, every_nth: int) -> list[int]:

@@ -31,6 +31,8 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..arrowutil import amap
+
 DEFAULT_TASK_BYTES = 192 << 20  # compressed bytes per scan task
 
 
@@ -206,7 +208,7 @@ def _run_tasks(spark, tasks, columns, kernel, out_ddl) -> DataFrame:
                     )
                     yield from kernel(t.to_batches())
 
-    return tdf.mapInArrow(read_tasks, out_ddl)
+    return amap(tdf, read_tasks, out_ddl)
 
 
 def arrow_scan_files(

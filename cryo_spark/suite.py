@@ -25,6 +25,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cryo_spark.arrowutil import amap
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -243,7 +245,7 @@ def enc_roundtrip_embeddings(spark, sf_dir):
     expanding float codec fails the hash comparison.
     """
     e = _t(spark, sf_dir, "embeddings").select("embedding")
-    per = e.mapInArrow(_emb_roundtrip_kernel, _EMB_RT_DDL)
+    per = amap(e, _emb_roundtrip_kernel, _EMB_RT_DDL)
     return per.agg(
         F.sum("n_rows").cast("long").alias("n_rows"),
         F.sum("n_values").cast("long").alias("n_values"),
@@ -1675,15 +1677,19 @@ _LSH_BANDS, _LSH_ROWS = 8, 4
 _JAC_NUM, _JAC_DEN = 3, 5
 
 
-def _flat_shingle_hashes(text):
+def _flat_shingle_hashes(text, k: int = _SHINGLE_K):
     """Flat (hash, owning-doc, shingles-per-doc) for an arrow utf8 column.
 
-    Shingles are 5-byte windows hashed with a base-131 polynomial mod
-    _J_PRIME — vectorized: 5 shifted gathers over the concatenated
+    Shingles are k-byte windows hashed with a base-131 polynomial mod
+    _J_PRIME — vectorized: k shifted gathers over the concatenated
     buffer, masked at each doc's end so short docs (one zero-padded
     window) hash only their own bytes, never a batch neighbor's.
     Byte values equal codepoints on this all-ASCII corpus, which is what
     lets the DuckDB oracle recompute identical hashes via unicode().
+    Coefficients are mod-reduced (131^j mod p) so the k-term int64
+    accumulator never overflows for any k: each term < 256 * p ≈ 2.6e8,
+    so even k = 10^9 windows would stay < 2^63; the final value is
+    congruent to the plain 131^j polynomial mod p either way.
     """
     import numpy as np
     import pyarrow as pa
@@ -1697,18 +1703,18 @@ def _flat_shingle_hashes(text):
     offsets = np.frombuffer(text.buffers()[1], dtype=np.int32)[off : off + n + 1]
     data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
     lengths = np.diff(offsets).astype(np.int64)
-    n_sh = np.maximum(lengths - (_SHINGLE_K - 1), 1)
+    n_sh = np.maximum(lengths - (k - 1), 1)
     doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sh)
     starts = offsets[:-1].astype(np.int64)
     pos = np.arange(len(doc_of), dtype=np.int64) - np.repeat(
         np.cumsum(n_sh) - n_sh, n_sh
     ) + starts[doc_of]
     ends = offsets[1:].astype(np.int64)[doc_of]
-    pad = np.concatenate((data, np.zeros(_SHINGLE_K, dtype=np.uint8)))
+    pad = np.concatenate((data, np.zeros(k, dtype=np.uint8)))
     acc = np.zeros(len(pos), dtype=np.int64)
-    for j in range(_SHINGLE_K):
+    for j in range(k):
         byte = np.where(pos + j < ends, pad[pos + j], np.uint8(0)).astype(np.int64)
-        acc += byte * (_SH_BASE**j)
+        acc += byte * pow(_SH_BASE, j, _J_PRIME)
     return acc % _J_PRIME, doc_of, n_sh
 
 
@@ -1739,15 +1745,19 @@ def _minhash_kernel(batches):
 _MINHASH_DDL = "doc_id long, " + ", ".join(f"h{p} long" for p in range(_MINHASH_PERMS))
 
 
-def _sql_shingles(col: str = "text") -> str:
-    """DuckDB list of the same shingle hashes _flat_shingle_hashes makes."""
+def _sql_shingles(col: str = "text", k: int = _SHINGLE_K) -> str:
+    """DuckDB list of the same shingle hashes _flat_shingle_hashes makes.
+
+    Coefficient literals are mod-reduced (131^j mod p) to match the
+    kernel and keep every SQL term inside BIGINT for any k.
+    """
     terms = " + ".join(
-        f"{_SH_BASE**j}::BIGINT * (CASE WHEN i+{j} <= length({col}) "
+        f"{pow(_SH_BASE, j, _J_PRIME)}::BIGINT * (CASE WHEN i+{j} <= length({col}) "
         f"THEN unicode({col}[i+{j}]) ELSE 0 END)"
-        for j in range(_SHINGLE_K)
+        for j in range(k)
     )
     return (
-        f"list_transform(range(1, greatest(length({col}) - {_SHINGLE_K - 2}, 2)), "
+        f"list_transform(range(1, greatest(length({col}) - {k - 2}, 2)), "
         f"i -> ({terms}) % {_J_PRIME})"
     )
 
@@ -1851,7 +1861,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
     return _lsh_candidate_pairs(mh)
 
 
@@ -1909,10 +1919,9 @@ def _jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # single task (measured 26 s vs 3 s at sf0.1); spread pairs evenly
     # across the cluster before the cpu-heavy stage.
     n_parts = pairs.sparkSession.sparkContext.defaultParallelism
-    scored = (
-        j.select("doc_a", "doc_b", "text_a", "text_b")
-        .repartition(n_parts)
-        .mapInArrow(_jaccard_kernel, "doc_a long, doc_b long, inter long, uni long")
+    scored = amap(
+        j.select("doc_a", "doc_b", "text_a", "text_b").repartition(n_parts),
+        _jaccard_kernel, "doc_a long, doc_b long, inter long, uni long",
     )
     return scored.filter(
         F.col("inter") * _JAC_DEN >= F.col("uni") * _JAC_NUM
@@ -1997,7 +2006,7 @@ def dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
     cand = _lsh_candidate_pairs(mh)
     edges = _jaccard_verify(d, cand)
     labels = _connected_components(edges)
@@ -2032,7 +2041,7 @@ def dedup_apply(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
     cand = _lsh_candidate_pairs(mh)
     edges = _jaccard_verify(d, cand)
     labels = _connected_components(edges)
@@ -2104,7 +2113,7 @@ def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    return d.mapInArrow(_simhash_kernel, "doc_id long, simhash long")
+    return amap(d, _simhash_kernel, "doc_id long, simhash long")
 
 
 _SIM_BAND_BITS = 8
@@ -2133,7 +2142,7 @@ def simhash_hamming_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sim = d.mapInArrow(_simhash_kernel, "doc_id long, simhash long")
+    sim = amap(d, _simhash_kernel, "doc_id long, simhash long")
     b = sim.select(
         "doc_id", "simhash", F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS // _SIM_BAND_BITS - 1))).alias("band_idx")
     ).withColumn("nib", F.expr(f"shiftright(simhash, band_idx * {_SIM_BAND_BITS}) & 255"))
@@ -2721,8 +2730,8 @@ def ann_ivf_topk(spark, sf_dir):
                 names=["vec_id", "label", "cid"],
             )
 
-    asg = e.select("vec_id", "label", "embedding").mapInArrow(
-        assign, "vec_id long, label int, cid long")
+    asg = amap(e.select("vec_id", "label", "embedding"),
+               assign, "vec_id long, label int, cid long")
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = np.asarray(qrow.embedding, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-300)
@@ -2797,7 +2806,7 @@ def pipeline_corpus_freeze(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    mh = d.mapInArrow(_minhash_kernel, _MINHASH_DDL)
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
     drops = _connected_components(
         _jaccard_verify(d, _lsh_candidate_pairs(mh))
     ).filter(F.col("u") != F.col("label")).select(F.col("u").alias("doc_id"))
@@ -3283,9 +3292,8 @@ def kmeans_embeddings(spark, sf_dir):
         return fn
 
     def lloyd_update(Cb):
-        rows = e.select("embedding").mapInArrow(
-            partials_fn(Cb), "k long, vsum array<double>, cnt long"
-        ).collect()
+        rows = amap(e.select("embedding"), partials_fn(Cb),
+                    "k long, vsum array<double>, cnt long").collect()
         K, d = Cb.shape
         sums = np.zeros((K, d))
         cnts = np.zeros(K, dtype=np.int64)
@@ -3320,7 +3328,7 @@ def kmeans_embeddings(spark, sf_dir):
                 )
         return fn
 
-    asg = e.mapInArrow(assign_fn(C1), "vec_id long, label long, cluster_id long")
+    asg = amap(e, assign_fn(C1), "vec_id long, label long, cluster_id long")
     chk = spark.createDataFrame(
         [(int(k), float(round(C2[k].sum(), 4))) for k in range(C2.shape[0])],
         "cluster_id long, centroid_sum double",
@@ -3508,4 +3516,195 @@ def sketch_distinct_kmv(spark, sf_dir):
         F.round((F.lit(_KMV_K) - 1.0) * _KMV_P / F.col("kth_hash"), 4)
         .cast("double").alias("est_distinct"),
         F.lit(int(true_d)).cast("long").alias("true_distinct"),
+    )
+
+
+# ===========================================================================
+# span-level exact dedup + embedding quantization
+# ===========================================================================
+
+_SPAN_K = 20  # bytes per window: long enough that cross-doc matches mean
+              # real shared passages, not vocabulary coincidence
+
+
+def _span_kernel(batches):
+    """mapInArrow kernel: distinct 20-byte-window hashes per document.
+
+    The exact-substring dedup primitive (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — their
+    suffix-array pass finds verbatim repeated spans; hashed fixed-K
+    windows are the shuffle-friendly equivalent). Reuses the shingle
+    gather (_flat_shingle_hashes) at K=20; per-doc np.unique dedups
+    BEFORE any shuffle, so the kernel emits each (doc, span) once —
+    a map-side distinct that caps the exchange at the true span-set
+    size instead of one row per character position.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        if t.num_rows == 0:
+            continue
+        h, doc_of, _n_sh = _flat_shingle_hashes(t.column("text"), k=_SPAN_K)
+        doc_ids = t.column("doc_id").combine_chunks().cast(pa.int64()).to_numpy()
+        # batch-local doc index * p + hash is a unique composite key
+        # (h < p); one np.unique dedups every doc in the batch at once
+        keys = np.unique(doc_of * _J_PRIME + h)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids[keys // _J_PRIME]), pa.array(keys % _J_PRIME)],
+            names=["doc_id", "span_h"],
+        )
+
+
+@q(
+    "dedup_span_exact",
+    f"""
+    WITH sp AS (
+      SELECT DISTINCT doc_id, span_h FROM (
+        SELECT doc_id, unnest({_sql_shingles('text', _SPAN_K)}) AS span_h
+        FROM documents
+      )
+    ),
+    dup AS (SELECT span_h FROM sp GROUP BY span_h HAVING count(*) >= 2)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans
+    FROM sp JOIN dup USING (span_h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_exact(spark, sf_dir):
+    """Exact duplicated-span detection: 20-byte windows shared across docs.
+
+    Per doc, the count of distinct 20-byte window hashes that also occur
+    in at least one other document — the span-level complement of the
+    whole/near-doc dedup family (Lee et al. 2022's repeated-substring
+    pass). Plan: one mapInArrow pass emits per-doc-distinct (doc_id,
+    span_h) rows; ONE shuffle on span_h serves both the duplicate-hash
+    aggregate and the semi-join back (same partitioning, AQE reuses the
+    exchange); one final shuffle groups by doc. At 100 TB the kernel
+    emits ~L rows per doc — the production knob is content-defined
+    anchoring (keep windows where span_h % s == 0), which samples the
+    same hash space uniformly and shrinks the exchange s-fold with
+    recall 1-(1-1/s)^|shared spans|; the exact variant here is the
+    oracle-checkable ground truth. Oracle: DuckDB recomputes identical
+    window hashes via the same mod-prime polynomial.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    spans = amap(d, _span_kernel, "doc_id long, span_h long").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_h")
+    )
+    return (
+        spans.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+
+
+def _quant_kernel(batches):
+    """mapInArrow kernel: per-vector symmetric int8 quantization.
+
+    The embedding-column analog of the engine's integer codec family
+    (FoR / bit-pack): 4 bytes/dim float32 -> 1 byte/dim code + one
+    float scale per vector. scale = max|v| / 127; code = floor(v/scale
+    + 0.5) (floor-based round-half-up: identical IEEE semantics in
+    numpy, Spark and DuckDB — np.rint/SQL round() disagree on ties).
+    Emits integer checksums that pin every code exactly: a position-
+    weighted sum (order-sensitive) and the L2 of the codes, plus
+    floor(scale * 1e6) so the reconstruction factor is pinned too.
+    All batch-vectorized via reduceat over the flattened values; no
+    per-row Python.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        if t.num_rows == 0:
+            continue
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lengths = emb.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        if (lengths <= 0).any():
+            raise ValueError("empty embedding row: quantizer needs dim >= 1")
+        # flatten() is offset/slice-aware (unlike .values)
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        maxabs = np.maximum.reduceat(np.abs(vals), starts)
+        scale = maxabs / 127.0
+        sc_rep = np.repeat(scale, lengths)
+        q = np.where(
+            sc_rep > 0.0,
+            np.floor(vals / np.where(sc_rep == 0.0, 1.0, sc_rep) + 0.5),
+            0.0,
+        ).astype(np.int64)
+        idx = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lengths) + 1
+        yield pa.RecordBatch.from_arrays(
+            [
+                t.column("vec_id").combine_chunks().cast(pa.int64()),
+                pa.array(np.floor(scale * 1e6).astype(np.int64)),
+                pa.array(np.add.reduceat(q * idx, starts)),
+                pa.array(np.add.reduceat(q * q, starts)),
+            ],
+            names=["vec_id", "scale_micro", "qsum_weighted", "q_l2"],
+        )
+
+
+@q(
+    "embed_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e,
+             list_max(list_transform(embedding,
+                                     v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS sc
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, sc,
+             CASE WHEN sc > 0
+                  THEN list_transform(e, v -> CAST(floor(v / sc + 0.5) AS BIGINT))
+                  ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS qs
+      FROM s
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(floor(sc * 1000000) AS BIGINT) AS scale_micro,
+           CAST(list_sum(list_transform(range(1, len(qs) + 1),
+                                        i -> qs[i] * i)) AS BIGINT)
+             AS qsum_weighted,
+           CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS q_l2
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column, code-exact.
+
+    Per vector: scale = max|v|/127, code_i = floor(v_i/scale + 0.5) —
+    4x smaller embeddings for ANN/recall pipelines at a bounded cosine
+    error. Pure map (ZERO shuffles: one mapInArrow pass, no exchange in
+    the plan); float32 -> double promotion is exact and every op
+    (max, one divide, floor) is a single IEEE operation, so the codes
+    are bit-identical across engines and the oracle pins them via an
+    order-sensitive position-weighted checksum + code L2 + the scale
+    to 1e-6. At scale this is the write-side of a quantized vector
+    store: codes pack to 1 byte/dim with the same bit-pack codec the
+    token engine uses.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return amap(
+        e, _quant_kernel,
+        "vec_id long, scale_micro long, qsum_weighted long, q_l2 long",
     )
