@@ -3590,25 +3590,11 @@ def dedup_span_exact(spark, sf_dir):
     oracle-checkable ground truth. Oracle: DuckDB recomputes identical
     window hashes via the same mod-prime polynomial.
     """
-    from pyspark.storagelevel import StorageLevel
-
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    spans = amap(d, _span_kernel, "doc_id long, span_h long").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    dup = (
-        spans.groupBy("span_h")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("span_h")
-    )
-    return (
-        spans.join(dup, "span_h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
-    )
+    spans = amap(d, _span_kernel, "doc_id long, span_h long")
+    return _span_dup_counts(spans)
 
 
 def _quant_kernel(batches):
@@ -3707,4 +3693,251 @@ def embed_quantize_int8(spark, sf_dir):
     return amap(
         e, _quant_kernel,
         "vec_id long, scale_micro long, qsum_weighted long, q_l2 long",
+    )
+
+
+_SPAN_ANCHOR_S = 4  # content-defined sampling modulus for the scale path
+
+
+def _make_span_kernel(anchor_s: int | None = None):
+    """Span-window kernel maker; anchor_s enables content-defined sampling.
+
+    With ``anchor_s`` set, only windows whose hash ≡ 0 (mod s) are kept
+    BEFORE the shuffle — the 100 TB knob dedup_span_exact documents: the
+    anchor predicate depends on the window BYTES alone (never position
+    or neighbors), so two documents sharing a span always sample the
+    same windows from it, and the exchange shrinks ~s-fold at recall
+    1-(1-1/s)^|shared distinct spans|.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            h, doc_of, _n_sh = _flat_shingle_hashes(t.column("text"), k=_SPAN_K)
+            if anchor_s is not None:
+                keep = (h % anchor_s) == 0
+                h, doc_of = h[keep], doc_of[keep]
+                if not len(h):
+                    continue
+            doc_ids = t.column("doc_id").combine_chunks().cast(pa.int64()).to_numpy()
+            keys = np.unique(doc_of * _J_PRIME + h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids[keys // _J_PRIME]), pa.array(keys % _J_PRIME)],
+                names=["doc_id", "span_h"],
+            )
+
+    return kernel
+
+
+def _span_dup_counts(spans: DataFrame) -> DataFrame:
+    """(doc_id, span_h) rows -> per-doc count of cross-doc-shared spans."""
+    from pyspark.storagelevel import StorageLevel
+
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_h")
+    )
+    return (
+        spans.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+
+
+@q(
+    "dedup_span_anchored",
+    f"""
+    WITH sp AS (
+      SELECT DISTINCT doc_id, span_h FROM (
+        SELECT doc_id, unnest({_sql_shingles('text', _SPAN_K)}) AS span_h
+        FROM documents
+      ) WHERE span_h % {_SPAN_ANCHOR_S} = 0
+    ),
+    dup AS (SELECT span_h FROM sp GROUP BY span_h HAVING count(*) >= 2)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans
+    FROM sp JOIN dup USING (span_h)
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_anchored(spark, sf_dir):
+    """Span dedup with content-defined anchoring — the production path.
+
+    Same pipeline as dedup_span_exact, but the kernel keeps only
+    windows with span_h % 4 == 0 before any shuffle: ~4x fewer exchange
+    rows, and because the anchor predicate is a pure function of the
+    window bytes, shared passages still collide (recall
+    1-(3/4)^|shared spans| ≈ 1 for passages longer than a few windows).
+    The oracle replays the identical anchor arithmetic, pinning that
+    the sampled variant is exact on its sample.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    spans = amap(d, _make_span_kernel(_SPAN_ANCHOR_S), "doc_id long, span_h long")
+    return _span_dup_counts(spans)
+
+
+# ---------------------------------------------------------------------------
+# quantized ANN: int8 codes generate candidates, exact cosine reranks
+# ---------------------------------------------------------------------------
+
+_ANN_Q_CAND = 32
+
+
+def _quant_codes_np(vals):
+    """Symmetric int8 codes for one float64 vector (same math as
+    _quant_kernel: scale = max|v|/127, code = floor(v/scale + 0.5))."""
+    import numpy as np
+
+    m = float(np.max(np.abs(vals))) if len(vals) else 0.0
+    sc = m / 127.0
+    if sc == 0.0:
+        return np.zeros(len(vals), dtype=np.int64)
+    return np.floor(vals / sc + 0.5).astype(np.int64)
+
+
+def _qdot_kernel(qc):
+    """mapInArrow kernel: integer code dot-products against the query.
+
+    Quantizes each batch row (identical arithmetic to _quant_kernel),
+    then one int64 matmul per batch gives every row's code dot with the
+    broadcast query codes plus its own code L2 — the two integers the
+    scale-free approximate score d / sqrt(qb2*qa2) needs (per-vector
+    scales cancel out of the quantized cosine, so candidate ranking is
+    pure integer arithmetic + one sqrt + one divide: bit-portable).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            emb = t.column("embedding")
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            lengths = emb.value_lengths().to_numpy(zero_copy_only=False)
+            if not (lengths == len(qc)).all():
+                raise ValueError("embedding dim mismatch vs query codes")
+            vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            V = vals.reshape(n, len(qc))
+            sc = np.max(np.abs(V), axis=1, keepdims=True) / 127.0
+            Q = np.where(sc > 0.0, np.floor(V / np.where(sc == 0.0, 1.0, sc) + 0.5), 0.0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("vec_id").combine_chunks().cast(pa.int64()),
+                    t.column("label").combine_chunks().cast(pa.int32()),
+                    pa.array(Q @ qc),
+                    pa.array((Q * Q).sum(axis=1)),
+                ],
+                names=["vec_id", "label", "d", "qb2"],
+            )
+
+    return kernel
+
+
+_ANN_QSQL = f"""
+    WITH q AS (
+      SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id = 0
+    ),
+    qc AS (
+      SELECT CASE WHEN list_max(list_transform(e, v -> abs(v))) / 127.0 > 0
+             THEN list_transform(e, v -> CAST(floor(
+                  v / (list_max(list_transform(e, v2 -> abs(v2))) / 127.0)
+                  + 0.5) AS BIGINT))
+             ELSE list_transform(e, v -> CAST(0 AS BIGINT)) END AS c
+      FROM q
+    ),
+    bc AS (
+      SELECT vec_id, label,
+             CASE WHEN list_max(list_transform(embedding,
+                                v -> abs(CAST(v AS DOUBLE)))) / 127.0 > 0
+             THEN list_transform(embedding, v -> CAST(floor(
+                  CAST(v AS DOUBLE) /
+                  (list_max(list_transform(embedding,
+                            v2 -> abs(CAST(v2 AS DOUBLE)))) / 127.0)
+                  + 0.5) AS BIGINT))
+             ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS c
+      FROM embeddings WHERE vec_id != 0
+    ),
+    sc AS (
+      SELECT b.vec_id, b.label,
+             list_sum(list_transform(range(1, len(b.c) + 1),
+                                     i -> b.c[i] * q.c[i])) AS d,
+             list_sum(list_transform(b.c, v -> v * v)) AS qb2,
+             (SELECT list_sum(list_transform(c, v -> v * v)) FROM qc) AS qa2
+      FROM bc b CROSS JOIN qc q
+    ),
+    cand AS (
+      SELECT vec_id FROM sc
+      ORDER BY CAST(d AS DOUBLE) / sqrt(CAST(qb2 * qa2 AS DOUBLE)) DESC,
+               vec_id
+      LIMIT {_ANN_Q_CAND}
+    )
+    SELECT vec_id, label FROM (
+      SELECT e.vec_id, e.label,
+             list_cosine_similarity(e.embedding, qq.embedding) AS sim
+      FROM cand JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+    ) t ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@q("ann_quantized_topk", _ANN_QSQL)
+def ann_quantized_topk(spark, sf_dir):
+    """Quantized-candidate ANN: int8 codes rank, exact cosine reranks.
+
+    The retrieval side of embed_quantize_int8: candidates come from the
+    scale-free quantized cosine d / sqrt(qb2*qa2) (per-vector scales
+    cancel), computed as ONE int64 matmul per batch in a zero-shuffle
+    kernel — 4x less memory traffic than float32 scan at 100 TB, codes
+    bit-portable so the oracle replays candidate selection exactly.
+    Top-32 candidates (broadcast) rerank with the exact double cosine;
+    output is the reranked top-10.
+    """
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"],
+        dtype=np.float64,
+    )
+    qc = _quant_codes_np(qv)
+    qa2 = int((qc * qc).sum())
+    scored = amap(
+        e.filter(F.col("vec_id") != 0).select("vec_id", "label", "embedding"),
+        _qdot_kernel(qc),
+        "vec_id long, label int, d long, qb2 long",
+    )
+    cand = (
+        scored.select(
+            "vec_id",
+            (F.col("d").cast("double")
+             / F.sqrt((F.col("qb2") * F.lit(qa2)).cast("double"))).alias("ascore"),
+        )
+        .orderBy(F.desc("ascore"), "vec_id")
+        .limit(_ANN_Q_CAND)
+        .select("vec_id")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cand), "vec_id")
+        .select("vec_id", "label", F.col("embedding").alias("a"))
+        .join(F.broadcast(
+            e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))))
+        .select("vec_id", "label", F.expr(_COS_SPARK).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label")
     )

@@ -80,3 +80,56 @@ def test_quant_zero_vector_guard():
 def test_quant_empty_row_raises():
     with pytest.raises(ValueError):
         _quant([(9, [])])
+
+
+def test_anchored_spans_are_content_defined_subset():
+    from cryo_spark.suite import _make_span_kernel, _SPAN_ANCHOR_S
+
+    rows = [(1, "shared passage of text here " * 4),
+            (2, "prefix! " + "shared passage of text here " * 4)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string())],
+        names=["doc_id", "text"],
+    )
+
+    def collect(kernel):
+        out: dict[int, set[int]] = {}
+        for ob in kernel(iter([batch])):
+            for did, h in zip(ob.column(0).to_pylist(), ob.column(1).to_pylist()):
+                out.setdefault(did, set()).add(h)
+        return out
+
+    full = collect(_span_kernel)
+    anch = collect(_make_span_kernel(_SPAN_ANCHOR_S))
+    for d in (1, 2):
+        assert anch[d] <= full[d]
+        assert all(h % _SPAN_ANCHOR_S == 0 for h in anch[d])
+    # content-defined: both docs sample the same windows from the shared
+    # passage, so the anchored intersection is the anchored slice of the
+    # full intersection — shared spans survive sampling
+    assert anch[1] & anch[2] == {h for h in full[1] & full[2]
+                                 if h % _SPAN_ANCHOR_S == 0}
+    assert anch[1] & anch[2], "shared passage must keep anchored hashes"
+
+
+def test_qdot_kernel_matches_per_row_quantization():
+    from cryo_spark.suite import _qdot_kernel, _quant_codes_np
+
+    vecs = [[1.0, -0.5, 0.25], [0.1, 0.2, -0.3], [0.0, 0.0, 0.0]]
+    qv = np.array([0.5, 0.5, -1.0])
+    qc = _quant_codes_np(qv)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2, 3], pa.int64()),
+         pa.array([7, 8, 9], pa.int32()),
+         pa.array(vecs, pa.list_(pa.float32()))],
+        names=["vec_id", "label", "embedding"],
+    )
+    got = {}
+    for ob in _qdot_kernel(qc)(iter([batch])):
+        for vid, lab, d, qb2 in zip(*(ob.column(i).to_pylist() for i in range(4))):
+            got[vid] = (d, qb2)
+    for vid, v in zip([1, 2, 3], vecs):
+        # float32 storage: quantize the same float32-rounded values
+        c = _quant_codes_np(np.asarray(v, dtype=np.float32).astype(np.float64))
+        assert got[vid] == (int(c @ qc), int((c * c).sum())), vid
