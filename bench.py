@@ -231,6 +231,8 @@ QUERY_SUBSET = [
     "decontaminate_ngrams",
     "token_vocab_topk",
     "interval_join_binned",
+    "dedup_span_anchored",
+    "ann_quantized_topk",
 ]
 
 

@@ -3941,3 +3941,152 @@ def ann_quantized_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + per-source boilerplate stripping
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+@q(
+    "pii_redact",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@ex'
+                  || (doc_id % 7) || '.example.com or 555-'
+                  || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                  || ' ok' AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+             len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS n_phones
+      FROM synth
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM red
+    """,
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing: regex redaction of emails/phones, JVM-side.
+
+    The synthetic corpus has no PII, so the query plants deterministic
+    spans (email + phone derived from doc_id arithmetic) and then
+    scrubs them — both sides replay the identical construction, so the
+    oracle pins the redaction itself: match counts, the md5 of the
+    scrubbed text, and its length. Pure `regexp_replace`/`regexp_count`
+    column expressions (whole-stage codegen, no Python), the shape a
+    100 TB compliance scrub needs — the regexes stay within the
+    RE2-compatible subset so Java and DuckDB agree byte-for-byte.
+    """
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com or 555-"),
+            F.lpad(((F.col("doc_id") * 37) % 10000).cast("string"), 4, "0"),
+            F.lit(" ok"),
+        ).alias("text"),
+    )
+    red = synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(_PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE_RE), F.lit("<PHONE>"),
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(_PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+    return red.select(
+        "doc_id", "n_emails", "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+_BP_PREF_LEN = 8  # short enough that the synthetic corpus has real repeats
+
+
+@q(
+    "boilerplate_strip",
+    f"""
+    WITH pref AS (
+      SELECT source, substr(text, 1, {_BP_PREF_LEN}) AS prefix,
+             count(*) AS n
+      FROM documents GROUP BY source, substr(text, 1, {_BP_PREF_LEN})
+    ),
+    top AS (
+      SELECT source, prefix FROM (
+        SELECT source, prefix, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, prefix) AS r
+        FROM pref
+      ) WHERE r = 1 AND n >= 2
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN t.prefix IS NOT NULL
+                      AND substr(d.text, 1, {_BP_PREF_LEN}) = t.prefix
+                THEN 1 ELSE 0 END AS BIGINT) AS stripped,
+           CAST(length(CASE WHEN t.prefix IS NOT NULL
+                             AND substr(d.text, 1, {_BP_PREF_LEN}) = t.prefix
+                THEN substr(d.text, {_BP_PREF_LEN} + 1)
+                ELSE d.text END) AS BIGINT) AS clean_len,
+           md5(CASE WHEN t.prefix IS NOT NULL
+                     AND substr(d.text, 1, {_BP_PREF_LEN}) = t.prefix
+                THEN substr(d.text, {_BP_PREF_LEN} + 1)
+                ELSE d.text END) AS clean_md5
+    FROM documents d LEFT JOIN top t USING (source)
+    """,
+)
+def boilerplate_strip(spark, sf_dir):
+    """Per-source boilerplate removal: dominant-prefix detect + strip.
+
+    Web-crawl corpora repeat per-site boilerplate headers; the standard
+    cure is two passes — (1) aggregate each source's most common text
+    prefix, (2) strip it from documents that carry it. Pass 1 is a
+    groupBy on (source, prefix) whose output is one row per source —
+    tiny at any corpus size — so pass 2 joins it back with an explicit
+    `F.broadcast`: the 100 TB shape is one shuffle (the agg), zero
+    shuffle on the strip. Ties break deterministically (count desc,
+    then prefix) and singleton prefixes (n < 2) are never treated as
+    boilerplate.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pref = (
+        d.groupBy("source", F.substring("text", 1, _BP_PREF_LEN).alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "prefix")
+    top = (
+        pref.withColumn("r", F.row_number().over(w))
+        .filter((F.col("r") == 1) & (F.col("n") >= 2))
+        .select("source", "prefix")
+    )
+    joined = d.join(F.broadcast(top), "source", "left")
+    hit = F.col("prefix").isNotNull() & (
+        F.substring("text", 1, _BP_PREF_LEN) == F.col("prefix")
+    )
+    clean = F.when(hit, F.expr(f"substring(text, {_BP_PREF_LEN + 1})")).otherwise(
+        F.col("text")
+    )
+    return joined.select(
+        "doc_id",
+        hit.cast("long").alias("stripped"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
