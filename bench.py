@@ -233,6 +233,7 @@ QUERY_SUBSET = [
     "interval_join_binned",
     "dedup_span_anchored",
     "ann_quantized_topk",
+    "lm_bigram_score",
 ]
 
 

@@ -4090,3 +4090,85 @@ def boilerplate_strip(spark, sf_dir):
         F.length(clean).cast("long").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-likelihood quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LM_TOP_BIGRAMS = 5000  # pruned-model size: what gets broadcast
+
+
+@q(
+    "lm_bigram_score",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    pairs AS (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+              FROM seq WHERE len(l) >= 2),
+    pp AS (SELECT doc_id, CAST(p[1] AS INT) AS t1, CAST(p[2] AS INT) AS t2
+           FROM pairs),
+    bi AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS freq FROM pp GROUP BY 1, 2),
+    model AS (SELECT t1, t2, freq FROM bi
+              ORDER BY freq DESC, t1, t2 LIMIT {_LM_TOP_BIGRAMS}),
+    prefix AS (SELECT t1, CAST(sum(freq) AS BIGINT) AS pc FROM bi GROUP BY 1),
+    sm AS (SELECT t1, t2, freq * 1000000 // pc AS s
+           FROM model JOIN prefix USING (t1))
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST(sum(coalesce(s, 1)) AS BIGINT) AS lm_sum,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(s, 1)) // count(*) AS BIGINT) AS avg_score
+    FROM pp LEFT JOIN sm USING (t1, t2)
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_score(spark, sf_dir):
+    """LM-likelihood quality score (CCNet's filter, bigram form).
+
+    CCNet/RefinedWeb rank documents by a language-model perplexity and
+    drop the worst tail. The distributed form: train a PRUNED bigram
+    model over the corpus (top-5000 bigrams by frequency, full
+    (freq, t1, t2) tiebreak so both engines cut identically), convert
+    to integer conditional probabilities ``c(t1,t2) * 1e6 div c(t1·)``
+    (never float log — libm ulp differences, see the suite float
+    policy), then score every document as the sum over its adjacent
+    token pairs, unseen bigrams backing off to the smoothing floor 1.
+
+    Scale shape: the model is TakeOrdered (top-M) + a |vocab|-row
+    prefix aggregate — both tiny — and is BROADCAST onto the exploded
+    pairs, so scoring adds zero shuffle beyond the per-doc sum
+    (map-side partial aggs). The pairs lineage is evaluated twice
+    (model pass + scoring pass); at production scale persist the pair
+    counts as a corpus-statistics table, the same caveat as
+    tfidf_topk_docs. A real deployment scores against a FIXED
+    reference-domain model (Wikipedia in CCNet); self-training here
+    keeps the fixture self-contained — the join/broadcast shape is
+    identical either way.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    pairs = seqs.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, n_tok - 2), "
+            "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2))"
+        )).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    bi = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    model = bi.orderBy(F.desc("freq"), "t1", "t2").limit(_LM_TOP_BIGRAMS)
+    prefix = bi.groupBy("t1").agg(F.sum("freq").cast("long").alias("pc"))
+    sm = model.join(prefix, "t1").select(
+        "t1", "t2", F.expr("freq * 1000000L div pc").alias("s")
+    )
+    return (
+        pairs.join(F.broadcast(sm), ["t1", "t2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("s"), F.lit(1))).cast("long").alias("lm_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .select(
+            "doc_id", "lm_sum", "n_pairs",
+            F.expr("lm_sum div n_pairs").cast("long").alias("avg_score"),
+        )
+    )
