@@ -227,3 +227,47 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def windowed_stream_agg(
+    events: DataFrame,
+    *,
+    window: str = "10 seconds",
+    watermark: str = "5 seconds",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tumbling-window streaming aggregation with an event-time watermark.
+
+    The canonical late-data-tolerant rollup (SURVEY.md §2.6/§2.12): a
+    monitoring stream grouped into fixed event-time windows, finalized
+    only when the watermark proves no admissible late event can still
+    land in them. In append mode a window row is emitted exactly once —
+    when ``watermark >= window.end`` — and events later than the
+    watermark are dropped, so downstream sinks see each (window, key)
+    exactly once with its final count. At scale the state store holds
+    only open windows per key (bounded by the watermark horizon), and
+    the aggregation is a standard partial-agg shuffle on (window, key).
+
+    ``events`` needs an event-time ``ts`` column and an integer
+    ``value``-bearing column is optional: the output carries the event
+    count and, when present, the sum of ``value``.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    if "value" in events.columns:
+        aggs.append(F.sum("value").alias("sum_value"))
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *keys)
+        .agg(*aggs)
+    )
+    cols = [
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *keys,
+        "n_events",
+    ]
+    if "value" in events.columns:
+        cols.append("sum_value")
+    return out.select(*cols)
