@@ -1762,8 +1762,8 @@ def _sql_shingles(col: str = "text", k: int = _SHINGLE_K) -> str:
     )
 
 
-def _sql_minhash_ctes() -> str:
-    """CTE chain computing shingles -> minhash -> bands -> candidate pairs."""
+def _sql_band_ctes() -> str:
+    """CTE chain computing shingles -> minhash -> band signatures."""
     mh_cols = ", ".join(
         f"list_min(list_transform(s, v -> (v*{_MH_MULT[p]}::BIGINT + {_MH_ADD[p]}) % {_J_PRIME})) AS h{p}"
         for p in range(_MINHASH_PERMS)
@@ -1776,7 +1776,14 @@ def _sql_minhash_ctes() -> str:
     return (
         f"sh AS (SELECT doc_id, {_sql_shingles()} AS s FROM documents), "
         f"mh AS (SELECT doc_id, {mh_cols} FROM sh), "
-        f"bands AS ({bands}), "
+        f"bands AS ({bands})"
+    )
+
+
+def _sql_minhash_ctes() -> str:
+    """CTE chain computing shingles -> minhash -> bands -> candidate pairs."""
+    return (
+        f"{_sql_band_ctes()}, "
         # the hot-bucket star cap (_lsh_candidate_pairs): buckets over
         # the cap emit only hub->other edges — replayed here so the
         # oracle matches at EVERY scale, not just ones where no bucket
@@ -1793,6 +1800,18 @@ def _sql_minhash_ctes() -> str:
 
 
 _LSH_BUCKET_CAP = 64
+_BAND_KEYS = ("band_idx", "s0", "s1", "s2", "s3")
+
+
+def _band_stack(mh: DataFrame) -> DataFrame:
+    """Minhash signature rows -> one (band_idx, s0..s3) row per band."""
+    return mh.selectExpr(
+        "doc_id",
+        "stack(" + str(_LSH_BANDS) + ", " + ", ".join(
+            f"{b}, " + ", ".join(f"h{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
+            for b in range(_LSH_BANDS)
+        ) + ") AS (band_idx, s0, s1, s2, s3)",
+    )
 
 
 def _lsh_candidate_pairs(mh: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame:
@@ -1806,14 +1825,8 @@ def _lsh_candidate_pairs(mh: DataFrame, cap: int = _LSH_BUCKET_CAP) -> DataFrame
     columns, so the oracle's band join is value-identical (no engine
     hash involved).
     """
-    keys = ["band_idx", "s0", "s1", "s2", "s3"]
-    stacked = mh.selectExpr(
-        "doc_id",
-        "stack(" + str(_LSH_BANDS) + ", " + ", ".join(
-            f"{b}, " + ", ".join(f"h{b * _LSH_ROWS + r}" for r in range(_LSH_ROWS))
-            for b in range(_LSH_BANDS)
-        ) + ") AS (band_idx, s0, s1, s2, s3)",
-    )
+    keys = list(_BAND_KEYS)
+    stacked = _band_stack(mh)
     # bucket size + hub via a window: ONE shuffle on the band keys; the
     # self-join reuses that partitioning. ``ann`` (8 narrow sig rows per
     # doc, ~0.5% of corpus bytes) is persisted so the minhash kernel and
@@ -2053,6 +2066,106 @@ def dedup_apply(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("doc_id_sum"),
         F.sum(F.length("text")).cast("long").alias("text_bytes"),
+    )
+
+
+_INC_MOD = 5  # doc_id % 5 == 0 is the "newly arrived" batch
+
+
+@q(
+    "dedup_incremental",
+    f"""
+    WITH {_sql_band_ctes()},
+    nb AS (SELECT * FROM bands WHERE doc_id % {_INC_MOD} = 0),
+    ob AS (SELECT * FROM bands WHERE doc_id % {_INC_MOD} != 0),
+    ostats AS (SELECT band_idx, sig, count(*) AS bkt_n, min(doc_id) AS hub
+               FROM ob GROUP BY band_idx, sig),
+    cand AS (SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+             FROM nb n JOIN ob o ON n.band_idx = o.band_idx AND n.sig = o.sig
+             JOIN ostats s ON s.band_idx = n.band_idx AND s.sig = n.sig
+             WHERE s.bkt_n <= {_LSH_BUCKET_CAP} OR o.doc_id = s.hub),
+    shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+    matches AS (SELECT doc_a, doc_b FROM cand
+                JOIN shd a ON a.doc_id = cand.doc_a
+                JOIN shd b ON b.doc_id = cand.doc_b
+                WHERE {_JAC_DEN} * len(list_intersect(a.sd, b.sd)) >=
+                      {_JAC_NUM} * len(list_distinct(a.sd || b.sd))),
+    cs AS (SELECT doc_a, count(*) AS n_cand FROM cand GROUP BY doc_a),
+    ms AS (SELECT doc_a, count(*) AS n_match FROM matches GROUP BY doc_a)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(cs.n_cand, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(ms.n_match, 0) AS BIGINT) AS n_matches,
+           coalesce(ms.n_match, 0) = 0 AS kept
+    FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+          WHERE doc_id % {_INC_MOD} = 0) d
+    LEFT JOIN cs ON cs.doc_a = d.doc_id
+    LEFT JOIN ms ON ms.doc_a = d.doc_id
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: screen a NEW batch against the EXISTING corpus.
+
+    The shape a crawl pipeline runs daily — not corpus self-dedup but
+    "which of today's documents near-duplicate anything we already
+    hold". New docs (``doc_id % 5 == 0`` stands in for the arriving
+    batch) band-join against existing docs' signatures only — no
+    new-vs-new or old-vs-old pairs, so the join cost tracks the BATCH
+    size, not the corpus. Hot existing-side buckets are capped to their
+    hub (min doc_id): with >cap identical existing docs, matching the
+    hub alone decides membership, keeping the fan-out linear. LSH
+    candidates are then exact-jaccard verified (>= 0.6), and every new
+    doc reports its candidate count, verified-match count, and the
+    keep/drop decision. At 100 TB the existing side's signatures come
+    from a persisted corpus-statistics table (32 longs/doc, ~0.5% of
+    corpus bytes) instead of being recomputed — the join shape is
+    identical.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
+    stacked = _band_stack(mh)
+    keys = list(_BAND_KEYS)
+    is_new = (F.col("doc_id") % _INC_MOD) == 0
+    new_b = stacked.filter(is_new)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    old_b = (
+        stacked.filter(~is_new)
+        .withColumn("bkt_n", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+    )
+    cand = (
+        new_b.select(*keys, F.col("doc_id").alias("doc_a"))
+        .join(old_b.select(*keys, "bkt_n", "hub",
+                           F.col("doc_id").alias("doc_b")), keys)
+        .filter((F.col("bkt_n") <= _LSH_BUCKET_CAP)
+                | (F.col("doc_b") == F.col("hub")))
+        .select("doc_a", "doc_b")
+        .distinct()
+        # reused twice (candidate counts + jaccard verify): without the
+        # checkpoint both consumers re-run scan -> minhash -> band join
+        .localCheckpoint()
+    )
+    matches = _jaccard_verify(d, cand)
+    cs = cand.groupBy("doc_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    ms = matches.groupBy("doc_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"))
+    return (
+        d.filter(is_new).select(F.col("doc_id"))
+        .join(F.broadcast(cs.withColumnRenamed("doc_a", "doc_id")),
+              "doc_id", "left")
+        .join(F.broadcast(ms.withColumnRenamed("doc_a", "doc_id")),
+              "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long")
+            .alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("kept"),
+        )
     )
 
 
