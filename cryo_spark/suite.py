@@ -2072,6 +2072,36 @@ def dedup_apply(spark, sf_dir):
 _INC_MOD = 5  # doc_id % 5 == 0 is the "newly arrived" batch
 
 
+def _incremental_candidates(d: DataFrame) -> DataFrame:
+    """New-batch vs existing-corpus LSH candidate pairs (doc_a=new).
+
+    Band equi-join with both legs filtered BEFORE the join, existing
+    side annotated with window bucket size + hub for the hot-bucket
+    cap. Callers checkpoint the result when they consume it twice."""
+    from pyspark.sql import Window
+
+    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
+    stacked = _band_stack(mh)
+    keys = list(_BAND_KEYS)
+    is_new = (F.col("doc_id") % _INC_MOD) == 0
+    new_b = stacked.filter(is_new)
+    w = Window.partitionBy(*keys)
+    old_b = (
+        stacked.filter(~is_new)
+        .withColumn("bkt_n", F.count(F.lit(1)).over(w))
+        .withColumn("hub", F.min("doc_id").over(w))
+    )
+    return (
+        new_b.select(*keys, F.col("doc_id").alias("doc_a"))
+        .join(old_b.select(*keys, "bkt_n", "hub",
+                           F.col("doc_id").alias("doc_b")), keys)
+        .filter((F.col("bkt_n") <= _LSH_BUCKET_CAP)
+                | (F.col("doc_b") == F.col("hub")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @q(
     "dedup_incremental",
     f"""
@@ -2123,31 +2153,10 @@ def dedup_incremental(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    mh = amap(d, _minhash_kernel, _MINHASH_DDL)
-    stacked = _band_stack(mh)
-    keys = list(_BAND_KEYS)
+    # reused twice (candidate counts + jaccard verify): without the
+    # checkpoint both consumers re-run scan -> minhash -> band join
+    cand = _incremental_candidates(d).localCheckpoint()
     is_new = (F.col("doc_id") % _INC_MOD) == 0
-    new_b = stacked.filter(is_new)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*keys)
-    old_b = (
-        stacked.filter(~is_new)
-        .withColumn("bkt_n", F.count(F.lit(1)).over(w))
-        .withColumn("hub", F.min("doc_id").over(w))
-    )
-    cand = (
-        new_b.select(*keys, F.col("doc_id").alias("doc_a"))
-        .join(old_b.select(*keys, "bkt_n", "hub",
-                           F.col("doc_id").alias("doc_b")), keys)
-        .filter((F.col("bkt_n") <= _LSH_BUCKET_CAP)
-                | (F.col("doc_b") == F.col("hub")))
-        .select("doc_a", "doc_b")
-        .distinct()
-        # reused twice (candidate counts + jaccard verify): without the
-        # checkpoint both consumers re-run scan -> minhash -> band join
-        .localCheckpoint()
-    )
     matches = _jaccard_verify(d, cand)
     cs = cand.groupBy("doc_a").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"))

@@ -180,6 +180,45 @@ def main() -> None:
         plan_of(q),
     ))
 
+    # 9. boilerplate strip (dominant-prefix broadcast)
+    q = suite.QUERIES["boilerplate_strip"](spark, SF_DIR)
+    sections.append((
+        "boilerplate_strip (per-source dominant prefix)",
+        "Both exchanges in the prefix leg (groupBy agg, then the "
+        "per-source window) run over aggregated (source, prefix) rows "
+        "— ≤ one row per source survives; the strip pass joins the "
+        "result back as a BroadcastHashJoin, so the corpus itself is "
+        "never shuffled.",
+        plan_of(q),
+    ))
+
+    # 10. LM bigram scoring (pruned model broadcast)
+    q = suite.QUERIES["lm_bigram_score"](spark, SF_DIR)
+    sections.append((
+        "lm_bigram_score (pruned-LM quality scoring)",
+        "The model legs (TakeOrderedAndProject top-M bigrams + the "
+        "|vocab|-row prefix aggregate) end in a BroadcastHashJoin onto "
+        "the exploded pairs; scoring adds no exchange beyond the "
+        "per-doc partial HashAggregate.",
+        plan_of(q),
+    ))
+
+    # 11. incremental dedup candidate generation (pre-checkpoint: the
+    # full query plan hides this leg behind its localCheckpoint)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "CAST(doc_id AS LONG) AS doc_id", "text")
+    q = suite._incremental_candidates(docs)
+    sections.append((
+        "dedup_incremental candidates (new batch vs existing corpus)",
+        "The band join is new-side vs existing-side only (both legs "
+        "Filter BEFORE the join — no self-join of the full corpus); "
+        "the existing side carries its window-computed bucket size/hub "
+        "for the hot-bucket cap. In the full query this leg is "
+        "localCheckpoint-ed (consumed by both the candidate counts and "
+        "the jaccard verify), so it is captured here pre-checkpoint.",
+        plan_of(q),
+    ))
+
     out_lines = [
         "# PLANS — executed physical plans for the headline paths",
         "",
