@@ -4294,3 +4294,101 @@ def lm_bigram_score(spark, sf_dir):
             F.expr("lm_sum div n_pairs").cast("long").alias("avg_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary compaction: frequency-ranked dense remap of token ids
+# ---------------------------------------------------------------------------
+
+_VOCAB_CAP = 50257  # token ids live in [0, 50257) — the GPT-2-ish cap
+
+
+@q(
+    "vocab_remap_compact",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    pairs AS (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z
+              FROM seq),
+    tok AS (SELECT doc_id, CAST(z[1] AS INT) AS t, CAST(z[2] AS BIGINT) AS i
+            FROM pairs),
+    vocab AS (SELECT t, count(*) AS freq FROM tok GROUP BY t),
+    remap AS (SELECT t,
+                     CAST(row_number() OVER (ORDER BY freq DESC, t) - 1
+                          AS BIGINT) AS new_id
+              FROM vocab)
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST((SELECT n_chars FROM documents dd
+                 WHERE dd.doc_id = tok.doc_id) % 64 + 1 AS BIGINT) AS n_tok,
+           CAST(sum(new_id * i) AS BIGINT) AS remap_sum,
+           CAST(max(new_id) AS BIGINT) AS vocab_rank_max
+    FROM tok JOIN remap USING (t)
+    GROUP BY doc_id
+    """,
+)
+def vocab_remap_compact(spark, sf_dir):
+    """Vocabulary compaction: remap token ids to dense frequency ranks.
+
+    After corpus filtering, the surviving vocabulary is a sparse subset
+    of the tokenizer's id space; remapping to dense frequency-ranked
+    ids shrinks the downstream embedding table and improves encode
+    bitwidths (rank 0 = most frequent, full (freq desc, id) tiebreak).
+    Scale shape: the vocabulary histogram is a bounded aggregate
+    (≤ 50,257 rows regardless of corpus size — same boundedness
+    argument as the chunk-planner histogram), collected once into a
+    numpy lookup table that ships inside the kernel closure (~200 KB);
+    the remap itself is ONE mapInArrow gather pass (``lut[tokens]``)
+    with zero shuffle. Output pins the remapped arrays exactly via a
+    position-weighted checksum (sum of new_id * 1-based-position — max
+    ~2e8 per doc, exact in int64) plus the per-doc max rank.
+    """
+    import numpy as np
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    vocab = (
+        seqs.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()  # bounded: <= _VOCAB_CAP rows at ANY corpus size
+    )
+    lut = np.full(_VOCAB_CAP, -1, dtype=np.int64)
+    for rank, row in enumerate(
+        sorted(vocab, key=lambda r: (-r["freq"], r["t"]))
+    ):
+        lut[row["t"]] = rank
+
+    def _remap_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            lst = t.column("tokens").combine_chunks()
+            lengths = pc.list_value_length(lst).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(lst).to_numpy().astype(np.int64)
+            new = lut[flat]
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            pos = np.arange(len(flat), dtype=np.int64) - starts[doc_of] + 1
+            # weights fit float64 exactly (<= ~2e8 per doc)
+            sums = np.bincount(
+                doc_of, weights=new * pos, minlength=n
+            ).astype(np.int64)
+            maxs = np.maximum.reduceat(new, starts)  # every doc has >=1 token
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("doc_id").combine_chunks(),
+                    pc.cast(t.column("n_tok").combine_chunks(), pa.int64()),
+                    pa.array(sums),
+                    pa.array(maxs.astype(np.int64)),
+                ],
+                names=["doc_id", "n_tok", "remap_sum", "vocab_rank_max"],
+            )
+
+    return amap(
+        seqs.select("doc_id", "tokens", "n_tok"),
+        _remap_kernel,
+        "doc_id string, n_tok long, remap_sum long, vocab_rank_max long",
+    )
