@@ -4392,3 +4392,168 @@ def vocab_remap_compact(spark, sf_dir):
         _remap_kernel,
         "doc_id string, n_tok long, remap_sum long, vocab_rank_max long",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application: one full training iteration over the corpus
+# ---------------------------------------------------------------------------
+
+_BPE_NID = _VOCAB_CAP  # the new token id minted by this merge
+
+
+def _bpe_apply(flat, lengths, a, b, nid):
+    """Apply one greedy left-to-right BPE merge (a, b) -> nid, vectorized.
+
+    ``flat`` is the concatenation of per-doc token arrays with per-doc
+    ``lengths``. Overlapping matches only occur inside runs of one
+    repeated token (a match at i and i+1 forces flat[i+1] = b = a), so
+    greedy resolution = apply at even offsets within each maximal run
+    of consecutive match positions — computed with run-start cumsums,
+    no sequential loop. Returns per-doc (n_merges, new_len,
+    position-weighted checksum of the merged sequence), each int64.
+    """
+    import numpy as np
+
+    n = len(lengths)
+    nf = len(flat)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    pm = np.zeros(nf, dtype=bool)
+    if nf >= 2:
+        pm[:-1] = (
+            (flat[:-1] == a) & (flat[1:] == b)
+            & (doc_of[:-1] == doc_of[1:])
+        )
+    prev = np.concatenate(([False], pm[:-1]))
+    rs = pm & ~prev  # run starts (doc-local: pm masks doc boundaries)
+    run_id = np.cumsum(rs)
+    starts_of_runs = np.flatnonzero(rs)
+    applied = np.zeros(nf, dtype=bool)
+    if starts_of_runs.size:
+        pmi = np.flatnonzero(pm)
+        off = pmi - starts_of_runs[run_id[pmi] - 1]
+        applied[pmi[off % 2 == 0]] = True
+    consumed = np.zeros(nf, dtype=bool)
+    consumed[np.flatnonzero(applied) + 1] = True
+    keep = ~consumed
+    vals = np.where(applied, np.int64(nid), flat)
+    gcum = np.cumsum(keep.astype(np.int64))
+    doc_starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    base = np.concatenate(([0], gcum))[doc_starts]
+    newpos = gcum - base[doc_of]
+    w = (vals * newpos) * keep  # checksum weights, exact in f64
+    return (
+        np.bincount(doc_of[applied], minlength=n).astype(np.int64),
+        np.bincount(doc_of[keep], minlength=n).astype(np.int64),
+        np.bincount(doc_of, weights=w, minlength=n).astype(np.int64),
+    )
+
+
+@q(
+    "bpe_merge_step",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    bp AS (SELECT doc_id,
+                  unnest(list_zip(l[1:len(l) - 1], l[2:len(l)],
+                                  range(1, len(l)))) AS z
+           FROM seq WHERE len(l) >= 2),
+    bpp AS (SELECT doc_id, CAST(z[1] AS INT) AS t1, CAST(z[2] AS INT) AS t2,
+                   CAST(z[3] AS BIGINT) AS i FROM bp),
+    best AS (SELECT t1, t2 FROM (
+               SELECT t1, t2, count(*) AS c FROM bpp GROUP BY 1, 2
+               ORDER BY c DESC, t1, t2 LIMIT 1)),
+    m AS (SELECT doc_id, i FROM bpp JOIN best USING (t1, t2)),
+    runs AS (SELECT doc_id, i,
+                    i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                      AS grp
+             FROM m),
+    applied AS (SELECT doc_id, i FROM (
+                  SELECT doc_id, i,
+                         min(i) OVER (PARTITION BY doc_id, grp) AS r0
+                  FROM runs) WHERE (i - r0) % 2 = 0),
+    consumed AS (SELECT doc_id, i + 1 AS i FROM applied),
+    tokpos AS (SELECT doc_id, CAST(z[1] AS INT) AS t, CAST(z[2] AS BIGINT) AS i
+               FROM (SELECT doc_id,
+                            unnest(list_zip(l, range(1, len(l) + 1))) AS z
+                     FROM seq)),
+    kept AS (SELECT k.doc_id,
+                    CASE WHEN a.i IS NOT NULL THEN {_BPE_NID}
+                         ELSE k.t END AS v,
+                    row_number() OVER (PARTITION BY k.doc_id ORDER BY k.i)
+                      AS np
+             FROM tokpos k
+             LEFT JOIN applied a ON a.doc_id = k.doc_id AND a.i = k.i
+             LEFT JOIN consumed c ON c.doc_id = k.doc_id AND c.i = k.i
+             WHERE c.i IS NULL),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_len,
+                   CAST(sum(v * np) AS BIGINT) AS merged_sum
+            FROM kept GROUP BY doc_id),
+    nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_merges
+           FROM applied GROUP BY doc_id)
+    SELECT printf('doc-%012d', per.doc_id) AS doc_id,
+           CAST(coalesce(nm.n_merges, 0) AS BIGINT) AS n_merges,
+           per.new_len, per.merged_sum
+    FROM per LEFT JOIN nm ON nm.doc_id = per.doc_id
+    """,
+)
+def bpe_merge_step(spark, sf_dir):
+    """One full BPE training iteration: count pairs -> best merge -> apply.
+
+    token_pair_topk is the statistics pass; this completes the
+    iteration by APPLYING the winning merge corpus-wide. Semantics are
+    the standard single-pass greedy: matches are found on the original
+    sequence and resolved left-to-right without re-scanning the merged
+    token. Overlapping matches only occur inside runs of one repeated
+    token (a match at i and i+1 forces t[i+1] = b = a), so greedy
+    left-to-right is exactly "apply at even offsets within each
+    maximal run of consecutive match positions" — a closed form both
+    the numpy kernel and the SQL oracle compute with no sequential
+    loop. Scale shape: best-pair selection is the bounded pair
+    aggregate + TakeOrdered(1); the application is ONE zero-shuffle
+    mapInArrow pass over the token arrays; the merged sequences are
+    pinned exactly by a position-weighted checksum plus new length and
+    per-doc merge count.
+    """
+    import numpy as np
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    best = (
+        seqs.filter(F.col("n_tok") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, n_tok - 2), "
+            "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2))"
+        )).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t1", "t2")
+        .first()
+    )
+    a, bb = int(best["t1"]), int(best["t2"])
+
+    def _merge_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            lst = t.column("tokens").combine_chunks()
+            lengths = pc.list_value_length(lst).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(lst).to_numpy().astype(np.int64)
+            n_merges, new_len, merged_sum = _bpe_apply(
+                flat, lengths, a, bb, _BPE_NID)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("doc_id").combine_chunks(),
+                    pa.array(n_merges), pa.array(new_len),
+                    pa.array(merged_sum),
+                ],
+                names=["doc_id", "n_merges", "new_len", "merged_sum"],
+            )
+
+    return amap(
+        seqs.select("doc_id", "tokens"),
+        _merge_kernel,
+        "doc_id string, n_merges long, new_len long, merged_sum long",
+    )
