@@ -4557,3 +4557,150 @@ def bpe_merge_step(spark, sf_dir):
         _merge_kernel,
         "doc_id string, n_merges long, new_len long, merged_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption: denoising-objective example construction
+# ---------------------------------------------------------------------------
+
+_SC_P1, _SC_P2, _SC_DEN, _SC_HIT = 2654435761, 40497, 16, 4
+_SC_SENT = _VOCAB_CAP + 1000  # sentinel id base (above the minted BPE id)
+
+
+def _span_corrupt(flat, lengths, keys, sent_base=_SC_SENT):
+    """T5 span corruption over concatenated token arrays, vectorized.
+
+    Position i of doc with numeric key k is masked iff
+    ``(k*P1 + (i+1)*P2) % 16 < 4`` (25% of positions; P2 % 16 == 1
+    makes consecutive positions walk the residue ring, so spans of
+    length 1-4 all occur); maximal runs of
+    masked positions form spans. The model INPUT keeps unmasked tokens
+    and replaces each span with one sentinel (sent_base + span index
+    within the doc); the TARGET is, per span, its sentinel followed by
+    the original tokens. Returns per-doc int64 arrays
+    (n_spans, input_len, input_checksum, target_checksum) where the
+    checksums are position-weighted sums over the constructed
+    sequences — pinning content AND order without materializing them.
+    """
+    import numpy as np
+
+    n = len(lengths)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos1 = np.arange(len(flat), dtype=np.int64) - starts[doc_of] + 1
+    m = ((keys[doc_of] * _SC_P1 + pos1 * _SC_P2) % _SC_DEN) < _SC_HIT
+    prev = np.concatenate(([False], m[:-1]))
+    new_doc = np.zeros(len(flat), dtype=bool)
+    new_doc[starts] = True
+    rs = m & (~prev | new_doc)  # span starts (doc-local)
+    # per-doc span index (1-based at masked positions)
+    g_rs = np.cumsum(rs.astype(np.int64))
+    spos = g_rs - np.concatenate(([0], g_rs))[starts][doc_of]
+    # per-doc masked-token ordinal (1-based at masked positions)
+    g_m = np.cumsum(m.astype(np.int64))
+    jpos = g_m - np.concatenate(([0], g_m))[starts][doc_of]
+    # INPUT: unmasked tokens + one sentinel per span (at the span head)
+    keep = ~m | rs
+    vals = np.where(rs, sent_base + spos, flat)
+    g_k = np.cumsum(keep.astype(np.int64))
+    ipos = g_k - np.concatenate(([0], g_k))[starts][doc_of]
+    in_sum = np.bincount(doc_of, weights=(vals * ipos) * keep,
+                         minlength=n).astype(np.int64)
+    in_len = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+    # TARGET: per span, sentinel then original tokens; element positions
+    # are 1-based in the concatenated target: token j of span s sits at
+    # j + s, span s's sentinel at (first j of s) + s - 1
+    tok_w = flat * (jpos + spos) * m
+    sent_w = (sent_base + spos) * (jpos + spos - 1) * rs
+    tgt_sum = np.bincount(doc_of, weights=tok_w + sent_w,
+                          minlength=n).astype(np.int64)
+    n_spans = np.bincount(doc_of[rs], minlength=n).astype(np.int64)
+    return n_spans, in_len, in_sum, tgt_sum
+
+
+@q(
+    "span_corrupt_t5",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    tokpos AS (SELECT doc_id, CAST(z[1] AS BIGINT) AS t,
+                      CAST(z[2] AS BIGINT) AS i
+               FROM (SELECT doc_id,
+                            unnest(list_zip(l, range(1, len(l) + 1))) AS z
+                     FROM seq)),
+    fl AS (SELECT doc_id, t, i,
+                  ((doc_id * {_SC_P1} + i * {_SC_P2}) % {_SC_DEN})
+                    < {_SC_HIT} AS m
+           FROM tokpos),
+    mk AS (SELECT doc_id, t, i,
+                  CASE WHEN m AND NOT coalesce(
+                         lag(m) OVER (PARTITION BY doc_id ORDER BY i), false)
+                       THEN 1 ELSE 0 END AS rs,
+                  m
+           FROM fl),
+    px AS (SELECT doc_id, t, i, m, rs,
+                  sum(rs) OVER (PARTITION BY doc_id ORDER BY i) AS spos,
+                  sum(CASE WHEN m THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS jpos,
+                  sum(CASE WHEN NOT m OR rs = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY i) AS ipos
+           FROM mk)
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST(sum(rs) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN NOT m OR rs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS input_len,
+           CAST(sum(CASE WHEN NOT m THEN t * ipos
+                         WHEN rs = 1 THEN ({_SC_SENT} + spos) * ipos
+                         ELSE 0 END) AS BIGINT) AS input_checksum,
+           CAST(sum(CASE WHEN m THEN t * (jpos + spos) ELSE 0 END)
+                + sum(CASE WHEN rs = 1
+                      THEN ({_SC_SENT} + spos) * (jpos + spos - 1)
+                      ELSE 0 END) AS BIGINT) AS target_checksum
+    FROM px GROUP BY doc_id
+    """,
+)
+def span_corrupt_t5(spark, sf_dir):
+    """T5/UL2 denoising example construction: mask spans, emit sentinels.
+
+    The training-data transform behind span-corruption objectives:
+    25% of positions are masked by deterministic hash arithmetic
+    (reproducible across runs AND replayable in SQL — no RNG state),
+    maximal masked runs become spans, the input keeps unmasked tokens
+    with one sentinel per span, the target lists each span as sentinel
+    + original tokens. ONE zero-shuffle mapInArrow pass; the
+    constructed input/target sequences are pinned by position-weighted
+    checksums (content and order) plus span count and input length.
+    """
+    import numpy as np
+
+    seqs = sequences_from_documents(spark, sf_dir)
+
+    def _corrupt_kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            lst = t.column("tokens").combine_chunks()
+            lengths = pc.list_value_length(lst).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(lst).to_numpy().astype(np.int64)
+            ids = t.column("doc_id").combine_chunks()
+            keys = pc.cast(
+                pc.utf8_slice_codeunits(ids, 4, 99), pa.int64()
+            ).to_numpy()
+            n_spans, in_len, in_sum, tgt_sum = _span_corrupt(
+                flat, lengths, keys)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_spans), pa.array(in_len),
+                 pa.array(in_sum), pa.array(tgt_sum)],
+                names=["doc_id", "n_spans", "input_len",
+                       "input_checksum", "target_checksum"],
+            )
+
+    return amap(
+        seqs.select("doc_id", "tokens"),
+        _corrupt_kernel,
+        "doc_id string, n_spans long, input_len long, "
+        "input_checksum long, target_checksum long",
+    )
