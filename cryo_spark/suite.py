@@ -4704,3 +4704,57 @@ def span_corrupt_t5(spark, sf_dir):
         "doc_id string, n_spans long, input_len long, "
         "input_checksum long, target_checksum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota capping (crawl balancing)
+# ---------------------------------------------------------------------------
+
+_QUOTA = 10
+_QUOTA_MULT = 2654435761  # hash order: reproducible shuffle within source
+
+
+@q(
+    "source_quota_cap",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_QUOTA_MULT}) % {_J_PRIME}, doc_id
+             ) AS r
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(r AS BIGINT) AS quota_rank
+    FROM ranked WHERE r <= {_QUOTA}
+    """,
+)
+def source_quota_cap(spark, sf_dir):
+    """Per-source document quota: keep at most Q docs per source.
+
+    Crawl balancing (RefinedWeb caps per-domain document counts so a
+    few huge sites don't dominate the mixture). Selection is a
+    reproducible hash order within each source — "random" but
+    deterministic across runs and engines (mod-prime multiply, doc_id
+    tiebreak) — not first-N by id, which would bias toward old crawls.
+    Scale shape: ONE shuffle keyed by source for the per-source
+    ranking, and the executed plan (audited) places WindowGroupLimit on
+    BOTH sides of the exchange — the map-side partial cut means at most
+    Q rows per source per task ever cross the wire, so shuffle volume
+    is Q * sources * tasks, independent of corpus size. A
+    pathologically hot source still lands on one reduce task; the
+    documented mitigation is threshold sampling (broadcast per-source
+    counts, keep iff hash < Q/n_s quantile) at the cost of exact-Q.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * _QUOTA_MULT) % _J_PRIME, "doc_id"
+    )
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("quota_rank") <= _QUOTA)
+    )
