@@ -4758,3 +4758,85 @@ def source_quota_cap(spark, sf_dir):
         .withColumn("quota_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("quota_rank") <= _QUOTA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token windows (RAG chunking)
+# ---------------------------------------------------------------------------
+
+_RAG_W, _RAG_S = 16, 8  # window size, stride (W = 2S: each token in <= 2)
+
+
+@q(
+    "rag_chunk_windows",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    tok AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+                   CAST(z[1] AS BIGINT) AS t,
+                   CAST(z[2] AS BIGINT) - 1 AS i
+            FROM (SELECT doc_id, l,
+                         unnest(list_zip(l, range(1, len(l) + 1))) AS z
+                  FROM seq)),
+    hits AS (SELECT doc_id, t, i, CAST(w AS BIGINT) AS w
+             FROM tok, unnest([i // {_RAG_S},
+                               (i - {_RAG_W} + {_RAG_S}) // {_RAG_S}]) AS u(w)
+             WHERE w >= 0 AND w * {_RAG_S} <= i
+               AND i < w * {_RAG_S} + {_RAG_W}
+               AND w * {_RAG_S} < n_tok
+    ),
+    agg AS (SELECT doc_id, w,
+                   CAST(count(DISTINCT i) AS BIGINT) AS win_len,
+                   CAST(sum(DISTINCT t * (i - w * {_RAG_S} + 1) * 131072 + i)
+                        AS BIGINT) AS win_checksum
+            FROM hits GROUP BY doc_id, w)
+    SELECT printf('doc-%012d', doc_id) AS doc_id, w AS win_idx,
+           win_len, win_checksum
+    FROM agg
+    """,
+)
+def rag_chunk_windows(spark, sf_dir):
+    """Overlapping token windows (size 16, stride 8) for RAG indexing.
+
+    The chunking pass of a retrieval pipeline: every document becomes
+    fixed-size overlapping windows, each pinned by length and a
+    position-weighted checksum. Formulated shuffle-lean with NO
+    interpreted array lambdas (the suite's measured ~4 us/element-op
+    cost of SQL higher-order functions): explode tokens once, compute
+    each token's <= 2 owning windows arithmetically (W = 2S), and
+    partial-aggregate on (doc, window) — map-side combine bounds the
+    shuffle at windows-per-task, and every expression is whole-stage
+    codegen. Windows start at every stride boundary < n_tok, truncated
+    at the document end.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    tok = seqs.select(
+        "doc_id", "n_tok",
+        F.posexplode("tokens").alias("i", "t"),
+    ).select("doc_id", "n_tok", F.col("i").cast("long").alias("i"),
+             F.col("t").cast("long").alias("t"))
+    # each token's candidate windows: its own stride cell and the
+    # previous one (W = 2S => never more than two)
+    hits = tok.select(
+        "doc_id", "n_tok", "i", "t",
+        F.explode(F.array(
+            (F.col("i") / _RAG_S).cast("long"),
+            ((F.col("i") - _RAG_W + _RAG_S) / _RAG_S).cast("long"),
+        )).alias("w"),
+    ).filter(
+        (F.col("w") >= 0)
+        & (F.col("w") * _RAG_S <= F.col("i"))
+        & (F.col("i") < F.col("w") * _RAG_S + _RAG_W)
+        & (F.col("w") * _RAG_S < F.col("n_tok"))
+    )
+    return (
+        hits.groupBy("doc_id", F.col("w").alias("win_idx"))
+        .agg(
+            F.countDistinct("i").cast("long").alias("win_len"),
+            F.sum_distinct(
+                (F.col("t") * (F.col("i") - F.col("w") * _RAG_S + 1))
+                * 131072 + F.col("i")
+            ).cast("long").alias("win_checksum"),
+        )
+        .select("doc_id", F.col("win_idx").cast("long").alias("win_idx"),
+                "win_len", "win_checksum")
+    )
