@@ -4840,3 +4840,70 @@ def rag_chunk_windows(spark, sf_dir):
         .select("doc_id", F.col("win_idx").cast("long").alias("win_idx"),
                 "win_len", "win_checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data prep)
+# ---------------------------------------------------------------------------
+
+_HN_MOD, _HN_K = 100, 5  # query set: vec_id % 100 == 0; negatives per query
+
+
+@q(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id % {_HN_MOD} = 0),
+    s AS (SELECT q.qid, e.vec_id, e.label,
+                 list_cosine_similarity(e.embedding, q.qe) AS sim
+          FROM embeddings e, q WHERE e.label != q.qlabel),
+    r AS (SELECT qid, vec_id, label,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM s)
+    SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS neg_rank,
+           CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label
+    FROM r WHERE rnk <= {_HN_K}
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard negatives per query: most-similar vectors with a DIFFERENT label.
+
+    Contrastive-training data prep (dense retrievers, CLIP-style
+    models): for each anchor, the best negatives are near-misses, not
+    random vectors. Queries (vec_id % 100 == 0) broadcast; the
+    label-mismatch predicate makes the join a broadcast nested loop —
+    the intended shape, since every (anchor, candidate) pair needs a
+    score anyway at this exactness level. The per-query top-k rank
+    filter compiles to WindowGroupLimit on BOTH sides of the exchange
+    (audited, same as source_quota_cap), so the rank shuffle carries at
+    most k rows per query per task — the corpus-sized score stream
+    never crosses the wire. At 100 TB the quantized candidate
+    prefilter (ann_quantized_topk) bounds the scored pairs first; the
+    ranking shape is unchanged. Scores stay sequential float64 dot
+    products (the suite's cosine discipline) and only (rank, id, label)
+    are emitted, keeping the oracle compare float-free.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % _HN_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("b"),
+    )
+    scored = (
+        e.select("vec_id", "label", F.col("embedding").alias("a"))
+        .join(F.broadcast(qs), F.col("label") != F.col("qlabel"))
+        .select("qid", "vec_id", "label", F.expr(_COS_SPARK).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("label").cast("long").alias("label"),
+        )
+    )
