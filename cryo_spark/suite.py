@@ -4907,3 +4907,55 @@ def hard_negative_mining(spark, sf_dir):
             F.col("label").cast("long").alias("label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_MULT = 976369  # split coin: h = (doc_id * MULT) % PRIME, then % 10
+
+
+@q(
+    "stratified_eval_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             ((doc_id * {_SPLIT_MULT}) % {_J_PRIME}) % 10 AS coin
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN coin = 0 THEN 'test'
+                WHEN coin = 1 THEN 'val' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stratified_eval_split(spark, sf_dir):
+    """Deterministic train/val/test split (10/10/80 by hash coin).
+
+    The split assignment is a pure map — no shuffle, no RNG state: a
+    mod-prime hash coin on doc_id, identical on every run, engine, and
+    parallelism level, so the split never leaks when the corpus is
+    re-processed (the failure mode of rand()-based splits). Uniform
+    hashing stratifies each source's proportions automatically; the
+    output's per-(source, split) doc counts and id-sums pin the exact
+    membership. At 100 TB the same expression runs as a residual
+    predicate on any read (``filters=[('split','=','train')]`` shape)
+    — materializing the split column is optional.
+    """
+    d = _t(spark, sf_dir, "documents")
+    coin = (F.col("doc_id") * _SPLIT_MULT) % _J_PRIME % 10
+    return (
+        d.select(
+            "doc_id", "source",
+            F.when(coin == 0, "test").when(coin == 1, "val")
+            .otherwise("train").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
