@@ -4959,3 +4959,211 @@ def stratified_eval_split(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# semantic dedup: cluster-bounded near-dup removal over embeddings
+# ---------------------------------------------------------------------------
+
+_SEMD_SQL = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+               FROM embeddings WHERE vec_id % {_IVF_CENT_MOD} = 0),
+    sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                    list_cosine_similarity(e.embedding::DOUBLE[], c.cemb) AS sim
+             FROM embeddings e CROSS JOIN c),
+    asg AS (SELECT vec_id, embedding, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, cid) AS rn
+              FROM sims) WHERE rn = 1),
+    qz AS (SELECT vec_id, cid,
+             CASE WHEN list_max(list_transform(embedding,
+                                v -> abs(CAST(v AS DOUBLE)))) / 127.0 > 0
+                  THEN list_transform(embedding, v -> CAST(floor(
+                       CAST(v AS DOUBLE) /
+                       (list_max(list_transform(embedding,
+                                 v2 -> abs(CAST(v2 AS DOUBLE)))) / 127.0)
+                       + 0.5) AS BIGINT))
+                  ELSE list_transform(embedding, v -> CAST(0 AS BIGINT))
+             END AS cq
+           FROM asg),
+    qn AS (SELECT vec_id, cid, cq,
+                  CAST(list_sum(list_transform(cq, v -> v * v)) AS BIGINT) AS q2
+           FROM qz),
+    pr AS (SELECT b.vec_id AS v,
+                  CAST(list_sum(list_transform(range(1, len(a.cq) + 1),
+                                i -> a.cq[i] * b.cq[i])) AS BIGINT) AS d,
+                  a.q2 AS qa2, b.q2 AS qb2
+           FROM qn a JOIN qn b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    drops AS (SELECT DISTINCT v FROM pr
+              WHERE d > 0 AND 25 * d * d >= 4 * qa2 * qb2)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+           (vec_id NOT IN (SELECT v FROM drops)) AS kept
+    FROM qn
+"""
+
+
+@q("semantic_dedup", _SEMD_SQL)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup: cluster-bounded semantic near-dup removal (kept flag).
+
+    The scale path for embedding-space dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest coarse
+    centroid (the ann_ivf_topk quantizer — deterministic sample
+    standing in for a trained codebook), then compare pairs ONLY
+    within a cell. Pair scoring is the int8-quantized cosine in pure
+    integer arithmetic: drop b iff some same-cell a with a smaller id
+    has dot > 0 and 25*dot^2 >= 4*|a|^2*|b|^2 (tau = 2/5) — exact on
+    both engines, no float threshold to disagree about. Keep-lowest-id
+    is the same monotone star rule the LSH hub cap uses.
+
+    Plan: ONE zero-shuffle mapInArrow pass assigns + quantizes (float64
+    matmul + one IEEE op per code), ONE exchange co-locates cells
+    (repartition by cid), then a partition-local kernel does each
+    cell's pairwise scoring as a single int64 Gram matmul. Quadratic
+    work is bounded by the cell, never the corpus; at 10^12 scale the
+    codebook is trained so cells are capped, and `cid` becomes the
+    partition key so the exchange is the only data movement.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") % _IVF_CENT_MOD == 0)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    cids = np.array([r.vec_id for r in cents], dtype=np.int64)
+    C = np.array([r.embedding for r in cents], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    def assign_quant(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            n = t.num_rows
+            if n == 0:
+                continue
+            col = t.column("embedding").combine_chunks()
+            lens = np.diff(np.asarray(col.offsets))
+            d = int(lens[0]) if n else 0
+            assert (lens == d).all(), "ragged embedding dims"
+            X = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.float64).reshape(n, d)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            best = (Xn @ Cn.T).argmax(axis=1)
+            sc = np.max(np.abs(X), axis=1, keepdims=True) / 127.0
+            Q = np.where(sc > 0.0,
+                         np.floor(X / np.where(sc == 0.0, 1.0, sc) + 0.5),
+                         0.0).astype(np.int64)
+            offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("vec_id").combine_chunks().cast(pa.int64()),
+                    pa.array(cids[best]),
+                    pa.ListArray.from_arrays(
+                        offs, pa.array(Q.reshape(-1), type=pa.int64())),
+                    pa.array((Q * Q).sum(axis=1)),
+                ],
+                names=["vec_id", "cid", "cq", "q2"],
+            )
+
+    asg = amap(e.select("vec_id", "embedding"), assign_quant,
+               "vec_id long, cid long, cq array<long>, q2 long")
+
+    def cell_kept(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            return
+        t = pa.concat_tables(tabs).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return
+        vec = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cid = t.column("cid").to_numpy(zero_copy_only=False)
+        q2 = t.column("q2").to_numpy(zero_copy_only=False)
+        cq = t.column("cq").combine_chunks()
+        lens = np.diff(np.asarray(cq.offsets))
+        d = int(lens[0])
+        Q = np.asarray(cq.flatten().to_numpy(zero_copy_only=False)).reshape(n, d)
+        order = np.lexsort((vec, cid))
+        vec, cid, q2, Q = vec[order], cid[order], q2[order], Q[order]
+        kept = np.ones(n, dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        ends = np.r_[starts[1:], n]
+        for s, epos in zip(starts, ends):  # one iteration per CELL, all-matmul inside
+            m = epos - s
+            if m < 2:
+                continue
+            Qc = Q[s:epos]
+            G = Qc @ Qc.T  # int64; |G| <= 127^2 * d, so 25*G^2 fits easily
+            cond = (G > 0) & (25 * G * G >= 4 * np.outer(q2[s:epos], q2[s:epos]))
+            cond &= np.triu(np.ones((m, m), dtype=bool), k=1)
+            kept[s:epos] = ~cond.any(axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(vec), pa.array(cid), pa.array(kept)],
+            names=["vec_id", "cid", "kept"],
+        )
+
+    return amap(asg.repartition("cid"), cell_kept,
+                "vec_id long, cid long, kept boolean")
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: full-scan pricing summary with map-side partial agg
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "pricing_summary_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+               AS sum_base_c,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                AS BIGINT) AS sum_disc_c,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5)) AS BIGINT) AS sum_charge_c,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(floor(l_quantity * 100 + 0.5)) AS BIGINT)
+                // count(*) AS BIGINT) AS avg_qty_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_q1(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical full-scan aggregation benchmark.
+
+    One scan, one |groups|-bounded shuffle: the partial aggregate
+    folds every row map-side (HashAggregate before the exchange), so
+    at 100 TB the exchange carries 6 rows per task regardless of input
+    size, and the shipdate predicate + 7-column projection push into
+    the parquet scan. All money/quantity math is per-row integer cents
+    (floor(x*100+0.5)) BEFORE summation so the sums are
+    order-independent — float sums would differ between engines and
+    across partitionings. Averages are integer division of two exact
+    integers, never a float mean.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(c * 100 + 0.5)  # noqa: E731
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).cast("long").alias("sum_qty_c"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("long")
+            .alias("sum_base_c"),
+            F.sum(cents(disc)).cast("long").alias("sum_disc_c"),
+            F.sum(cents(disc * (1 + F.col("l_tax")))).cast("long")
+            .alias("sum_charge_c"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .withColumn("avg_qty_c",
+                    F.expr("sum_qty_c div n_items").cast("long"))
+    )
