@@ -271,3 +271,32 @@ def windowed_stream_agg(
     if "value" in events.columns:
         cols.append("sum_value")
     return out.select(*cols)
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("doc_id",),
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state.
+
+    The streaming face of ``dedup_exact`` — the shape a continuous
+    crawl ingest needs: the first event for a key passes through, any
+    repeat arriving within the watermark horizon is dropped, and the
+    key's state is evicted once the watermark passes its event time
+    plus the delay. Plain ``dropDuplicates`` on a stream keeps every
+    key forever (state grows with the corpus — a non-starter at
+    10^12 keys); ``dropDuplicatesWithinWatermark`` caps the state at
+    the keys seen within one watermark horizon, which is the
+    contract an at-least-once upstream (redelivery window << horizon)
+    actually requires. Re-emission of a key AFTER its state expired is
+    by design — cross-horizon dedup belongs to the batch layer
+    (``dedup_exact`` / the manifest's skip-existing), same division of
+    labor as the reference's reorg buffer vs skip-existing resume
+    (SURVEY.md §2.3/§2.11).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
