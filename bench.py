@@ -234,6 +234,10 @@ QUERY_SUBSET = [
     "dedup_span_anchored",
     "ann_quantized_topk",
     "lm_bigram_score",
+    "bpe_merge_step",
+    "span_corrupt_t5",
+    "semantic_dedup",
+    "pricing_summary_q1",
 ]
 
 
