@@ -5167,3 +5167,80 @@ def pricing_summary_q1(spark, sf_dir):
         .withColumn("avg_qty_c",
                     F.expr("sum_qty_c div n_items").cast("long"))
     )
+
+# ---------------------------------------------------------------------------
+# changelog read: row-level CDC between snapshots
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "enc_changelog",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 2 AS split,
+                 max(doc_id) // 2 // 2 AS qsplit FROM documents)
+    SELECT CAST(1 AS BIGINT) AS commit_seq, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS key_sum,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum
+    FROM d, s WHERE doc_id < split
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+           CAST(sum(n_tok) AS BIGINT)
+    FROM d, s WHERE doc_id >= split
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM d, s WHERE doc_id < qsplit
+    """,
+)
+def enc_changelog(spark, sf_dir):
+    """Row-level changelog between snapshots (Iceberg CDC analog).
+
+    Three commits land in one output — two key-range appends and an
+    equality delete — then ``read_changes(0)`` replays the history as
+    typed change rows: each append's rows as inserts stamped with its
+    commit seq, the delete's keys as key-only delete rows (payload
+    null). The oracle recomputes every (commit, change_type) group's
+    row count, key sum and token mass from the raw documents table with
+    the same integer split arithmetic, so a change attributed to the
+    wrong commit, a leaked pre-delete row, or a phantom change from the
+    compaction-style commits shifts a pinned sum. Aggregated per
+    commit so the query's output is O(commits), not O(rows).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_changelog_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = sequences_from_documents(spark, sf_dir)
+    src.write.parquet(f"{base}/in")
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    split = mx // 2
+    qsplit = split // 2
+    out = f"{base}/out"
+    s1 = engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                       keys=f"0:{split}")
+    s2 = engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                       keys=f"{split}:{mx + 1}")
+    d3 = engine.delete_where(spark, out, keys=f"0:{qsplit}")
+    assert (s1["snapshot"], s2["snapshot"], d3["snapshot"]) == (1, 2, 3)
+    ch = engine.read_changes(spark, out, 0)
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    return (
+        ch.groupBy(
+            F.col("_commit_seq").alias("commit_seq"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(key_num).cast("long").alias("key_sum"),
+            F.sum("n_tok").cast("long").alias("tok_sum"),
+        )
+    )
