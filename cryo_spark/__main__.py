@@ -100,10 +100,13 @@ def main(argv: list[str] | None = None) -> int:
                          "a:b:stride, a:b/n, K/M/B suffixes, 'latest')")
     fz.add_argument("--n-chunks", type=int, default=None,
                     help="target this many chunks instead of --target-tokens")
-    fz.add_argument("--chunk-by", default="hash", choices=["hash", "range"],
-                    help="hash buckets (balance-first, default) or key-"
+    fz.add_argument("--chunk-by", default="hash",
+                    choices=["hash", "range", "zorder"],
+                    help="hash buckets (balance-first, default), key-"
                          "range chunks (tight zone maps, exact range "
-                         "pruning - the reference's chunk semantics)")
+                         "pruning - the reference's chunk semantics), or "
+                         "zorder (Morton interleave of key x weight: zone "
+                         "maps prune on either column)")
     fz.add_argument("--partition-by", default=None,
                     help="comma list of encoded-table key columns to "
                          "partition the output directories by")

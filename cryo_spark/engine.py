@@ -187,7 +187,9 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
             )
             pid, cid = layout.assign_arrays(
                 key_str, src, lut_b.value, n_buckets, bounds=bounds,
-                knum=None if bounds is None else layout.key_nums(t, spec))
+                knum=None if bounds is None else layout.key_nums(t, spec),
+                wnum=(tablespec.row_weights(t, spec)
+                      if layout._is_zorder(bounds) else None))
             if keep_mask is not None:
                 keep = keep_mask[cid]
                 if not keep.all():
@@ -1644,8 +1646,11 @@ def freeze(
     ``chunk_by='range'`` plans key-range chunks (the reference's
     number_chunk semantics) instead of hash buckets: per-chunk manifest
     key ranges come out tight and disjoint, so key-range reads prune
-    exactly; hash (default) stays the balance-first layout for
-    append-heavy tables.
+    exactly; ``chunk_by='zorder'`` interleaves the key with the scalar
+    weight column (Morton order — Iceberg rewrite_data_files
+    z-ordering), so zone maps prune reads filtered on EITHER column
+    (key ranges AND length filters); hash (default) stays the
+    balance-first layout for append-heavy tables.
 
     ``branch`` commits the run to that snapshot branch (snapshots.py):
     invisible to main readers until ``snapshots.publish``; branch reads

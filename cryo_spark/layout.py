@@ -165,16 +165,61 @@ def _range_bucket(knum: np.ndarray, kmin: int, kmax: int,
     return np.clip(b, 0, n_buckets - 1)
 
 
+_Z_BITS = 21  # bits per z-order dimension; z = 42 bits, float64-exact
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread: bit i of v moves to bit 2i (classic
+    Morton magic-mask chain, valid for values below 2^32)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _zorder_bucket(knum: np.ndarray, wnum: np.ndarray,
+                   b4: tuple[int, int, int, int],
+                   n_buckets: int) -> np.ndarray:
+    """Morton (z-order) key->bucket map over (key, weight).
+
+    Both dimensions are first normalized to 21-bit grid cells with the
+    SAME monotone affine map range layout uses, then bit-interleaved;
+    buckets are contiguous z ranges. Chunks built from them cluster
+    BOTH columns, so the manifest zone maps prune reads filtered on
+    either one — Iceberg's rewrite_data_files z-ordering.
+    """
+    kmin, kmax, wmin, wmax = b4
+    ka = _range_bucket(knum, kmin, kmax, 1 << _Z_BITS).astype(np.uint64)
+    wa = _range_bucket(wnum.astype(np.int64), wmin, wmax,
+                       1 << _Z_BITS).astype(np.uint64)
+    z = (_spread_bits(ka) | (_spread_bits(wa) << np.uint64(1))).astype(np.int64)
+    return _range_bucket(z, 0, (1 << (2 * _Z_BITS)) - 1, n_buckets)
+
+
+def _is_zorder(bounds: dict | None) -> bool:
+    return bounds is not None and any(len(v) == 4 for v in bounds.values())
+
+
 def _bucketize(t: pa.Table, key_str: pa.Array, src, n_buckets: int,
                spec: TableSpec, bounds: dict | None) -> np.ndarray:
-    """Per-row bucket ids: hash (default) or per-source range map."""
+    """Per-row bucket ids: hash (default), range map, or z-order."""
     if bounds is None:
         return bucket_of(key_str, n_buckets)
     knum = key_nums(t, spec)
+    zorder = _is_zorder(bounds)
+    wnum = tablespec.row_weights(t, spec) if zorder else None
     buckets = np.zeros(t.num_rows, dtype=np.int64)
     for s, mask in _source_groups(src, t.num_rows):
-        lo, hi = bounds.get(s, (0, 0))
-        buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
+        if zorder:
+            b4 = bounds.get(s, (0, 0, 0, 0))
+            buckets[mask] = _zorder_bucket(knum[mask], wnum[mask], b4,
+                                           n_buckets)
+        else:
+            lo, hi = bounds.get(s, (0, 0))
+            buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
     return buckets
 
 
@@ -283,7 +328,8 @@ def _finish_plan(hist_df: DataFrame, n_buckets: int, target_tokens: int,
         n_salted_buckets=n_salted,
         partition_of_source=partition_of_source,
         mapping=mapping,
-        layout="hash" if bounds is None else "range",
+        layout=("hash" if bounds is None
+                else "zorder" if _is_zorder(bounds) else "range"),
         range_bounds=bounds,
     )
 
@@ -326,6 +372,28 @@ def _range_bounds_of(df: DataFrame, spec: TableSpec) -> dict:
             for r in rows if r["lo"] is not None}
 
 
+def _zorder_bounds_of(df: DataFrame, spec: TableSpec) -> dict:
+    """Per-source (key min/max, weight min/max) for the z-order grid.
+
+    The second z dimension is the spec's scalar int weight column —
+    the row property a pipeline filters on (sequence length). Null
+    weights normalize to 0, matching the kernels' row_weights."""
+    if spec.weight_col is None or spec.weight_col.is_list:
+        raise ValueError(
+            f"zorder layout needs a scalar int weight column; table "
+            f"{spec.name!r} has {spec.weight!r}")
+    knum = _key_num_expr(spec)
+    w = _weight_expr(spec)
+    gcol = (F.col(spec.partition_col) if spec.partition_col
+            else F.lit("")).alias("s")
+    rows = df.groupBy(gcol).agg(
+        F.min(knum).alias("klo"), F.max(knum).alias("khi"),
+        F.min(w).alias("wlo"), F.max(w).alias("whi")).collect()
+    return {r["s"]: (int(r["klo"]), int(r["khi"]), int(r["wlo"]),
+                     int(r["whi"]))
+            for r in rows if r["klo"] is not None}
+
+
 def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
                 n_chunks: int | None = None,
                 spec: TableSpec = SEQUENCES,
@@ -340,9 +408,12 @@ def plan_chunks(df: DataFrame, target_tokens: int = DEFAULT_TARGET_TOKENS,
     instead of the hash — the reference's key-range chunks, with tight
     disjoint per-chunk key ranges (one extra tiny bounds agg).
     """
-    if layout not in ("hash", "range"):
-        raise ValueError(f"unknown layout {layout!r}; 'hash' or 'range'")
-    bounds = _range_bounds_of(df, spec) if layout == "range" else None
+    if layout not in ("hash", "range", "zorder"):
+        raise ValueError(
+            f"unknown layout {layout!r}; 'hash', 'range' or 'zorder'")
+    bounds = (None if layout == "hash"
+              else _range_bounds_of(df, spec) if layout == "range"
+              else _zorder_bounds_of(df, spec))
     total_tokens = int(
         df.agg(F.sum(_weight_expr(spec)).alias("t")).first()["t"] or 0
     )
@@ -396,13 +467,15 @@ def assign_arrays(
     n_buckets: int,
     bounds: dict | None = None,
     knum: np.ndarray | None = None,
+    wnum: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized (partition_id, chunk_id) for a batch of rows.
 
     chunk_id is a pure function of (source, bucket(doc_id), histogram) —
     identical at any parallelism level. The bucket is the key hash
-    (default) or, for range-layout plans, the monotone key map
-    (``bounds`` per source + precomputed ``knum``). Salted buckets
+    (default), the monotone key map for range-layout plans (``bounds``
+    per source + precomputed ``knum``), or the Morton map for z-order
+    plans (4-tuple bounds + precomputed ``wnum``). Salted buckets
     spread across their chunk span by a second, independent hash
     (SALT_SEED).
     """
@@ -414,10 +487,16 @@ def assign_arrays(
         buckets = bucket_of(doc_id, n_buckets)
     else:
         n_ = len(knum)
+        zorder = _is_zorder(bounds)
         buckets = np.zeros(n_, dtype=np.int64)
         for s, mask in _source_groups(source, n_):
-            lo, hi = bounds.get(s, (0, 0))
-            buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
+            if zorder:
+                b4 = bounds.get(s, (0, 0, 0, 0))
+                buckets[mask] = _zorder_bucket(knum[mask], wnum[mask], b4,
+                                               n_buckets)
+            else:
+                lo, hi = bounds.get(s, (0, 0))
+                buckets[mask] = _range_bucket(knum[mask], lo, hi, n_buckets)
     n = len(buckets)
     pid = np.full(n, -1, dtype=np.int32)
     cid = np.zeros(n, dtype=np.int64)
@@ -472,6 +551,8 @@ def assign_chunks(df: DataFrame, plan: ChunkPlan) -> DataFrame:
                 t.column("doc_id"), t.column("source"), lut_b.value,
                 n_buckets, bounds=bounds,
                 knum=None if bounds is None else key_nums(t, SEQUENCES),
+                wnum=(tablespec.row_weights(t, SEQUENCES)
+                      if _is_zorder(bounds) else None),
             )
             t = t.append_column("partition_id", pa.array(pid, pa.int32()))
             t = t.append_column("chunk_id", pa.array(cid, pa.int32()))

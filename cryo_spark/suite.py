@@ -5244,3 +5244,82 @@ def enc_changelog(spark, sf_dir):
             F.sum("n_tok").cast("long").alias("tok_sum"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# z-order chunk layout: zone maps prune on key AND weight
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "enc_freeze_zorder",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(sum(CASE WHEN n_tok <= 8 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS short_tok_sum,
+           CAST(sum(CASE WHEN n_tok <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS short_rows,
+           true AS weight_pruned,
+           true AS key_pruned
+    FROM d
+    """,
+)
+def enc_freeze_zorder(spark, sf_dir):
+    """Z-order (Morton) chunk layout end-to-end.
+
+    ``freeze(chunk_by='zorder')`` interleaves the numeric key with the
+    scalar weight (n_tok) on a 21+21-bit grid — Iceberg's
+    rewrite_data_files z-ordering through the same histogram/sweep/
+    salting planner. Pinned: the corpus round-trips (row/token sums), a
+    LENGTH-filtered read (n_tok <= 8) through the zone maps returns
+    exactly the right rows (short_rows/short_tok_sum), and BOTH a
+    weight filter and a key-range filter prune chunks from the
+    manifest alone — the property neither hash (no clustering) nor
+    pure range layout (key-only clustering) can offer for the weight
+    column. Length filtering is the training-pipeline read this layout
+    exists for.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .engine import _zone_map_prune
+    from .tablespec import SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_zorder_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200,
+                  chunk_by="zorder")
+    enc = engine.read_encoded(spark, out)
+    man = engine.read_manifest(spark, out)
+    ck = ["run", "partition_id", "chunk_id"]
+    total = enc.select(*ck).distinct().count()
+
+    def kept(filters):
+        return (_zone_map_prune(enc, filters, SEQUENCES, man=man)
+                .select(*ck).distinct().count())
+
+    kept_w = kept([("n_tok", "<=", 8)])
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    kept_k = kept([("doc_id", "<=", f"doc-{max(1, mx // 20):012d}")])
+    short = engine.collect(spark, out, filters=[("n_tok", "<=", 8)]).agg(
+        F.sum("n_tok").cast("long").alias("short_tok_sum"),
+        F.count(F.lit(1)).cast("long").alias("short_rows"),
+    ).first()
+    return engine.decode_frozen(spark, out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+    ).select(
+        "*",
+        F.lit(int(short["short_tok_sum"] or 0)).cast("long")
+        .alias("short_tok_sum"),
+        F.lit(int(short["short_rows"] or 0)).cast("long")
+        .alias("short_rows"),
+        F.lit(0 < kept_w < total).alias("weight_pruned"),
+        F.lit(0 < kept_k < total).alias("key_pruned"),
+    )
