@@ -40,11 +40,15 @@ def _parse_filters(items: list[str] | None) -> list[tuple] | None:
 
     out = []
     for s in items:
-        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", s)
+        m = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>|~)\s*(.+?)\s*$", s)
         if m is None:
             raise SystemExit(f"bad --filter {s!r}; expected col=val, "
-                             "col<val, col<=val, col>val, or col>=val")
+                             "col<val, col<=val, col>val, col>=val, or "
+                             "col~val (list membership)")
         name, op, raw = m.groups()
+        if op == "~":
+            op = "contains"
         val: object = raw
         try:
             val = int(raw)

@@ -363,6 +363,16 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
             parts: list[bytes] = []
             put_blob(parts, lens_choice.payload)
             put_blob(parts, vals_choice.payload)
+            # content bloom over the chunk's DISTINCT element values
+            # (int lists only): "which chunks contain token X" reads
+            # then prune from the manifest alone — the inverted-index
+            # question a contamination check / targeted extraction asks
+            # at 10^12 scale. Distinct-first keeps the bitwise-or cost
+            # at O(vocab), not O(tokens).
+            val_bloom = None
+            if c.item_dtype.kind in "iu" and len(flat):
+                val_bloom = hashing.bloom_build(
+                    hashing.hash_i64(_distinct_ints(flat)))
             emit(
                 c.name,
                 f"{vals_choice.codec_id}|lens={lens_choice.codec_id}",
@@ -371,6 +381,7 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
                 int(flat.nbytes + 4 * n_rows),
                 (time.perf_counter() - t0) * 1000,
                 stats=_np_stats(flat),
+                bloom=val_bloom,
             )
         elif c.kind in ("str", "binary"):
             if arr.null_count:
@@ -2277,16 +2288,38 @@ def _bloom_chunk_keys(man: DataFrame, key_strs: list[str],
     return amap(rows, kernel, "run string, partition_id int, chunk_id int")
 
 
-_FILTER_OPS = ("=", "<", "<=", ">", ">=", "between")
+_FILTER_OPS = ("=", "<", "<=", ">", ">=", "between", "contains")
 
 
-def _filter_spec_col(spec: TableSpec, name: str) -> ColumnSpec:
+def _distinct_ints(flat: np.ndarray) -> np.ndarray:
+    """Distinct values of an int array; bincount fast path for dense
+    value spaces (token vocabularies), sort-based unique otherwise."""
+    vmin = int(flat.min())
+    span = int(flat.max()) - vmin + 1
+    if span <= (1 << 22):
+        hits = np.bincount((flat.astype(np.int64) - vmin), minlength=span)
+        return np.flatnonzero(hits) + vmin
+    return np.unique(flat.astype(np.int64))
+
+
+def _filter_spec_col(spec: TableSpec, name: str,
+                     op: str | None = None) -> ColumnSpec:
     for c in spec.columns:
         if c.name == name:
+            if c.is_list and op == "contains":
+                if c.item_dtype.kind not in "iu":
+                    raise ValueError(
+                        f"'contains' needs an int list column; {name!r} "
+                        f"holds {c.kind}")
+                return c
             if c.is_list:
                 raise ValueError(
                     f"filters target scalar columns; {name!r} is a list "
-                    "column (filter on its derived scalars instead)")
+                    "column ('contains' for membership, or filter on its "
+                    "derived scalars)")
+            if op == "contains":
+                raise ValueError(
+                    f"'contains' targets list columns; {name!r} is scalar")
             return c
     raise ValueError(f"unknown filter column {name!r} for table "
                      f"{spec.name!r}")
@@ -2294,6 +2327,8 @@ def _filter_spec_col(spec: TableSpec, name: str) -> ColumnSpec:
 
 def _stat_num(col: str, c: ColumnSpec):
     """Typed view of a string-form zone-map bound for comparisons."""
+    if c.is_list:
+        return F.col(col).cast("long")  # element stats of an int list
     if c.kind in ("str", "binary"):
         return F.col(col)
     if c.np_dtype.kind == "f":
@@ -2325,12 +2360,12 @@ def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
         stats_src = stats_src.filter(F.col("status") == "ok")
     keys = None
     for name, op, val in filters:
-        c = _filter_spec_col(spec, name)
+        c = _filter_spec_col(spec, name, op)
         mn, mx = _stat_num("min_value", c), _stat_num("max_value", c)
         if op == "between":
             lo, hi = val
             keep = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
-        elif op == "=":
+        elif op in ("=", "contains"):  # contains: element min/max stats
             keep = (mn <= F.lit(val)) & (mx >= F.lit(val))
         elif op == "<":
             keep = mn < F.lit(val)
@@ -2348,21 +2383,73 @@ def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
         ).select("run", "partition_id", "chunk_id")
         keys = k if keys is None else keys.join(
             k, ["run", "partition_id", "chunk_id"], "left_semi")
+    for name, op, val in filters:
+        if op != "contains":
+            continue
+        # refine with the per-chunk content bloom: min/max alone keeps
+        # every chunk whose element RANGE spans the value (nearly all of
+        # them for a dense vocabulary); the bloom keeps only chunks that
+        # plausibly contain it
+        bk = _bloom_chunk_values(stats_src, name, [int(val)])
+        if bk is not None:
+            keys = bk if keys is None else keys.join(
+                bk, ["run", "partition_id", "chunk_id"], "left_semi")
     if keys is None:
         return enc
     return enc.join(F.broadcast(keys),
                     ["run", "partition_id", "chunk_id"], "left_semi")
 
 
+def _bloom_chunk_values(stats_src: DataFrame, column: str,
+                        vals: list[int]) -> DataFrame | None:
+    """Chunks whose content bloom possibly contains ANY of ``vals``.
+
+    The value twin of _bloom_chunk_keys: a metadata-only mapInArrow
+    pass over the given column's manifest rows testing splitmix64
+    hashes against each chunk's distinct-element bloom. NULL blooms
+    (legacy output, float lists) are conservatively kept."""
+    if "key_bloom" not in stats_src.columns or not vals:
+        return None
+    hb = hashing.hash_i64(np.asarray(vals, dtype=np.int64)).tobytes()
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from cryo_spark import hashing as hm
+
+        want = np.frombuffer(hb, dtype=np.uint64)
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            blooms = t.column("key_bloom")
+            keep = [
+                blooms[i].as_py() is None
+                or bool(hm.bloom_test(blooms[i].as_py(), want).any())
+                for i in range(t.num_rows)
+            ]
+            if any(keep):
+                yield t.select(["run", "partition_id", "chunk_id"]) \
+                    .filter(pa.array(keep)).to_batches()[0]
+
+    rows = stats_src.filter(F.col("column") == column).select(
+        "run", "partition_id", "chunk_id", "key_bloom")
+    return amap(rows, kernel, "run string, partition_id int, chunk_id int")
+
+
 def _filter_predicate(filters, spec: TableSpec):
     """Row-level residual predicate for the same filter triples."""
     pred = None
     for name, op, val in filters:
-        _filter_spec_col(spec, name)
+        _filter_spec_col(spec, name, op)
         c = F.col(name)
         if op == "between":
             lo, hi = val
             t = (c >= lo) & (c <= hi)
+        elif op == "contains":
+            item_t = _filter_spec_col(spec, name, op).spark_type[6:-1]
+            t = F.array_contains(c, F.lit(val).cast(item_t))  # array<X> -> X
         elif op == "=":
             t = c == val
         elif op == "<":

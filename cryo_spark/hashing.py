@@ -169,6 +169,23 @@ def _bloom_indices(h: np.ndarray, bits: int):
         return [((h1 + np.uint64(i) * h2) % m) for i in range(BLOOM_K)]
 
 
+def hash_i64(vals: np.ndarray) -> np.ndarray:
+    """64-bit hashes of integer values (splitmix64 finalizer).
+
+    The integer-value twin of hash_utf8 for Bloom filters over numeric
+    column CONTENT (e.g. distinct token ids per chunk) — one mul/xor
+    chain per value, vectorized, no string round-trip."""
+    z = vals.astype(np.int64).view(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E9B5)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
 def bloom_build(h: np.ndarray) -> bytes:
     """Packed Bloom filter over 64-bit key hashes (hash_utf8 output)."""
     bits = _bloom_bits(len(h))

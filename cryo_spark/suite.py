@@ -5323,3 +5323,61 @@ def enc_freeze_zorder(spark, sf_dir):
         F.lit(0 < kept_w < total).alias("weight_pruned"),
         F.lit(0 < kept_k < total).alias("key_pruned"),
     )
+
+# ---------------------------------------------------------------------------
+# token-content bloom reads: which chunks contain token X
+# ---------------------------------------------------------------------------
+
+_CONTAINS_TOK = 11792  # = (1 * 2654435761) % 50257 — doc 1's first token
+
+
+@q(
+    "scan_token_contains",
+    f"""
+    WITH s AS (SELECT doc_id, {_TOK_SQL} AS tokens,
+                      n_chars % 64 + 1 AS n_tok FROM documents)
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST(n_tok AS INT) AS n_tok,
+           true AS bloom_pruned
+    FROM s WHERE list_contains(tokens, {_CONTAINS_TOK})
+    """,
+)
+def scan_token_contains(spark, sf_dir):
+    """Inverted-index read: find every sequence containing one token id.
+
+    The contamination-check / targeted-extraction question at 10^12
+    scale: each int-list chunk's manifest row carries a Bloom over its
+    DISTINCT element values (built in the encode kernel at O(vocab)
+    cost), so ``filters=[('tokens','contains',X)]`` prunes chunks from
+    METADATA alone before any payload decode; array_contains is the
+    residual row filter. Pinned: the surviving rows match DuckDB's
+    full-scan list_contains exactly, and the bloom really dropped
+    chunks (bloom_pruned).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .engine import _zone_map_prune
+    from .tablespec import SEQUENCES
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_contains_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=2000)
+    enc = engine.read_encoded(spark, out)
+    man = engine.read_manifest(spark, out)
+    ck = ["run", "partition_id", "chunk_id"]
+    total = enc.select(*ck).distinct().count()
+    kept = (
+        _zone_map_prune(enc, [("tokens", "contains", _CONTAINS_TOK)],
+                        SEQUENCES, man=man)
+        .select(*ck).distinct().count()
+    )
+    return engine.collect(
+        spark, out, columns=["doc_id", "n_tok"],
+        filters=[("tokens", "contains", _CONTAINS_TOK)],
+    ).select("*", F.lit(0 < kept < total).alias("bloom_pruned"))

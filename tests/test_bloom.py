@@ -49,7 +49,9 @@ def test_manifest_carries_key_blooms(spark, frozen):
     man = read_manifest(spark, frozen).filter(F.col("status") == "ok")
     key_rows = man.filter(F.col("column") == "doc_id")
     assert key_rows.filter(F.col("key_bloom").isNull()).count() == 0
-    assert man.filter(F.col("column") != "doc_id")\
+    # int-list columns carry a content bloom (test_token_bloom.py);
+    # every OTHER column's bloom slot stays null
+    assert man.filter(~F.col("column").isin("doc_id", "tokens"))\
         .filter(F.col("key_bloom").isNotNull()).count() == 0
 
 
