@@ -2295,9 +2295,12 @@ def _distinct_ints(flat: np.ndarray) -> np.ndarray:
     """Distinct values of an int array; bincount fast path for dense
     value spaces (token vocabularies), sort-based unique otherwise."""
     vmin = int(flat.min())
-    span = int(flat.max()) - vmin + 1
-    if span <= (1 << 22):
-        hits = np.bincount((flat.astype(np.int64) - vmin), minlength=span)
+    vmax = int(flat.max())
+    if 0 <= vmin and vmax < (1 << 22):
+        # no-copy path: bincount takes the int32 array as-is
+        return np.flatnonzero(np.bincount(flat))
+    if vmax - vmin < (1 << 22):
+        hits = np.bincount((flat.astype(np.int64) - vmin))
         return np.flatnonzero(hits) + vmin
     return np.unique(flat.astype(np.int64))
 

@@ -187,14 +187,17 @@ def hash_i64(vals: np.ndarray) -> np.ndarray:
 
 
 def bloom_build(h: np.ndarray) -> bytes:
-    """Packed Bloom filter over 64-bit key hashes (hash_utf8 output)."""
+    """Packed Bloom filter over 64-bit key hashes (hash_utf8 output).
+
+    Bit layout: bit (idx & 7) of byte (idx >> 3) — packbits with
+    little bitorder reproduces it byte-identically while replacing the
+    former np.bitwise_or.at scatter (~10x slower; duplicate-index
+    fancy SET of a bool is safe where duplicate-index |= is not)."""
     bits = _bloom_bits(len(h))
-    arr = np.zeros(bits >> 3, dtype=np.uint8)
+    flags = np.zeros(bits, dtype=bool)
     for idx in _bloom_indices(h, bits):
-        np.bitwise_or.at(
-            arr, (idx >> np.uint64(3)).astype(np.int64),
-            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-    return arr.tobytes()
+        flags[idx.astype(np.int64)] = True
+    return np.packbits(flags, bitorder="little").tobytes()
 
 
 def bloom_test(bloom: bytes, h: np.ndarray) -> np.ndarray:
