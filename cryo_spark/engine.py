@@ -1169,6 +1169,142 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
     return report
 
 
+_KMV_P = 2_147_483_647   # Mersenne prime 2^31-1: portable mod arithmetic
+_KMV_A = 1_103_515_245   # classic LCG multiplier < P: disperses small/dense
+                         # domains across [0,P) (a small multiplier never
+                         # wraps for small keys and the k-th order statistic
+                         # then wildly over-estimates)
+_KMV_K = 256
+
+
+def analyze(
+    spark: SparkSession,
+    output_dir: str,
+    columns: list[str] | None = None,
+    k: int = _KMV_K,
+    spec: TableSpec | None = None,
+    as_of: int | str | None = None,
+) -> dict:
+    """Per-column NDV statistics via KMV sketches — the Iceberg
+    ANALYZE TABLE / puffin theta-sketch analog, on demand.
+
+    One decode pass; a mapInArrow kernel emits each partition's k
+    smallest DISTINCT value hashes per column (map-side combine: the
+    exchange carries <= k rows per partition per column, never the
+    values), then the k smallest overall give the Bar-Yossef et al.
+    estimate |D| ~ (k-1) * P / h_k — exact when fewer than k distinct
+    hashes exist. Hashing is deterministic mod-prime arithmetic
+    (((v % P) * A + 11) % P, products bounded below 2^62 so the
+    arithmetic is exact int64 in BOTH engines), so a replay pins the exact
+    sketch STATE — the portability HLL registers cannot offer.
+    Covered columns: int scalars, int-list ELEMENTS (vocabulary size),
+    and the key (via its numeric form). String non-key columns use an
+    exact distinct count instead (their NDV is tiny by construction —
+    source/partition labels). Results persist to <output>/stats/ndv.json
+    (tmp+rename) and return as a dict.
+    """
+    from . import layout as layout_mod
+
+    spec = spec or load_output_spec(output_dir) or SEQUENCES
+    all_cols = [c.name for c in spec.columns]
+    cols = all_cols if columns is None else [c for c in all_cols
+                                             if c in set(columns)]
+    sk_cols: list[str] = []     # KMV-sketchable
+    exact_cols: list[str] = []  # exact countDistinct (tiny domains)
+    for name in cols:
+        c = spec.col(name)
+        if c.is_list and c.item_dtype.kind in "iu":
+            sk_cols.append(name)
+        elif not c.is_list and c.kind in ("int32", "int64"):
+            sk_cols.append(name)
+        elif name == spec.key:
+            sk_cols.append(name)  # numeric key form (layout.key_nums)
+        elif c.kind == "str":
+            exact_cols.append(name)
+    df = collect(spark, output_dir, columns=cols, spec=spec, as_of=as_of)
+    out: dict[str, dict] = {}
+    if sk_cols:
+        kk, key_name = int(k), spec.key
+        spec_d, sk_names = spec.to_dict(), list(sk_cols)
+        p, a = _KMV_P, _KMV_A
+
+        def kernel(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            from cryo_spark import layout as lm
+            from cryo_spark import tablespec as tsm
+
+            spec_l = tsm.TableSpec.from_dict(spec_d)
+            best: dict[str, np.ndarray] = {}
+            for b in batches:
+                t = pa.Table.from_batches([b])
+                if t.num_rows == 0:
+                    continue
+                for name in sk_names:
+                    c = spec_l.col(name)
+                    if name == key_name and c.kind == "str":
+                        vals = lm.key_nums(t, spec_l)
+                    elif c.is_list:
+                        arr = t.column(name).combine_chunks()
+                        vals = arr.flatten().to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                    else:
+                        vals = t.column(name).combine_chunks().fill_null(0) \
+                            .to_numpy(zero_copy_only=False).astype(np.int64)
+                    if not len(vals):
+                        continue
+                    hv = np.unique(((vals % p) * a + 11) % p)[:kk]
+                    prev = best.get(name)
+                    best[name] = (hv if prev is None
+                                  else np.unique(np.concatenate([prev, hv]))[:kk])
+            names, hvs = [], []
+            for name, hv in best.items():
+                names.extend([name] * len(hv))
+                hvs.append(hv)
+            if names:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(names, pa.string()),
+                     pa.array(np.concatenate(hvs))],
+                    names=["column", "hv"])
+
+        sk = amap(df.select(*sk_cols), kernel, "column string, hv long")
+        sk = sk.localCheckpoint()  # ONE pass feeds every column finish
+        for name in sk_cols:
+            rows = (sk.filter(F.col("column") == name).select("hv")
+                    .distinct().orderBy("hv").limit(kk).collect())
+            n_h = len(rows)
+            if n_h == 0:
+                out[name] = dict(method="kmv", k=0, kth_hash=None,
+                                 ndv=0.0)
+            elif n_h < kk:
+                out[name] = dict(method="kmv", k=n_h,
+                                 kth_hash=int(rows[-1]["hv"]),
+                                 ndv=float(n_h))
+            else:
+                hk = int(rows[-1]["hv"])
+                # floor division: the estimate is an exact integer in
+                # any engine (no float-rounding portability hazard)
+                out[name] = dict(method="kmv", k=kk, kth_hash=hk,
+                                 ndv=float((kk - 1) * _KMV_P // hk))
+    if exact_cols:
+        aggs = [F.countDistinct(c).alias(c) for c in exact_cols]
+        row = df.agg(*aggs).first()
+        for c in exact_cols:
+            out[c] = dict(method="exact", ndv=float(row[c]))
+    import json
+    import os
+    import tempfile
+
+    stats_dir = os.path.join(output_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=stats_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(dict(k=int(k), p=_KMV_P, columns=out), f, indent=1)
+    os.replace(tmp, os.path.join(stats_dir, "ndv.json"))
+    return out
+
+
 def describe(spark: SparkSession, output_dir: str,
              as_of: int | str | None = None) -> DataFrame:
     """Per-column storage summary of a frozen output (metadata only).

@@ -5381,3 +5381,86 @@ def scan_token_contains(spark, sf_dir):
         spark, out, columns=["doc_id", "n_tok"],
         filters=[("tokens", "contains", _CONTAINS_TOK)],
     ).select("*", F.lit(0 < kept < total).alias("bloom_pruned"))
+
+# ---------------------------------------------------------------------------
+# ANALYZE: per-column NDV statistics (KMV sketch, portable arithmetic)
+# ---------------------------------------------------------------------------
+
+_NDV_K = 64
+_NDV_P = 2_147_483_647
+_NDV_A = 1_103_515_245
+
+
+def _ndv_block(expr: str, tag: int) -> str:
+    return f"""
+    c{tag} AS (SELECT hv FROM (
+        SELECT DISTINCT ((CAST({expr} AS BIGINT) % {_NDV_P})
+                         * {_NDV_A} + 11) % {_NDV_P} AS hv
+        FROM d) ORDER BY hv LIMIT {_NDV_K}),
+    e{tag} AS (SELECT count(*) AS k, max(hv) AS hk FROM c{tag})"""
+
+
+_NDV_SQL = f"""
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok, source,
+                      unnest({_TOK_SQL}) AS tok FROM documents),
+    {_ndv_block("doc_id", 1)},
+    {_ndv_block("n_tok", 2)},
+    {_ndv_block("tok", 3)}
+    SELECT * FROM (
+      SELECT 'doc_id' AS column_name, 'kmv' AS method,
+             CAST(k AS BIGINT) AS k, CAST(hk AS BIGINT) AS kth_hash,
+             CAST(CASE WHEN k < {_NDV_K} THEN k
+                  ELSE CAST({_NDV_K} - 1 AS BIGINT) * {_NDV_P} // hk END AS DOUBLE) AS ndv
+      FROM e1
+      UNION ALL
+      SELECT 'n_tok', 'kmv', CAST(k AS BIGINT), CAST(hk AS BIGINT),
+             CAST(CASE WHEN k < {_NDV_K} THEN k
+                  ELSE CAST({_NDV_K} - 1 AS BIGINT) * {_NDV_P} // hk END AS DOUBLE)
+      FROM e2
+      UNION ALL
+      SELECT 'tokens', 'kmv', CAST(k AS BIGINT), CAST(hk AS BIGINT),
+             CAST(CASE WHEN k < {_NDV_K} THEN k
+                  ELSE CAST({_NDV_K} - 1 AS BIGINT) * {_NDV_P} // hk END AS DOUBLE)
+      FROM e3
+      UNION ALL
+      SELECT 'source', 'exact', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(count(DISTINCT source) AS DOUBLE)
+      FROM d)
+"""
+
+
+@q("enc_analyze_ndv", _NDV_SQL)
+def enc_analyze_ndv(spark, sf_dir):
+    """ANALYZE TABLE: per-column NDV sketches, state pinned exactly.
+
+    Freeze the derived corpus, then ``engine.analyze`` — one decode
+    pass whose kernel emits each partition's k smallest DISTINCT
+    mod-prime value hashes per column (the exchange carries <= k rows
+    per partition per column), merged to the Bar-Yossef KMV estimate
+    with floor division so the estimate is an exact integer in any
+    engine. The oracle replays the identical arithmetic over the raw
+    documents table: the sketch STATE (k, k-th hash) and the estimate
+    must match to the bit — the Iceberg ANALYZE/puffin-sketch shape
+    with engine-portable math instead of opaque HLL registers.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_ndv_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200_000)
+    stats = engine.analyze(spark, out, k=_NDV_K)
+    rows = [
+        (name, s["method"],
+         s.get("k"), s.get("kth_hash"), float(s["ndv"]))
+        for name, s in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, method string, k long, kth_hash long, "
+              "ndv double")
