@@ -170,6 +170,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="snapshot seq or tag")
     de.add_argument("--master", default=None)
 
+    an = sub.add_parser("analyze",
+                        help="per-column NDV statistics via KMV sketches "
+                             "(ANALYZE TABLE analog; writes stats/ndv.json)")
+    an.add_argument("--output", required=True)
+    an.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    an.add_argument("--k", type=int, default=256)
+    an.add_argument("--as-of", default=None, dest="as_of")
+    an.add_argument("--master", default=None)
+
     up = sub.add_parser("upsert",
                         help="MERGE by key: replace matching rows, insert "
                              "the rest (copy-on-write, one snapshot)")
@@ -426,6 +436,19 @@ def main(argv: list[str] | None = None) -> int:
             for row in cryo_spark.describe(spark, args.output,
                                            as_of=as_of).collect():
                 print(json.dumps(row.asDict(), default=str))
+            return 0
+
+        if args.cmd == "analyze":
+            from cryo_spark.engine import analyze
+
+            as_of = args.as_of
+            if as_of is not None and as_of.lstrip("-").isdigit():
+                as_of = int(as_of)
+            cols = (None if args.columns is None
+                    else [c.strip() for c in args.columns.split(",")])
+            stats = analyze(spark, args.output, columns=cols, k=args.k,
+                            as_of=as_of)
+            print(json.dumps(stats))
             return 0
 
         if args.cmd == "pack":
