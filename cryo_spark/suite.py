@@ -5464,3 +5464,105 @@ def enc_analyze_ndv(spark, sf_dir):
     return spark.createDataFrame(
         rows, "column_name string, method string, k long, kth_hash long, "
               "ndv double")
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality-bucketed sampling: head / middle / tail
+# ---------------------------------------------------------------------------
+
+_CC_HEAD = 350_000   # avg bigram score thresholds (integer — exact in
+_CC_TAIL = 250_000   # both engines; a production run derives them from
+                     # a reference-model percentile sweep)
+_CC_SAMPLE_MULT = 2_654_435_761
+
+
+@q(
+    "ccnet_bucket_sample",
+    f"""
+    WITH seq AS (SELECT doc_id, {_TOK_SQL} AS l FROM documents),
+    pairs AS (SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+              FROM seq WHERE len(l) >= 2),
+    pp AS (SELECT doc_id, CAST(p[1] AS INT) AS t1, CAST(p[2] AS INT) AS t2
+           FROM pairs),
+    bi AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS freq
+           FROM pp GROUP BY 1, 2),
+    model AS (SELECT t1, t2, freq FROM bi
+              ORDER BY freq DESC, t1, t2 LIMIT {_LM_TOP_BIGRAMS}),
+    prefix AS (SELECT t1, CAST(sum(freq) AS BIGINT) AS pc FROM bi GROUP BY 1),
+    sm AS (SELECT t1, t2, freq * 1000000 // pc AS s
+           FROM model JOIN prefix USING (t1)),
+    scored AS (SELECT doc_id,
+                      CAST(sum(coalesce(s, 1)) // count(*) AS BIGINT) AS sc
+               FROM pp LEFT JOIN sm USING (t1, t2) GROUP BY doc_id),
+    bucketed AS (
+      SELECT doc_id,
+             CASE WHEN sc >= {_CC_HEAD} THEN 'head'
+                  WHEN sc >= {_CC_TAIL} THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CASE WHEN sc >= {_CC_HEAD} THEN true
+                  WHEN sc >= {_CC_TAIL}
+                       THEN ((doc_id * {_CC_SAMPLE_MULT}) % {_J_PRIME}) % 2 = 0
+                  ELSE false END AS kept
+      FROM scored)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def ccnet_bucket_sample(spark, sf_dir):
+    """CCNet head/middle/tail quality bucketing + deterministic sampling.
+
+    The corpus-curation move after LM scoring (Wenzek et al., CCNet,
+    LREC 2020): bucket documents by model likelihood, keep the head,
+    sample the middle, drop the tail. Scores are the integer pruned-
+    bigram likelihoods of lm_bigram_score (never float log); buckets
+    cut at FIXED integer thresholds (production derives them from a
+    reference-model percentile sweep — here they pin the tercile
+    region of the fixture corpus); the middle-bucket coin is the same
+    mod-prime hash as stratified_eval_split, so the sample is
+    reproducible at any parallelism and never resamples on re-runs.
+    Zero shuffle beyond lm scoring's own aggregates; output is
+    O(buckets). Membership is pinned by kept-id sums per bucket.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    pairs = seqs.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, n_tok - 2), "
+            "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2))"
+        )).alias("p"),
+    ).select("doc_id", F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    bi = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    model = bi.orderBy(F.desc("freq"), "t1", "t2").limit(_LM_TOP_BIGRAMS)
+    prefix = bi.groupBy("t1").agg(F.sum("freq").cast("long").alias("pc"))
+    sm = model.join(prefix, "t1").select(
+        "t1", "t2", F.expr("freq * 1000000L div pc").alias("s")
+    )
+    scored = (
+        pairs.join(F.broadcast(sm), ["t1", "t2"], "left")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(coalesce(s, 1L)) div count(1)").cast("long")
+             .alias("sc"))
+    )
+    key_num = F.substring("doc_id", 5, 12).cast("long")
+    coin = (key_num * _CC_SAMPLE_MULT) % _J_PRIME % 2 == 0
+    bucketed = scored.select(
+        key_num.alias("doc_num"),
+        F.when(F.col("sc") >= _CC_HEAD, "head")
+        .when(F.col("sc") >= _CC_TAIL, "middle")
+        .otherwise("tail").alias("bucket"),
+        F.when(F.col("sc") >= _CC_HEAD, F.lit(True))
+        .when(F.col("sc") >= _CC_TAIL, coin)
+        .otherwise(F.lit(False)).alias("kept"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_num")).otherwise(0))
+        .cast("long").alias("kept_id_sum"),
+    )
