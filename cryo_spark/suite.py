@@ -5566,3 +5566,46 @@ def ccnet_bucket_sample(spark, sf_dir):
         F.sum(F.when(F.col("kept"), F.col("doc_num")).otherwise(0))
         .cast("long").alias("kept_id_sum"),
     )
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids (classification prototypes / mean pooling)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "label_centroids",
+    """
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(v), 6) AS DOUBLE) AS mean_v
+    FROM dims WHERE pos <= 8 GROUP BY label, pos
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids — nearest-prototype classification.
+
+    The mean-pooled class prototype (the zero-shot classifier / cluster
+    seed a curation pipeline derives from labeled embeddings): one
+    posexplode + a (label, dim)-keyed partial aggregate — the per-dim
+    sums fold map-side, so the exchange carries |labels| x dims rows
+    per task, never the vectors. Output projected to the first 8 dims
+    (bounded rows); the oracle replays the dim-unnested average. The
+    kernel-free form is deliberately the transposed twin of
+    kmeans_embeddings' update step — the same plan shape serves both.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"),
+                F.col("v").cast("double").alias("v"))
+        .filter(F.col("pos") <= 8)
+        .groupBy(F.col("label").cast("int").alias("label"),
+                 F.col("pos").cast("int").alias("pos"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.avg("v"), 6).cast("double").alias("mean_v"))
+    )
