@@ -5609,3 +5609,72 @@ def label_centroids(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
              F.round(F.avg("v"), 6).cast("double").alias("mean_v"))
     )
+
+# ---------------------------------------------------------------------------
+# duplicated-span fraction: the span-level quality filter
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "span_dup_fraction",
+    f"""
+    WITH sp AS (
+      SELECT DISTINCT doc_id, span_h FROM (
+        SELECT doc_id, unnest({_sql_shingles('text', _SPAN_K)}) AS span_h
+        FROM documents
+      )
+    ),
+    dup AS (SELECT span_h FROM sp GROUP BY span_h HAVING count(*) >= 2),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+            FROM sp GROUP BY doc_id),
+    dd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+           FROM sp JOIN dup USING (span_h) GROUP BY doc_id)
+    SELECT CAST(tot.doc_id AS BIGINT) AS doc_id, n_spans,
+           CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           (5 * coalesce(n_dup_spans, 0) < n_spans) AS kept
+    FROM tot LEFT JOIN dd ON tot.doc_id = dd.doc_id
+    """,
+)
+def span_dup_fraction(spark, sf_dir):
+    """Duplicated-span fraction as a document quality filter.
+
+    Lee et al. (ACL 2022) and Gopher both DROP documents dominated by
+    text that repeats elsewhere in the corpus; this is that verdict:
+    per doc, the fraction of its distinct 20-byte windows shared with
+    any other document, kept iff the duplicated share stays under 20%
+    — as the integer inequality 5 * n_dup < n_total, so no float
+    threshold exists to disagree about. Plan: the dedup_span_exact
+    pipeline plus one more per-doc aggregate off the SAME cached span
+    rows (totals and dup counts reuse one exchange); output one
+    verdict row per document.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    spans = amap(d, _span_kernel, "doc_id long, span_h long") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    tot = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"))
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span_h")
+    )
+    dd = (
+        spans.join(dup, "span_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"))
+    )
+    return (
+        tot.join(dd, "doc_id", "left")
+        .select(
+            "doc_id", "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            (5 * F.coalesce("n_dup_spans", F.lit(0)) < F.col("n_spans"))
+            .alias("kept"),
+        )
+    )
