@@ -1217,9 +1217,12 @@ def analyze(
             sk_cols.append(name)
         elif not c.is_list and c.kind in ("int32", "int64"):
             sk_cols.append(name)
-        elif name == spec.key:
+        elif name == spec.key and spec.name == SEQUENCES.name:
             sk_cols.append(name)  # numeric key form (layout.key_nums)
         elif c.kind == "str":
+            # string domains with no numeric form (incl. free-form str
+            # keys): exact distinct count — a str KEY falls here too,
+            # where NDV == row count anyway
             exact_cols.append(name)
     df = collect(spark, output_dir, columns=cols, spec=spec, as_of=as_of)
     out: dict[str, dict] = {}
