@@ -102,3 +102,11 @@ def test_zorder_refuses_listweight_specs(spark, sequences_path):
     with pytest.raises(ValueError, match="scalar int weight"):
         layout.plan_chunks(df, target_tokens=30_000, spec=spec,
                            layout="zorder")
+
+
+def test_zorder_freeze_resumes(spark, sequences_path, frozen_z):
+    from cryo_spark import freeze
+
+    s2 = freeze(spark, sequences_path, frozen_z, target_tokens=30_000,
+                chunk_by="zorder")
+    assert s2["n_encoded"] == 0 and s2["n_skipped"] > 0
