@@ -15,10 +15,12 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
   manifest, skip-existing resume, atomic commit, metrics.
 """
 
+from .colocated import join_frozen
 from .engine import (collect, compact, decode, decode_frozen, delete_where,
-                     describe, encode, export, export_shards, freeze, pack,
-                     purge_deletes, read_appends, read_encoded,
-                     read_manifest, upsert, vacuum, verify_output)
+                     describe, encode, export, export_shards, freeze,
+                     load_output_plan, pack, purge_deletes, read_appends,
+                     read_encoded, read_manifest, upsert, vacuum,
+                     verify_output)
 from .snapshots import log as snapshot_log
 from .fixtures import (
     generate_embeddings,
@@ -35,7 +37,7 @@ __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
     "export", "export_shards", "pack", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
-    "read_appends",
+    "read_appends", "join_frozen", "load_output_plan",
     "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
     "generate_embeddings", "write_embeddings",

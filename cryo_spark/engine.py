@@ -19,6 +19,7 @@ chunk_id, column).
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -1643,8 +1644,14 @@ def read_manifest(spark: SparkSession, output_dir: str,
     way, so resume/compact/reads all agree on the rolled-back state;
     ``raw=True`` bypasses both (filesystem truth — vacuum's view).
     """
+    man_path = _manifest_path(output_dir)
+    if "://" not in output_dir and not os.path.isdir(man_path):
+        # probing a not-yet-created output through the JVM reader dumps
+        # an AnalysisException stack trace into the executor log even
+        # though we swallow it — answer the common local case silently
+        return None
     try:
-        man = _read_run_partitioned(spark, _manifest_path(output_dir))
+        man = _read_run_partitioned(spark, man_path)
     except Exception:
         return None
     if raw:
@@ -1790,8 +1797,17 @@ def freeze(
     spec: TableSpec = SEQUENCES,
     chunk_by: str = "hash",
     branch: str | None = None,
+    align_with: str | None = None,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
+
+    ``align_with`` reuses another frozen output's persisted chunk plan
+    (the Iceberg "same partition spec on both tables" precondition for
+    storage-partitioned joins): every key lands in the SAME chunk_id it
+    has in the other output, so :func:`cryo_spark.colocated.join_frozen`
+    can zip the two tables chunk-by-chunk with zero payload exchange.
+    Only key-pure layouts align (hash, range) — a z-order plan places a
+    row by its weight VALUE too, which differs between tables.
 
     ``chunk_by='range'`` plans key-range chunks (the reference's
     number_chunk semantics) instead of hash buckets: per-chunk manifest
@@ -1849,7 +1865,22 @@ def freeze(
                                  **_key_envelope(spec))
         )
     use_arrow = key_df is None and sources.supports(input_path)
-    if use_arrow and spec.footer_stat_col is not None and chunk_by == "hash":
+    if align_with is not None:
+        if keys is not None or n_chunks is not None or chunk_by != "hash":
+            raise ValueError(
+                "align_with reuses the other output's plan verbatim; "
+                "keys/n_chunks/chunk_by cannot be combined with it")
+        plan = load_output_plan(align_with)
+        if plan is None:
+            raise ValueError(
+                f"align_with: no persisted chunk plan under {align_with!r} "
+                "(output predates plan persistence, or has multiple plans)")
+        if plan.layout == "zorder":
+            raise ValueError(
+                "align_with: z-order plans place rows by weight value, "
+                "which differs between tables — only key-pure layouts "
+                "(hash, range) can align")
+    elif use_arrow and spec.footer_stat_col is not None and chunk_by == "hash":
         plan = layout.plan_chunks_arrow(spark, input_path, target_tokens,
                                         n_chunks=n_chunks, spec=spec)
     else:
@@ -1933,6 +1964,7 @@ def freeze(
         n_chunks=plan.n_chunks, n_to_encode=n_missing, n_skipped=n_skipped,
     ))
     _persist_spec(output_dir, spec)
+    _persist_plan(output_dir, plan, plan_fp)
     keep_mask = None
     if n_done:
         keep_mask = ~np.unpackbits(
@@ -2248,6 +2280,113 @@ def load_output_spec(output_dir: str) -> TableSpec | None:
             return TableSpec.from_json(f.read())
     except (OSError, ValueError, KeyError):
         return None
+
+
+def _persist_plan(output_dir: str, plan: layout.ChunkPlan,
+                  plan_fp: str) -> None:
+    """Persist the chunk plan next to the output, keyed by its
+    fingerprint (Iceberg keeps the partition spec in table metadata for
+    the same reason): an aligned freeze (``align_with=``) and the
+    co-located join need the exact key→chunk mapping, not just its id.
+    Mapping rows go to parquet (up to 2^20 per source — too big for
+    JSON), scalars to a sibling JSON; idempotent per plan_id;
+    best-effort on non-local stores like :func:`_persist_spec`."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    try:
+        d = os.path.join(output_dir, "plan")
+        os.makedirs(d, exist_ok=True)
+        jpath = os.path.join(d, f"{plan_fp}.json")
+        if os.path.exists(jpath):
+            return
+        t = pa.table({
+            "source": pa.array([m[0] for m in plan.mapping], pa.string()),
+            "bucket": pa.array([m[1] for m in plan.mapping], pa.int64()),
+            "partition_id": pa.array(
+                [m[2] for m in plan.mapping], pa.int32()),
+            "chunk_base": pa.array([m[3] for m in plan.mapping], pa.int32()),
+            "n_salts": pa.array([m[4] for m in plan.mapping], pa.int32()),
+        })
+        ptmp = os.path.join(d, f"{plan_fp}.parquet.tmp")
+        _pq.write_table(t, ptmp)
+        os.replace(ptmp, os.path.join(d, f"{plan_fp}.parquet"))
+        # sources can be None (null partition values) — JSON object keys
+        # can't, so dict-valued fields serialize as [key, value] pairs
+        meta = dict(
+            n_buckets=plan.n_buckets,
+            target_tokens=plan.target_tokens,
+            n_chunks=plan.n_chunks,
+            n_salted_buckets=plan.n_salted_buckets,
+            partition_of_source=[
+                [k, v] for k, v in plan.partition_of_source.items()],
+            layout=plan.layout,
+            range_bounds=(None if plan.range_bounds is None else
+                          [[k, list(v)]
+                           for k, v in plan.range_bounds.items()]),
+        )
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(jtmp, jpath)  # json last: its presence = plan complete
+    except OSError:
+        pass
+
+
+def load_output_plan(output_dir: str,
+                     plan_id: str | None = None) -> layout.ChunkPlan | None:
+    """Read back a chunk plan persisted by freeze. ``plan_id`` picks one
+    when the output holds several (ranged freezes); with one plan it is
+    optional. None when absent/ambiguous; raises on fingerprint mismatch
+    (a corrupt or hand-edited plan must never silently misplace keys)."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    d = os.path.join(output_dir, "plan")
+    try:
+        ids = sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+    except OSError:
+        return None
+    if plan_id is None:
+        if len(ids) != 1:
+            return None
+        plan_id = ids[0]
+    elif plan_id not in ids:
+        return None
+    try:
+        with open(os.path.join(d, f"{plan_id}.json")) as f:
+            meta = json.load(f)
+        t = _pq.read_table(os.path.join(d, f"{plan_id}.parquet"))
+    except (OSError, ValueError):
+        return None
+    mapping = list(zip(
+        t.column("source").to_pylist(),
+        (int(v) for v in t.column("bucket").to_pylist()),
+        (int(v) for v in t.column("partition_id").to_pylist()),
+        (int(v) for v in t.column("chunk_base").to_pylist()),
+        (int(v) for v in t.column("n_salts").to_pylist()),
+    ))
+    plan = layout.ChunkPlan(
+        n_buckets=int(meta["n_buckets"]),
+        target_tokens=int(meta["target_tokens"]),
+        n_chunks=int(meta["n_chunks"]),
+        n_salted_buckets=int(meta["n_salted_buckets"]),
+        partition_of_source={k: v for k, v in meta["partition_of_source"]},
+        mapping=mapping,
+        layout=meta.get("layout", "hash"),
+        range_bounds=(None if meta.get("range_bounds") is None else
+                      {k: tuple(v) for k, v in meta["range_bounds"]}),
+    )
+    got = _plan_fingerprint(plan)
+    if got != plan_id:
+        raise ValueError(
+            f"persisted plan {plan_id} in {output_dir!r} re-fingerprints "
+            f"as {got}: file corrupt or edited")
+    return plan
 
 
 def _write_report(output_dir: str, run_id: str, payload: dict) -> None:

@@ -902,6 +902,77 @@ def enc_freeze_embeddings(spark, sf_dir):
     )
 
 
+@q(
+    "join_colocated_frozen",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars % 64 + 1) AS BIGINT) AS n_tok_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(sum(list_aggregate({_TOK_SQL}, 'sum')) AS BIGINT)
+               AS token_value_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def join_colocated_frozen(spark, sf_dir):
+    """Zero-exchange join of two frozen tables sharing a chunk plan.
+
+    The Iceberg storage-partitioned-join shape: the corpus (tokens) and
+    an enrichment table (lang, n_chars) freeze with ``align_with`` so
+    every doc_id lives in the same chunk_id on both sides, then
+    ``colocated.join_frozen`` zips them chunk-by-chunk — no payload
+    shuffle on either side (``require_colocated=True`` makes the query
+    FAIL rather than silently fall back to a relational join). tokens /
+    n_tok come from side A and lang / n_chars from side B, so the agg
+    only matches the oracle if the join matched every pair exactly.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import colocated, engine
+    from .tablespec import ColumnSpec, TableSpec
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_coloc_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    seqs = sequences_from_documents(spark, sf_dir)
+    seqs.write.parquet(f"{base}/in_a")
+    docmeta = TableSpec(
+        name="docmeta",
+        key="doc_id",
+        columns=(
+            ColumnSpec("doc_id", "str"),
+            ColumnSpec("lang", "str"),
+            ColumnSpec("n_chars", "int64"),
+            ColumnSpec("source", "str"),
+        ),
+        partition_col="source",
+        weight="n_chars",
+    )
+    _t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%012d", "doc_id").alias("doc_id"),
+        "lang", "n_chars", "source",
+    ).write.parquet(f"{base}/in_b")
+    n_docs = seqs.count()
+    engine.freeze(spark, f"{base}/in_a", f"{base}/out_a",
+                  target_tokens=max(2_000, n_docs))
+    engine.freeze(spark, f"{base}/in_b", f"{base}/out_b", spec=docmeta,
+                  align_with=f"{base}/out_a")
+    j = colocated.join_frozen(
+        spark, f"{base}/out_a", f"{base}/out_b",
+        columns_a=["tokens", "n_tok"], columns_b=["lang", "n_chars"],
+        require_colocated=True,
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tok_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)"))
+        .cast("long").alias("token_value_sum"),
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
