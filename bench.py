@@ -238,6 +238,7 @@ QUERY_SUBSET = [
     "span_corrupt_t5",
     "semantic_dedup",
     "pricing_summary_q1",
+    "join_colocated_frozen",
 ]
 
 
