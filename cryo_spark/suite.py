@@ -973,6 +973,150 @@ def join_colocated_frozen(spark, sf_dir):
     )
 
 
+# Count-Min Sketch over bigrams: d independent mod-prime hash rows, all
+# parameters small enough that a*(k % P) stays below 2^57 — exact in
+# int64/uint64 on every engine, so DuckDB replays the sketch bit-for-bit.
+_CMS_P = 2147483647          # 2^31 - 1 (Mersenne prime)
+_CMS_W = 8192                # buckets per row
+_CMS_PARAMS = (              # (row j, multiplier a, offset b) — primes
+    (0, 1299709, 104729),
+    (1, 15485863, 224737),
+    (2, 32452843, 350377),
+    (3, 49979687, 479909),
+)
+_CMS_V = 50257               # token-id space; bigram key = t1*V + t2
+
+
+def _cms_kernel():
+    """mapInArrow: per-task Count-Min sketch of adjacent-token-pair keys.
+
+    Each task folds ALL its rows into one d x w counter grid and emits
+    only the nonzero cells — the exchange carries <= d*w rows per task
+    no matter how many bigrams the task saw. Doc boundaries are masked
+    arithmetically (the pair starting at each doc's last token crosses
+    into the next doc and is dropped), so the counts equal the sum of
+    per-doc bigram counts exactly.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        sketch = np.zeros((len(_CMS_PARAMS), _CMS_W), dtype=np.int64)
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            arr = t.column("tokens").combine_chunks()
+            off = np.asarray(arr.offsets, dtype=np.int64)
+            off = off - off[0]
+            flat = np.asarray(
+                arr.flatten().to_numpy(zero_copy_only=False), dtype=np.int64)
+            if len(flat) < 2:
+                continue
+            keys = flat[:-1] * _CMS_V + flat[1:]
+            last = off[1:] - 1  # pairs starting at a doc's last token
+            last = last[(last >= 0) & (last < len(keys))]
+            mask = np.ones(len(keys), dtype=bool)
+            mask[last] = False
+            keys = keys[mask] % _CMS_P
+            for j, a, c in _CMS_PARAMS:
+                h = ((a * keys + c) % _CMS_P) % _CMS_W
+                sketch[j] += np.bincount(h, minlength=_CMS_W)
+        js, buckets = np.nonzero(sketch)
+        if len(js):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(js.astype(np.int32)),
+                 pa.array(buckets.astype(np.int32)),
+                 pa.array(sketch[js, buckets])],
+                names=["j", "bucket", "cnt"],
+            )
+
+    return fn
+
+
+@q(
+    "heavy_hitters_cms",
+    f"""
+    WITH seq AS (SELECT {_TOK_SQL} AS l FROM documents),
+         pairs AS (SELECT unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+                   FROM seq WHERE len(l) >= 2),
+         counts AS (
+           SELECT CAST(p[1] AS BIGINT) AS t1, CAST(p[2] AS BIGINT) AS t2,
+                  CAST(p[1] AS BIGINT) * {_CMS_V} + CAST(p[2] AS BIGINT) AS k,
+                  count(*) AS c
+           FROM pairs GROUP BY 1, 2, 3),
+         js AS (SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_PARAMS)})
+                t(j, a, b)),
+         sketch AS (
+           SELECT j, ((a * (k % {_CMS_P}) + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+                  sum(c) AS cnt
+           FROM counts CROSS JOIN js GROUP BY 1, 2),
+         cand AS (SELECT t1, t2, k, c FROM counts
+                  ORDER BY c DESC, t1, t2 LIMIT 20),
+         probe AS (
+           SELECT cand.t1, cand.t2, cand.c, js.j,
+                  ((js.a * (cand.k % {_CMS_P}) + js.b) % {_CMS_P}) % {_CMS_W}
+                      AS bucket
+           FROM cand CROSS JOIN js)
+    SELECT CAST(probe.t1 AS INT) AS t1, CAST(probe.t2 AS INT) AS t2,
+           CAST(probe.c AS BIGINT) AS freq,
+           CAST(min(sketch.cnt) AS BIGINT) AS cms_est
+    FROM probe JOIN sketch USING (j, bucket)
+    GROUP BY 1, 2, 3
+    """,
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters by Count-Min Sketch — bounded memory at any scale.
+
+    The exact bigram group-by (token_pair_topk) exchanges one partial
+    row per distinct pair per task; over a 100 TB corpus with hashed
+    n-gram features the distinct count explodes. The CMS path bounds
+    the exchange at d*w = 32,768 counters PER TASK regardless of corpus
+    size, and the merged sketch answers any frequency probe within the
+    classic overestimate bound (est >= true; est <= true + eps*N w.h.p.).
+    This query builds the sketch distributed, then probes it with the
+    20 exact top bigrams: the oracle replays the identical mod-prime
+    arithmetic from exact counts (sum-over-colliders == streamed
+    bincount), so every estimated cell matches bit-for-bit — including
+    how much each estimate overshoots.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    sketch = (
+        amap(seqs.select("tokens"), _cms_kernel(), "j int, bucket int, cnt long")
+        .groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    pairs = seqs.filter(F.col("n_tok") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(0, n_tok - 2), "
+            "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2))"
+        )).alias("p")
+    )
+    cand = (
+        pairs.groupBy(F.col("p.t1").cast("long").alias("t1"),
+                      F.col("p.t2").cast("long").alias("t2"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "t1", "t2")
+        .limit(20)
+        .withColumn("k", F.col("t1") * _CMS_V + F.col("t2"))
+    )
+    js = spark.createDataFrame(list(_CMS_PARAMS), "j int, a long, b long")
+    probe = cand.crossJoin(js).withColumn(
+        "bucket",
+        (((F.col("a") * (F.col("k") % _CMS_P) + F.col("b")) % _CMS_P)
+         % _CMS_W).cast("int"),
+    )
+    return (
+        sketch.join(F.broadcast(probe), ["j", "bucket"])
+        .groupBy("t1", "t2", "freq")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(F.col("t1").cast("int").alias("t1"),
+                F.col("t2").cast("int").alias("t2"),
+                F.col("freq").cast("long").alias("freq"),
+                F.col("cms_est").cast("long").alias("cms_est"))
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
