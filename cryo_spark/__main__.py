@@ -117,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("--branch", default=None,
                     help="commit the run to this snapshot branch "
                          "(invisible on main until publish)")
+    fz.add_argument("--align-with", default=None, metavar="OUTPUT",
+                    help="reuse that frozen output's chunk plan so keys "
+                         "land in the same chunk_ids (enables the zero-"
+                         "exchange co-located join)")
     fz.add_argument("--overwrite", action="store_true")
     fz.add_argument("--dry-run", action="store_true")
     fz.add_argument("--master", default=None)
@@ -389,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
                 keys=args.keys, n_chunks=args.n_chunks,
                 partition_by=_split(args.partition_by),
                 spec=spec, chunk_by=args.chunk_by, branch=args.branch,
+                align_with=args.align_with,
             )
             print(json.dumps(summary))
             return 0
