@@ -1117,6 +1117,81 @@ def heavy_hitters_cms(spark, sf_dir):
     )
 
 
+_IDX_SHARD = 4096  # doc-key span per posting segment
+
+
+@q(
+    "inverted_index_stats",
+    f"""
+    WITH seq AS (SELECT doc_id AS key, {_TOK_SQL} AS l FROM documents),
+         post AS (SELECT DISTINCT key, unnest(l) AS token FROM seq),
+         seg AS (
+           SELECT token, key // {_IDX_SHARD} AS shard, key,
+                  coalesce(
+                    key - lag(key) OVER (PARTITION BY token, key // {_IDX_SHARD}
+                                         ORDER BY key),
+                    key - (key // {_IDX_SHARD}) * {_IDX_SHARD} + 1) AS delta
+           FROM post)
+    SELECT CAST(token AS INT) AS token,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT shard) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN delta < 128 THEN 1
+                         WHEN delta < 16384 THEN 2 ELSE 3 END) AS BIGINT)
+               AS idx_bytes
+    FROM seg GROUP BY token
+    """,
+)
+def inverted_index_stats(spark, sf_dir):
+    """Sharded inverted index build: token -> delta-varint posting segments.
+
+    The retrieval-index shape over a token corpus: posting lists are
+    (token, doc) pairs, SHARDED by doc-key span so no single list is
+    ever materialized whole — each segment holds at most the keys of
+    one {_IDX_SHARD}-wide key range, and segments encode independently
+    (sorted doc keys -> per-segment deltas -> varint byte sizes), which
+    is what lets a 100 TB index build stream: the only state a task
+    needs is one segment's sorted keys. Two exchanges total: the
+    distinct over (key, token) (map-side partial) and the window sort
+    within (token, shard); output is bounded by the vocabulary. The
+    first posting's delta is its offset into the shard + 1 (always > 0,
+    replayable arithmetic); byte sizes use LEB128 widths.
+    """
+    from pyspark.sql import Window
+
+    seqs = sequences_from_documents(spark, sf_dir)
+    post = seqs.select(
+        F.substring("doc_id", 5, 12).cast("long").alias("key"),
+        F.explode("tokens").alias("token"),
+    ).distinct()
+    shard = F.expr(f"key div {_IDX_SHARD}")
+    w = Window.partitionBy("token", shard).orderBy("key")
+    seg = post.select(
+        "token",
+        shard.alias("shard"),
+        F.coalesce(
+            F.col("key") - F.lag("key").over(w),
+            F.col("key") - shard * _IDX_SHARD + 1,
+        ).alias("delta"),
+    )
+    # per-(token, shard) partial first: it shares the window's
+    # partitioning (no exchange), so the token-level agg exchanges one
+    # row per SEGMENT, not one per posting
+    segs = seg.groupBy("token", "shard").agg(
+        F.count(F.lit(1)).alias("seg_docs"),
+        F.sum(
+            F.when(F.col("delta") < 128, 1)
+            .when(F.col("delta") < 16384, 2)
+            .otherwise(3)
+        ).alias("seg_bytes"),
+    )
+    return segs.groupBy("token").agg(
+        F.sum("seg_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_bytes").cast("long").alias("idx_bytes"),
+    ).select(F.col("token").cast("int").alias("token"),
+             "n_docs", "n_segments", "idx_bytes")
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
