@@ -1192,6 +1192,90 @@ def inverted_index_stats(spark, sf_dir):
              "n_docs", "n_segments", "idx_bytes")
 
 
+_DSIR_BUCKETS = 1024  # hashed bigram feature space (DSIR NeurIPS'23)
+
+
+@q(
+    "dsir_importance_weights",
+    f"""
+    WITH seq AS (SELECT printf('doc-%012d', doc_id) AS doc_id, lang,
+                        {_TOK_SQL} AS l FROM documents),
+         pairs AS (
+           SELECT doc_id, lang,
+                  unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+           FROM seq WHERE len(l) >= 2),
+         feats AS (
+           SELECT doc_id, lang,
+                  (({_CMS_PARAMS[0][1]} *
+                    ((CAST(p[1] AS BIGINT) * {_CMS_V} + CAST(p[2] AS BIGINT))
+                     % {_CMS_P}) + {_CMS_PARAMS[0][2]}) % {_CMS_P})
+                  % {_DSIR_BUCKETS} AS bucket
+           FROM pairs),
+         raw_c AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+         tgt_c AS (SELECT bucket, count(*) AS ct FROM feats
+                   WHERE lang = 'en' GROUP BY bucket),
+         ratio AS (
+           SELECT raw_c.bucket,
+                  (coalesce(ct, 0) + 1) * 1000000 // (cr + 1) AS r
+           FROM raw_c LEFT JOIN tgt_c ON raw_c.bucket = tgt_c.bucket)
+    SELECT feats.doc_id, CAST(any_value(feats.lang) AS VARCHAR) AS lang,
+           CAST(sum(ratio.r) AS BIGINT) AS weight
+    FROM feats JOIN ratio ON feats.bucket = ratio.bucket
+    GROUP BY feats.doc_id
+    ORDER BY weight DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR: importance weights toward a target domain (NeurIPS'23 shape).
+
+    Data Selection with Importance Resampling scores every raw document
+    by how much its hashed n-gram features look like a TARGET corpus
+    (here: the lang='en' slice) relative to the raw pool — the method
+    behind domain-matched pretraining subsets. Kept exactly replayable:
+    bigrams hash into {_DSIR_BUCKETS} buckets with the CMS mod-prime
+    map, the likelihood ratio is the add-one-smoothed integer
+    (ct+1)*1e6 div (cr+1) per bucket (never a float log), and a doc's
+    weight is the sum of its bigram instances' ratios. Scale shape: the
+    bucket table is a BOUNDED aggregate ({_DSIR_BUCKETS} rows at any
+    corpus size) broadcast back onto the exploded features, so scoring
+    adds zero exchange beyond the per-doc sum; top-k cuts with a full
+    (weight, doc_id) tiebreak.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%012d", "doc_id").alias("doc_id"),
+        "lang",
+        F.expr(_TOK_EXPR).alias("tokens"),
+        (F.col("n_chars") % 64 + 1).cast("int").alias("n_tok"),
+    )
+    a, b = _CMS_PARAMS[0][1], _CMS_PARAMS[0][2]
+    feats = docs.filter(F.col("n_tok") >= 2).select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            f"transform(sequence(0, n_tok - 2), i -> "
+            f"((({a}L * ((CAST(tokens[i] AS BIGINT) * {_CMS_V} + "
+            f"tokens[i + 1]) % {_CMS_P}) + {b}) % {_CMS_P}) "
+            f"% {_DSIR_BUCKETS}))"
+        )).alias("bucket"),
+    )
+    raw_c = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = feats.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct"))
+    ratio = raw_c.join(tgt_c, "bucket", "left").select(
+        "bucket",
+        F.expr("(coalesce(ct, 0L) + 1L) * 1000000L div (cr + 1L)")
+        .alias("r"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.any_value(F.col("lang")).alias("lang"),
+             F.sum("r").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "weight")
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
