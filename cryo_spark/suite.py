@@ -1276,6 +1276,63 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+@q(
+    "quantile_sketch_bins",
+    """
+    WITH b AS (SELECT source, n_chars // 16 AS bin, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, bin, c,
+                      sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                      sum(c) OVER (PARTITION BY source) AS n
+               FROM b)
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cum * 100 >= n * 50
+                         THEN (bin + 1) * 16 END) AS BIGINT) AS p50_ub,
+           CAST(min(CASE WHEN cum * 100 >= n * 90
+                         THEN (bin + 1) * 16 END) AS BIGINT) AS p90_ub,
+           CAST(min(CASE WHEN cum * 100 >= n * 99
+                         THEN (bin + 1) * 16 END) AS BIGINT) AS p99_ub
+    FROM t GROUP BY source
+    """,
+)
+def quantile_sketch_bins(spark, sf_dir):
+    """Mergeable histogram-bin quantiles — bounded exchange at any scale.
+
+    percentiles_by_type is the exact path (full sort of each group);
+    this is the sketch path a 100 TB profile job needs: each task folds
+    its rows into per-(source, 16-wide bin) counts, the exchange
+    carries at most |sources| x |bins| rows per task regardless of
+    corpus size, and the quantile answer is the first bin upper edge
+    whose cumulative count reaches ceil(p * n) — integer comparisons
+    (cum*100 >= n*p) both engines evaluate identically, never a float
+    rank. The answer is exact-to-one-bin by construction (every value
+    in [bin*16, bin*16+16) reports the same edge).
+    """
+    from pyspark.sql import Window
+
+    bins = _t(spark, sf_dir, "documents").groupBy(
+        "source", F.expr("n_chars div 16").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source")
+    t = bins.select(
+        "source", "bin", "c",
+        F.sum("c").over(w.orderBy("bin")).alias("cum"),
+        F.sum("c").over(w).alias("n"),
+    )
+
+    def edge(p: int, name: str):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("n") * p,
+                   (F.col("bin") + 1) * 16)
+        ).cast("long").alias(name)
+
+    return t.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        edge(50, "p50_ub"), edge(90, "p90_ub"), edge(99, "p99_ub"),
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
