@@ -300,3 +300,28 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def cms_stream(seqs: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch over adjacent-token pairs.
+
+    The streaming face of ``heavy_hitters_cms``: an exact streaming
+    bigram count would hold one state row per DISTINCT pair — unbounded
+    over a hashed-feature space; the sketch caps the streaming state at
+    d*w = 32,768 cells no matter how long the stream runs or how many
+    distinct pairs it carries. Each micro-batch folds its rows through
+    the same mod-prime kernel as the batch query (per-task partial
+    grids, <= d*w rows emitted per task), and the stateful sum merges
+    them — counts are monotone, so run the query in update or complete
+    mode and probe the sink with the batch query's row-min arithmetic.
+    Exactness contract matches the batch path: the merged cell values
+    equal the bincount of every bigram seen so far, bit for bit.
+    """
+    from pyspark.sql import functions as F
+
+    from .arrowutil import amap
+    from .suite import _cms_kernel
+
+    cells = amap(seqs.select("tokens"), _cms_kernel(),
+                 "j int, bucket int, cnt long")
+    return cells.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
