@@ -1333,6 +1333,97 @@ def quantile_sketch_bins(spark, sf_dir):
     )
 
 
+_TSAMPLE_K = 1000  # total docs the balanced mixture should keep
+
+
+@q(
+    "temperature_sample_langs",
+    f"""
+    WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         w AS (SELECT lang, n_docs,
+                      CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                           AS BIGINT) AS wgt
+               FROM n),
+         t AS (SELECT lang, n_docs, wgt,
+                      {_TSAMPLE_K} * wgt // (SELECT sum(wgt) FROM w) AS target
+               FROM w),
+         ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ({_CMS_PARAMS[1][1]} * (doc_id % {_CMS_P})
+                              + {_CMS_PARAMS[1][2]}) % {_CMS_P}, doc_id
+                  ) AS rk
+           FROM documents)
+    SELECT t.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.target AS BIGINT) AS target,
+           CAST(count(ranked.doc_id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(ranked.doc_id), 0) AS BIGINT) AS kept_id_sum
+    FROM t LEFT JOIN ranked
+      ON ranked.lang = t.lang AND ranked.rk <= t.target
+    GROUP BY t.lang, t.n_docs, t.target
+    """,
+)
+def temperature_sample_langs(spark, sf_dir):
+    """Temperature-scaled language balancing (the mT5/XLM-R mixture rule).
+
+    Rare languages are upweighted by sampling proportionally to
+    n_l^alpha instead of n_l; alpha = 0.5 keeps the whole computation
+    engine-exact because IEEE sqrt is correctly rounded (a general pow
+    is not), and the weight is floored to integer micros before the
+    quota split. Membership is a reproducible rank cut: docs rank by a
+    mod-prime hash coin (full doc_id tiebreak) within their language
+    and the first `target` ranks stay — identical at any parallelism,
+    any engine, any epoch. Scale shape: the language histogram and
+    quota table are bounded aggregates; the rank is one window exchange
+    partitioned by lang (languages are few and fat — at 100 TB the rank
+    cut would move to the per-shard quota form of source_quota_cap, the
+    documented knob); output is O(|langs|), pinned by kept-id sums.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.select(
+        "lang", "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000)
+        .cast("long").alias("wgt"),
+    )
+    total = w.agg(F.sum("wgt")).first()[0]
+    t = w.select(
+        "lang", "n_docs",
+        F.expr(f"{_TSAMPLE_K} * wgt div {total}").alias("target"),
+    )
+    a, b = _CMS_PARAMS[1][1], _CMS_PARAMS[1][2]
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.expr(f"({a}L * (doc_id % {_CMS_P}) + {b}) % {_CMS_P}"),
+            "doc_id",
+        )
+    )
+    ranked = docs.select("doc_id", "lang", rk.alias("rk"))
+    kept = ranked.join(F.broadcast(t), "lang").filter(
+        F.col("rk") <= F.col("target"))
+    return (
+        t.join(
+            kept.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_kept_raw"),
+                F.sum("doc_id").alias("kept_sum_raw"),
+            ),
+            "lang", "left",
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("target").cast("long").alias("target"),
+            F.coalesce(F.col("n_kept_raw"), F.lit(0))
+            .cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_sum_raw"), F.lit(0))
+            .cast("long").alias("kept_id_sum"),
+        )
+    )
+
+
 # ===========================================================================
 # reference operator inventory (SURVEY.md §2) over the TPC-H-ish tables
 # ===========================================================================
