@@ -201,10 +201,21 @@ def _decode_side(paths: list[str], columns: list[str],
     """Decode whole encoded files into per-chunk arrow tables (only the
     requested columns' payloads are decoded; the rest are pruned by the
     row filter on ``column``)."""
+    from .sources import select_row_groups
+
     out: dict[int, pa.Table] = {}
     want = pa.array(columns, pa.string())
     for path in paths:
-        tbl = pq.read_table(path, columns=ENC_COLUMNS)
+        # physical projection (engine._enc_writer clusters by column):
+        # read only the row groups whose column band intersects
+        rgs = select_row_groups(path, "column", set(columns))
+        if rgs is None:
+            tbl = pq.read_table(path, columns=ENC_COLUMNS)
+        elif not rgs:
+            continue
+        else:
+            tbl = pq.ParquetFile(path).read_row_groups(
+                rgs, columns=ENC_COLUMNS, use_threads=False)
         tbl = tbl.filter(pc.and_(
             pc.equal(tbl.column("status"), "ok"),
             pc.is_in(tbl.column("column"), value_set=want),

@@ -262,6 +262,45 @@ def _encode_partition(spec: TableSpec = SEQUENCES):
     return fn
 
 
+ENC_BLOCK_BYTES = 8 << 20  # encoded-file row-group target (see _enc_writer)
+
+
+def _enc_writer(enc: DataFrame):
+    """Writer for encoded-chunk tables, with the rows of each write task
+    clustered by (column, chunk_id).
+
+    Clustering is what makes PROJECTION reach the physical layout: an
+    interleaved file puts every column into every parquet row group, so
+    a reader that wants only ``n_tok`` still pays the IO of every
+    ``tokens`` payload cell in every row group it touches. Sorted, each
+    row group holds (mostly) one column's band, so Catalyst's pushed
+    ``column IN (...)`` filter (relational decode) and the arrow fast
+    path's explicit row-group selection skip unwanted columns' payload
+    BYTES at scan time. Partition-local sort: no exchange, and every
+    chunk's rows stay inside their one file (the decode_frozen
+    contract). Payload cells are already zstd-framed by the codecs:
+    snappy re-compression + dictionary pages measured 2.4x slower at
+    identical on-disk size.
+    """
+    return (
+        enc.sortWithinPartitions("column", "chunk_id")
+        .write
+        .option("compression", "uncompressed")
+        .option("parquet.enable.dictionary", "false")
+        # bounded row groups, or clustering is moot: the writer only
+        # CHECKS accumulated size every `row.check` records, and the
+        # default cadence (100+) never fires on a file of a few dozen
+        # multi-MB payload rows — every file ends up ONE giant row
+        # group and a projection must read it whole. 8 MiB groups of
+        # checked-every-few-rows writes give a skinny read ~12 groups
+        # per GB to skip; page/footer overhead at these cell sizes is
+        # noise (measured: full-decode throughput unchanged).
+        .option("parquet.block.size", str(ENC_BLOCK_BYTES))
+        .option("parquet.page.size.row.check.min", "2")
+        .option("parquet.page.size.row.check.max", "16")
+    )
+
+
 def _failed_chunk_row(chunk: pa.Table, err: Exception,
                       spec: TableSpec = SEQUENCES) -> pa.Table:
     row = dict(
@@ -825,17 +864,32 @@ def decode_frozen(spark: SparkSession, output_dir: str,
     from . import sources
 
     read_cols = ["chunk_id", "column", "n_rows", "status", "payload"]
+    # physical projection: encoded files are clustered by (column,
+    # chunk_id) (engine._enc_writer), so a skinny decode reads only the
+    # row groups whose `column` band intersects the wanted set — the
+    # fat payload columns' bytes never leave disk. Whole-file reads
+    # (all columns wanted) skip the footer pass entirely.
+    rg_sel: dict[str, list[int]] | None = None
+    if len(dec_cols) < len(all_cols):
+        wanted = set(dec_cols)
+        rg_sel = {}
+        for p in (*clean_files, *(f for fl in dropped_files.values()
+                                  for f in fl)):
+            rgs = sources.select_row_groups(p, "column", wanted)
+            if rgs is not None:
+                rg_sel[p] = rgs
     legs = []
     if clean_files:
         legs.append(sources.arrow_scan_files(
             spark, clean_files, read_cols,
-            _decode_files_kernel(dec_cols, spec), spec.spark_ddl(dec_cols)))
+            _decode_files_kernel(dec_cols, spec), spec.spark_ddl(dec_cols),
+            row_groups=rg_sel))
     for r, fl in sorted(dropped_files.items()):
         legs.append(sources.arrow_scan_files(
             spark, fl, read_cols,
             _decode_files_kernel(dec_cols, spec,
                                  drop_bits=drop_by_run[r].tobytes()),
-            spec.spark_ddl(dec_cols)))
+            spec.spark_ddl(dec_cols), row_groups=rg_sel))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -1420,10 +1474,8 @@ def upsert(
     plan = layout.plan_chunks(merged, target_tokens, spec=spec)
     run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
-    _grouped_encode(merged, plan, spec=spec).write.mode("error") \
-        .option("compression", "uncompressed") \
-        .option("parquet.enable.dictionary", "false") \
-        .parquet(enc_dir)
+    _enc_writer(_grouped_encode(merged, plan, spec=spec)) \
+        .mode("error").parquet(enc_dir)
     if n_affected:
         affected.withColumnRenamed("run", "target_run").coalesce(1) \
             .write.mode("error") \
@@ -1549,10 +1601,8 @@ def purge_deletes(
     plan = layout.plan_chunks(keep, target_tokens, spec=spec)
     run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
-    _grouped_encode(keep, plan, spec=spec).write.mode("error") \
-        .option("compression", "uncompressed") \
-        .option("parquet.enable.dictionary", "false") \
-        .parquet(enc_dir)
+    _enc_writer(_grouped_encode(keep, plan, spec=spec)) \
+        .mode("error").parquet(enc_dir)
     affected.withColumnRenamed("run", "target_run").coalesce(1) \
         .write.mode("error") \
         .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
@@ -1978,12 +2028,7 @@ def freeze(
             plan, keep_mask, spec=spec)
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
     t_enc = time.perf_counter()
-    # payload cells are already zstd-framed by the codecs: snappy re-
-    # compression + dictionary-page attempts on multi-MB binary values
-    # measured 2.4x slower at identical on-disk size
-    writer = enc.write.mode("error") \
-        .option("compression", "uncompressed") \
-        .option("parquet.enable.dictionary", "false")
+    writer = _enc_writer(enc).mode("error")
     if partition_by:
         # the reference's partition_by: one output directory per value
         # combination (crates/freeze/src/types/partitions.rs:290-337);
@@ -2140,10 +2185,8 @@ def compact(
         return no_op
     run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
-    _grouped_encode(rows, plan, spec=spec).write.mode("error") \
-        .option("compression", "uncompressed") \
-        .option("parquet.enable.dictionary", "false") \
-        .parquet(enc_dir)
+    _enc_writer(_grouped_encode(rows, plan, spec=spec)) \
+        .mode("error").parquet(enc_dir)
     cand_keys.withColumnRenamed("run", "target_run").coalesce(1) \
         .write.mode("error") \
         .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")

@@ -5,6 +5,7 @@ from .parquet_arrow import (
     pack_tasks,
     plan_scan_tasks,
     scan_meta,
+    select_row_groups,
     supports,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "pack_tasks",
     "plan_scan_tasks",
     "scan_meta",
+    "select_row_groups",
     "supports",
 ]

@@ -188,6 +188,45 @@ def arrow_scan(
     return _run_tasks(spark, tasks, columns, kernel, out_ddl)
 
 
+def select_row_groups(path: str, column: str,
+                      wanted: set) -> list[int] | None:
+    """Row groups whose ``column`` min/max stats may contain ANY wanted
+    value; None when any group lacks stats (caller reads everything).
+
+    The physical-projection half of the encoded layout: files written
+    by engine._enc_writer cluster rows by (column, chunk_id), so a
+    skinny projection's wanted values fall into a contiguous band of
+    row groups and everything outside the band — the fat payload
+    columns — is never read off disk.
+    """
+    md = pq.ParquetFile(path).metadata
+    out: list[int] = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        stats = None
+        for c in range(g.num_columns):
+            col = g.column(c)
+            if col.path_in_schema == column:
+                stats = col.statistics
+                break
+        if stats is None or not stats.has_min_max:
+            return None
+        if any(stats.min <= w <= stats.max for w in wanted):
+            out.append(rg)
+    return out
+
+
+def _runs(rgs: list[int]) -> list[tuple[int, int]]:
+    """Collapse a sorted row-group list into (start, count) runs."""
+    runs: list[tuple[int, int]] = []
+    for rg in rgs:
+        if runs and runs[-1][0] + runs[-1][1] == rg:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+        else:
+            runs.append((rg, 1))
+    return runs
+
+
 def _run_tasks(spark, tasks, columns, kernel, out_ddl) -> DataFrame:
     tdf = spark.createDataFrame(
         [(list(p), list(s), list(c)) for p, s, c in tasks],
@@ -200,11 +239,20 @@ def _run_tasks(spark, tasks, columns, kernel, out_ddl) -> DataFrame:
                 paths = tb.column("paths")[row].as_py()
                 starts = tb.column("rg_starts")[row].as_py()
                 counts = tb.column("rg_counts")[row].as_py()
-                for path, start, count in zip(paths, starts, counts):
+                # consecutive segments of the same path read as ONE
+                # kernel invocation: a row-group SELECTION (possibly
+                # non-contiguous) must not split a file's chunks across
+                # invocations — the file-granular decode contract
+                i = 0
+                while i < len(paths):
+                    path = paths[i]
+                    rgs: list[int] = []
+                    while i < len(paths) and paths[i] == path:
+                        rgs.extend(range(starts[i], starts[i] + counts[i]))
+                        i += 1
                     pf = pq.ParquetFile(path)
                     t = pf.read_row_groups(
-                        list(range(start, start + count)),
-                        columns=columns, use_threads=False,
+                        rgs, columns=columns, use_threads=False,
                     )
                     yield from kernel(t.to_batches())
 
@@ -218,6 +266,7 @@ def arrow_scan_files(
     kernel,
     out_ddl: str,
     target_bytes: int = DEFAULT_TASK_BYTES,
+    row_groups: dict[str, list[int]] | None = None,
 ) -> DataFrame:
     """Arrow scan over an explicit file list with FILE-granular splits.
 
@@ -226,19 +275,27 @@ def arrow_scan_files(
     shuffle-free decode relies on (an encoded chunk's rows never span
     files, but do span row groups). Multiple small files still pack
     into one task; the kernel runs per file within it.
+
+    ``row_groups`` restricts each file to the given row-group subset
+    (from :func:`select_row_groups`): one kernel invocation still sees
+    all of a file's SELECTED groups together, so per-chunk decode stays
+    whole for every surviving column.
     """
     want = set(columns)
     metas = []
     for path in files:
         md = pq.ParquetFile(path).metadata
+        rgs = (row_groups.get(path) if row_groups is not None else None)
+        if rgs is None:
+            rgs = list(range(md.num_row_groups))
         nbytes = sum(
             g.column(c).total_uncompressed_size
-            for rg in range(md.num_row_groups)
+            for rg in rgs
             for g in [md.row_group(rg)]
             for c in range(g.num_columns)
             if g.column(c).path_in_schema.split(".")[0] in want
         )
-        metas.append((path, nbytes, md.num_row_groups))
+        metas.append((path, nbytes, rgs))
     par = max(1, spark.sparkContext.defaultParallelism)
     total = sum(m[1] for m in metas)
     n_desired = max(1, -(-total // target_bytes))
@@ -247,10 +304,13 @@ def arrow_scan_files(
     tasks: list[tuple[list[str], list[int], list[int]]] = []
     cur: tuple[list[str], list[int], list[int]] = ([], [], [])
     acc = 0
-    for path, nbytes, n_rg in metas:
-        cur[0].append(path)
-        cur[1].append(0)
-        cur[2].append(n_rg)
+    for path, nbytes, rgs in metas:
+        if not rgs:
+            continue  # no surviving row groups: nothing to read
+        for start, count in _runs(rgs):
+            cur[0].append(path)
+            cur[1].append(start)
+            cur[2].append(count)
         acc += nbytes
         if acc >= per_task:
             tasks.append(cur)

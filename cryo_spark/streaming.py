@@ -64,10 +64,7 @@ def stream_encode(
                                      spec=spec)
         run_id = f"stream{batch_id:08d}"
         enc_dir = f"{output_dir}/encoded/run={run_id}"
-        enc.write.mode("overwrite") \
-            .option("compression", "uncompressed") \
-            .option("parquet.enable.dictionary", "false") \
-            .parquet(enc_dir)
+        engine._enc_writer(enc).mode("overwrite").parquet(enc_dir)
         written = batch_df.sparkSession.read.parquet(enc_dir)
         written.select(*engine.MANIFEST_COLUMNS).write.mode("overwrite").parquet(
             f"{output_dir}/manifest/run={run_id}"
