@@ -3142,6 +3142,51 @@ def ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "near_dup_editdist",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 64), substr(b.text, 1, 64))
+                AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id % 23 = 0 AND b.doc_id % 23 = 0
+      AND a.lang = b.lang
+      AND abs(a.n_chars - b.n_chars) <= 256
+    """,
+)
+def near_dup_editdist(spark, sf_dir):
+    """Edit-distance near-dup verification (the classic string metric).
+
+    The third verify primitive next to shingle-jaccard and
+    embedding-cosine: exact Levenshtein on 64-char prefixes, over a
+    deterministic sampled pair set PRE-FILTERED by cheap invariants
+    (same lang, |len diff| <= 256) — the production shape, since edit
+    distance is O(m*n) per pair and must only ever run on a short
+    candidate list (LSH bands or length buckets), never all pairs.
+    Both engines implement standard Levenshtein, so the distances are
+    engine-exact with no tolerance.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 0)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la"),
+                 F.col("n_chars").alias("ca"),
+                 F.substring("text", 1, 64).alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb"),
+                 F.col("n_chars").alias("cb"),
+                 F.substring("text", 1, 64).alias("tb"))
+    return (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("la") == F.col("lb"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= 256),
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        )
+    )
+
+
 _PLANE_SPARK = (
     "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
     "(v, d) -> CAST(v AS DOUBLE) * (CAST((({b} * 64 + d) * 48271 + 11) % 1000003 AS DOUBLE) "
