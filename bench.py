@@ -239,6 +239,8 @@ QUERY_SUBSET = [
     "semantic_dedup",
     "pricing_summary_q1",
     "join_colocated_frozen",
+    "heavy_hitters_cms",
+    "inverted_index_stats",
 ]
 
 

@@ -6245,3 +6245,190 @@ def span_dup_fraction(spark, sf_dir):
             .alias("kept"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# as-of join: last event state before each probe row
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_join_last_purchase",
+    """
+    WITH p AS (SELECT user_id, ts, round(value, 4) AS pval
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view')
+    SELECT CAST(v.event_id AS BIGINT) AS event_id,
+           CAST(v.user_id AS BIGINT) AS user_id,
+           v.ts AS view_ts,
+           p.ts AS last_purchase_ts,
+           CAST(p.pval AS DOUBLE) AS last_purchase_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """Full as-of join: for every 'view' event, the latest 'purchase'
+    by the same user at ts <= view ts (analog of the reference's
+    timestamp->block resolution, `crates/freeze/src/types/chunks/
+    chunk_ops.rs` binary-search shape — generalized from one probe to
+    a whole probe table).
+
+    Scale plan: NOT a range join (quadratic per key) — both sides are
+    tagged and unioned, then ONE shuffle by user_id with an in-partition
+    sort ('ts', tag) and a running `last(..., ignorenulls)` carries the
+    most recent purchase forward into each view row. Cost is
+    sort-merge-like: O(n log n) per key, one exchange total, no
+    candidate blow-up. Ties at equal ts resolve purchase-first
+    (tag 0 < 1), matching ASOF's >= semantics.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.round("value", 4).alias("pval"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("pval"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = p.unionByName(v)
+    return (
+        tagged.withColumn(
+            "last_purchase_ts",
+            F.last(F.when(F.col("tag") == 0, F.col("ts")), True).over(w),
+        )
+        .withColumn(
+            "last_purchase_value",
+            F.last(F.when(F.col("tag") == 0, F.col("pval")), True).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").alias("view_ts"),
+            "last_purchase_ts",
+            F.col("last_purchase_value").cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join: explicit hot-key fan-out
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "join_salted_skew",
+    """
+    WITH e AS (SELECT user_id * 10 + event_id % 10 AS k,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(e.cents) AS BIGINT) AS total_cents
+    FROM e JOIN customer c ON e.k = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-resistant join: explicit salting of the fact side.
+
+    The engine already salts its encode shuffle (layout.py); this is
+    the query-side idiom for a join whose key histogram is hot: the
+    fact side gets a deterministic salt in [0, S), the dim side is
+    replicated S times via posexplode, and the join key becomes
+    (k, salt) — a hot key's rows now land on S reducers instead of
+    one. Results are provably identical to the unsalted join (the
+    oracle IS the unsalted join). At 100 TB, S is chosen from the key
+    histogram (AQE's skew-join split is the adaptive version; salting
+    is the static, deterministic one that also works for aggregations
+    AQE can't split). Money is summed as per-row integer cents so the
+    aggregate is order-independent and bit-identical across engines.
+    """
+    S = 8
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") * 10 + F.col("event_id") % 10).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % S).cast("int").alias("salt"),
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    j = e.join(c, (e.k == c.c_custkey) & (e.salt == c.salt))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "gopher_quality_rules",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+             CAST(len(list_filter(string_split(text, ' '),
+                      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+               AS n_alpha_words
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, n_alpha_words,
+           CAST(round(n_nonspace * 1.0 / n_words, 4) AS DOUBLE)
+             AS mean_word_len,
+           (n_words >= 5 AND n_words <= 1000
+            AND n_nonspace * 10 >= n_words * 20
+            AND n_nonspace * 10 <= n_words * 120
+            AND n_alpha_words * 10 >= n_words * 6) AS kept
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Composite document-quality rules (Gopher / MassiveText style).
+
+    Rae et al. 2021 filter documents on word count bounds, mean word
+    length bounds and the fraction of words containing an alphabetic
+    character. Thresholds are applied as integer cross-multiplications
+    (n_nonspace * 10 >= n_words * 20 instead of mean >= 2.0) so the
+    verdict never depends on float rounding. Pure built-in column
+    expressions — one scan, no shuffle, whole-stage codegen; the
+    `kept` flag is the row filter a pipeline would push down.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    m = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long")
+        .alias("n_nonspace"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("long").alias("n_alpha_words"),
+    )
+    return m.select(
+        "doc_id", "n_words", "n_alpha_words",
+        F.round(F.col("n_nonspace") / F.col("n_words"), 4)
+        .cast("double").alias("mean_word_len"),
+        (
+            (F.col("n_words") >= 5) & (F.col("n_words") <= 1000)
+            & (F.col("n_nonspace") * 10 >= F.col("n_words") * 20)
+            & (F.col("n_nonspace") * 10 <= F.col("n_words") * 120)
+            & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 6)
+        ).alias("kept"),
+    )
