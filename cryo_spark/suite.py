@@ -6432,3 +6432,135 @@ def gopher_quality_rules(spark, sf_dir):
             & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 6)
         ).alias("kept"),
     )
+
+# ---------------------------------------------------------------------------
+# rolling range-frame window: per-event trailing 1-hour user stats
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rolling_user_window",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS trail_cents,
+           CAST(count(*) OVER w AS BIGINT) AS trail_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_window(spark, sf_dir):
+    """Trailing 1-hour per-user rolling stats — a RANGE window frame.
+
+    The suite's other windows are row frames or tumbling buckets; a
+    trailing time range (`RANGE BETWEEN 1 hour PRECEDING`) is the shape
+    sessionized feature pipelines actually use. One shuffle by user_id,
+    in-partition sort by event time, frame bounds in microseconds over
+    `unix_micros(ts)` so both engines frame on exact integers; money is
+    per-row integer cents so the sliding sum is order-independent.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        # ts is TIMESTAMP_NTZ: diff against the NTZ epoch is tz-free on
+        # both engines (unix_micros would re-interpret in session tz)
+        F.expr("timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum("cents").over(w).cast("long").alias("trail_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast-Bloom join pruning: runtime-filter idiom, exact result
+# ---------------------------------------------------------------------------
+
+_BLJ_M = 1 << 16            # bloom bits (power of two)
+_BLJ_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+@q(
+    "bloom_join_prune",
+    f"""
+    WITH dim AS (SELECT DISTINCT o_custkey AS k FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+         fact AS (SELECT user_id * 10 + event_id % 10 AS k,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM fact WHERE k IN (SELECT k FROM dim)
+    """,
+)
+def bloom_join_prune(spark, sf_dir):
+    """Runtime Bloom-filter pruning before a semi join — exact result.
+
+    The at-scale idiom behind Spark's runtime row-group filters: build a
+    Bloom filter over the dim keys on the driver (dim is small after its
+    selective predicate), broadcast it, and drop fact rows whose key
+    cannot be in the dim BEFORE the shuffle — the exchange then carries
+    only plausible rows. False positives are removed by the exact semi
+    join that follows, so the result equals the plain semi join (the
+    oracle IS the plain semi join). Bloom bits are set with three
+    integer multiply-xor probes over a 2^16-bit table — deterministic,
+    no library dependence; the filter itself is applied in a vectorized
+    mapInArrow kernel (numpy bit tests, no per-row Python).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    keys = np.array([r.k for r in dim.collect()], dtype=np.uint64)
+    bits = np.zeros(_BLJ_M // 8, dtype=np.uint8)
+    for salt in _BLJ_SALTS:
+        h = (keys * np.uint64(salt)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        idx = ((h >> np.uint64(40)) ^ h) & np.uint64(_BLJ_M - 1)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (1 << (idx & np.uint64(7))).astype(np.uint8))
+    spark_bits = spark.sparkContext.broadcast(bits.tobytes())
+
+    fact = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") * 10 + F.col("event_id") % 10).alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def kernel(batches):
+        b = np.frombuffer(spark_bits.value, dtype=np.uint8)
+        for t in batches:
+            k = t.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+            ok = np.ones(len(k), dtype=bool)
+            for salt in _BLJ_SALTS:
+                h = (k * np.uint64(salt)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                idx = ((h >> np.uint64(40)) ^ h) & np.uint64(_BLJ_M - 1)
+                ok &= (b[(idx >> np.uint64(3)).astype(np.int64)]
+                       >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+            if ok.any():
+                yield from pa.Table.from_batches([t]).filter(
+                    pa.array(ok)).combine_chunks().to_batches()
+
+    pruned = fact.mapInArrow(kernel, "k long, cents long")
+    out = pruned.join(dim, "k", "left_semi")
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("k").cast("long").alias("n_keys"),
+    )
