@@ -6564,3 +6564,171 @@ def bloom_join_prune(spark, sf_dir):
         F.sum("cents").cast("long").alias("total_cents"),
         F.countDistinct("k").cast("long").alias("n_keys"),
     )
+
+
+# ===========================================================================
+# relational vocabulary: correlated / anti-join / HAVING-vs-global shapes
+# ===========================================================================
+
+@q(
+    "correlated_small_qty",
+    """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty100,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    stats AS (
+        SELECT l_partkey, sum(qty100) AS s, count(*) AS c
+        FROM li GROUP BY l_partkey
+    )
+    SELECT CAST(sum(li.cents) AS BIGINT) AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM li
+    JOIN part ON p_partkey = li.l_partkey
+    JOIN stats ON stats.l_partkey = li.l_partkey
+    WHERE p_brand = 'Brand#4' AND li.qty100 * 5 * stats.c < stats.s
+    """,
+)
+def correlated_small_qty(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape), hand-decorrelated.
+
+    "Lineitems whose quantity is below 20% of that part's average
+    quantity" is the canonical correlated-aggregate subquery. The
+    Spark-first form is the decorrelation Catalyst itself performs: a
+    per-part partial aggregate (map-side combine, one shuffle on
+    l_partkey) joined back to the fact rows. The comparison is done in
+    exact integer arithmetic — ``qty100 * 5 * cnt < sum(qty100)`` is
+    algebraically ``qty < 0.2 * avg(qty)`` without the double division,
+    so no engine-order ulp can flip a boundary row. The brand filter
+    reduces part to a broadcast side. At 100 TB the only exchange is
+    the per-part aggregate; AQE handles any hot part key.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+        .alias("qty100"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty100").alias("s"), F.count(F.lit(1)).alias("c"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(stats, "l_partkey")
+        .filter(F.col("qty100") * 5 * F.col("c") < F.col("s"))
+    )
+    return j.agg(
+        F.sum("cents").cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+@q(
+    "antijoin_rich_dormant",
+    """
+    WITH bal AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        FROM customer WHERE c_acctbal > 0
+    ),
+    g AS (SELECT sum(cents) AS tot, count(*) AS n FROM bal)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS bal_cents
+    FROM bal, g
+    WHERE bal.cents * g.n > g.tot
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = bal.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def antijoin_rich_dormant(spark, sf_dir):
+    """NOT EXISTS anti-join against a global-average gate (TPC-H Q22).
+
+    Customers whose positive balance beats the average positive balance
+    but who never placed an urgent order. Three classic pieces in one
+    plan: a global scalar aggregate broadcast back onto the rows (no
+    second scan pass at the executor level — the scalar is one row), an
+    exact-integer average comparison (``cents * n > tot`` instead of
+    ``cents > tot/n`` so no division ulp), and a left-anti join whose
+    right side is the *filtered* orders projection (only urgent
+    custkeys move, and only the key column). At scale the anti-join
+    shuffles on custkey; the urgent filter and column prune reach the
+    parquet scan.
+    """
+    bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            .alias("cents"),
+        )
+    )
+    g = bal.agg(F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n"))
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        bal.join(F.broadcast(g))
+        .filter(F.col("cents") * F.col("n") > F.col("tot"))
+    )
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("bal_cents"),
+    )
+
+
+@q(
+    "having_global_share",
+    """
+    WITH v AS (
+        SELECT p_type,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                   * p_size AS val
+        FROM part
+    ),
+    g AS (SELECT sum(val) AS tot FROM v),
+    t AS (SELECT p_type, sum(val) AS value_cents FROM v GROUP BY p_type)
+    SELECT t.p_type, CAST(t.value_cents AS BIGINT) AS value_cents
+    FROM t, g
+    WHERE t.value_cents * 8 > g.tot
+    """,
+)
+def having_global_share(spark, sf_dir):
+    """HAVING against a global scalar (TPC-H Q11 shape).
+
+    Per-type inventory value kept only when it exceeds 1/8 of the total
+    value — the "significant stock" idiom. One aggregate produces both
+    the per-group and (via a second tiny agg over the six group rows)
+    the global total; the gate is the broadcast of a single scalar row,
+    and ``value * 8 > tot`` keeps the fraction comparison in exact
+    integers. The base scan is read once: the per-type aggregate is
+    computed first and the global total folds the six aggregated rows,
+    not the raw table.
+    """
+    v = _t(spark, sf_dir, "part").select(
+        "p_type",
+        (F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+         * F.col("p_size")).alias("val"),
+    )
+    t = v.groupBy("p_type").agg(F.sum("val").alias("value_cents"))
+    g = t.agg(F.sum("value_cents").alias("tot"))
+    return (
+        t.join(F.broadcast(g))
+        .filter(F.col("value_cents") * 8 > F.col("tot"))
+        .select("p_type", F.col("value_cents").cast("long")
+                .alias("value_cents"))
+    )
