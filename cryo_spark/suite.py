@@ -2479,6 +2479,14 @@ def _connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         edges.selectExpr("doc_b AS u", "doc_a AS v")
     )
     labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    # ONE action per round: the lazy localCheckpoint is materialized by
+    # the convergence probe itself. Min-propagation only ever lowers a
+    # node's label and the u-set is fixed, so sum(label) is strictly
+    # monotone-decreasing while anything changes — an unchanged sum IS
+    # convergence, replacing the old join-old-vs-new + count() second
+    # job (2 actions/round -> 1; decimal sum so 10^12-scale ids can't
+    # wrap the comparison).
+    prev_sum = None
     for _ in range(max_iter):
         prop = und.join(
             labels.select(F.col("u").alias("v"), F.col("label").alias("cand")), "v"
@@ -2487,17 +2495,15 @@ def _connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             labels.unionByName(prop)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.select("u", F.col("label").alias("label_new"))
-            .join(labels, "u")
-            .filter(F.col("label_new") != F.col("label"))
-            .count()
-        )
+        cur_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
