@@ -6738,3 +6738,94 @@ def having_global_share(spark, sf_dir):
         .select("p_type", F.col("value_cents").cast("long")
                 .alias("value_cents"))
     )
+
+
+# ===========================================================================
+# winnowing fingerprints (MOSS) — robust fingerprint selection
+# ===========================================================================
+
+_WINNOW_W = 4  # window size: guarantees matches of >= K + W - 1 = 8 chars
+
+
+def _winnow_kernel(batches):
+    """mapInArrow kernel: MOSS winnowing fingerprints per document.
+
+    Over each doc's 5-byte shingle-hash sequence, every W-window
+    contributes min(window); the distinct minima are the fingerprint
+    set (Schleimer/Wilkerson/Aiken, SIGMOD'03). Fully vectorized:
+    one sliding_window_view min over the batch-flat hash array, valid
+    (in-doc) window starts selected arithmetically, per-doc distinct +
+    aggregate via one sort (np.unique) and reduceat — no per-doc loop.
+    Docs with fewer than W shingles emit the single doc-wide min (the
+    same convention the oracle's truncated list slice produces).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    W = _WINNOW_W
+    for b in batches:
+        t = pa.Table.from_batches([b])
+        n = t.num_rows
+        if n == 0:
+            continue
+        h, _doc_of, n_sh = _flat_shingle_hashes(t.column("text"))
+        starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+        pad = np.concatenate(
+            (h, np.full(W - 1, np.iinfo(np.int64).max, dtype=np.int64)))
+        wmin = np.lib.stride_tricks.sliding_window_view(pad, W).min(axis=1)
+        n_win = np.maximum(n_sh - (W - 1), 1)
+        win_start = np.cumsum(n_win) - n_win
+        win_doc = np.repeat(np.arange(n, dtype=np.int64), n_win)
+        win_pos = (np.arange(len(win_doc), dtype=np.int64)
+                   - win_start[win_doc] + starts[win_doc])
+        fp = wmin[win_pos]
+        short = n_sh < W
+        if short.any():
+            doc_min = np.minimum.reduceat(h, starts)
+            fp[win_start[short]] = doc_min[short]
+        keys = np.unique(win_doc * np.int64(_J_PRIME) + fp)
+        kd, kf = keys // _J_PRIME, keys % _J_PRIME
+        gs = np.searchsorted(kd, np.arange(n, dtype=np.int64))
+        yield pa.RecordBatch.from_arrays(
+            [
+                t.column("doc_id").combine_chunks().cast(pa.int64()),
+                pa.array(np.diff(np.concatenate((gs, [len(kd)])))
+                         .astype(np.int64)),
+                pa.array(np.minimum.reduceat(kf, gs)),
+                pa.array(np.add.reduceat(kf, gs)),
+            ],
+            names=["doc_id", "n_fp", "fp_min", "fp_sum"],
+        )
+
+
+@q(
+    "winnowing_fingerprints",
+    f"""
+    WITH sh AS (SELECT doc_id, {_sql_shingles()} AS s FROM documents),
+    w AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(s) - {_WINNOW_W - 1}, 1) + 1),
+            i -> list_min(s[i:i+{_WINNOW_W - 1}]))) AS fps
+          FROM sh)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_sum(fps) AS BIGINT) AS fp_sum
+    FROM w
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS, SIGMOD'03) per document.
+
+    The plagiarism-detection / near-dup fingerprint selector the
+    single-hash doc_fingerprint can't replace: any shared substring of
+    length >= K + W - 1 = 8 forces a shared fingerprint, while only
+    ~2/(W+1) of shingles are kept. Same portable base-131 polynomial
+    arithmetic as the minhash family, so DuckDB recomputes identical
+    fingerprints from SQL lambdas. Map-only at scale (no shuffle): the
+    kernel emits per-doc summaries directly.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return amap(d, _winnow_kernel,
+                "doc_id long, n_fp long, fp_min long, fp_sum long")
