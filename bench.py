@@ -241,6 +241,9 @@ QUERY_SUBSET = [
     "join_colocated_frozen",
     "heavy_hitters_cms",
     "inverted_index_stats",
+    "winnowing_fingerprints",
+    "join_multiway_revenue",
+    "correlated_small_qty",
 ]
 
 
