@@ -3856,8 +3856,14 @@ def decontaminate_ngrams(spark, sf_dir):
         .distinct()
         .withColumn("is_contam", F.lit(True))
     )
-    flagged = corpus.select("doc_id", "source", "n_chars").join(
-        contam, "doc_id", "left"
+    # doc-level rows come straight from the table, NOT from `corpus`:
+    # corpus carries the split/gram Generate, and projecting it away
+    # does not elide the Generate node — the text split would run a
+    # third full pass just to produce (doc_id, source, n_chars).
+    flagged = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", "n_chars")
+        .join(contam, "doc_id", "left")
     )
     return flagged.groupBy("source").agg(
         F.sum(F.when(F.col("is_contam").isNull(), 1).otherwise(0))
