@@ -16,7 +16,8 @@ Public API (cryo analog: ``cryo.collect`` / ``cryo.freeze``,
 """
 
 from .colocated import join_frozen
-from .engine import (collect, compact, decode, decode_frozen, delete_where,
+from .engine import (collect, compact, consolidate_manifests, decode,
+                     decode_frozen, delete_where,
                      describe, encode, export, export_shards, freeze,
                      load_output_plan, pack, purge_deletes, read_appends,
                      read_encoded, read_manifest, upsert, vacuum,
@@ -35,7 +36,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
-    "export", "export_shards", "pack", "vacuum", "read_encoded", "read_manifest", "snapshot_log",
+    "export", "export_shards", "pack", "vacuum", "consolidate_manifests",
+    "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
     "read_appends", "join_frozen", "load_output_plan",
     "compute_used_columns", "hex_columns", "unhex_columns",

@@ -149,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="frozen output dir to vacuum in place")
     va.add_argument("--master", default=None)
 
+    cm = sub.add_parser("consolidate",
+                        help="fold per-run manifest dirs into one "
+                             "generation (Iceberg rewrite_manifests)")
+    cm.add_argument("--output", required=True,
+                    help="frozen output dir whose manifests to consolidate")
+    cm.add_argument("--master", default=None)
+
     dl = sub.add_parser("delete",
                         help="row-level delete by predicate (equality-"
                              "delete run + snapshot; merge-on-read)")
@@ -415,6 +422,13 @@ def main(argv: list[str] | None = None) -> int:
             import cryo_spark
 
             print(json.dumps(cryo_spark.vacuum(spark, args.output)))
+            return 0
+
+        if args.cmd == "consolidate":
+            import cryo_spark
+
+            print(json.dumps(
+                cryo_spark.consolidate_manifests(spark, args.output)))
             return 0
 
         if args.cmd == "delete":

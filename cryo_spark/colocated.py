@@ -75,11 +75,17 @@ def _clean_files(output_dir: str) -> list[str] | None:
         return {d for d in os.listdir(base) if d.startswith("run=")}
 
     man_runs = run_dirs(man_base)
+    # manifest consolidation: absorbed runs' dirs are gone but their
+    # rows live in the generation file — committed by definition
+    cons = snapshots.latest_consolidation(output_dir)
+    absorbed = ({f"run={r}" for r in cons["absorbed"]}
+                if cons is not None else set())
+    man_runs |= absorbed
     root_success = os.path.exists(os.path.join(man_base, "_SUCCESS"))
     committed = {
         r for r in man_runs
-        if root_success or os.path.exists(os.path.join(man_base, r,
-                                                       "_SUCCESS"))
+        if r in absorbed or root_success
+        or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
     }
     if man_runs - committed:
         return None

@@ -777,6 +777,12 @@ def decode_frozen(spark: SparkSession, output_dir: str,
             snapshots.resolve(output_dir, as_of)  # raises if no log
         return spark.createDataFrame([], spec.spark_ddl(cols))
     man_runs = run_dirs(man_base)
+    # manifest consolidation: absorbed runs have no run= dir anymore but
+    # their rows live in the generation file — committed by definition
+    cons = snapshots.latest_consolidation(output_dir)
+    absorbed = ({f"run={r}" for r in cons["absorbed"]}
+                if cons is not None else set())
+    man_runs |= absorbed
     # snapshot visibility: an explicit as_of, or an active
     # rollback/delete state (both replayed from the log); None = disk truth
     vis = (snapshots.resolve(output_dir, as_of) if as_of is not None
@@ -801,7 +807,8 @@ def decode_frozen(spark: SparkSession, output_dir: str,
     root_success = os.path.exists(os.path.join(man_base, "_SUCCESS"))
     committed = {
         r for r in man_runs
-        if root_success or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
+        if r in absorbed or root_success
+        or os.path.exists(os.path.join(man_base, r, "_SUCCESS"))
     }
     if man_runs - committed:
         return finish(decode(read_encoded(spark, output_dir, as_of=as_of),
@@ -902,6 +909,119 @@ def decode_frozen(spark: SparkSession, output_dir: str,
 
 def _manifest_path(output_dir: str) -> str:
     return f"{output_dir}/manifest"
+
+
+def _manifest_gens_path(output_dir: str) -> str:
+    return f"{output_dir}/manifest_gens"
+
+
+def consolidate_manifests(spark: SparkSession, output_dir: str) -> dict:
+    """Rewrite per-run manifest dirs into ONE generation (Iceberg
+    ``rewrite_manifests`` analog) — metadata-only, visibility unchanged.
+
+    Every freeze/compact/purge appends a ``manifest/run=<id>/`` dir; at
+    the 10^12-sequence target that is one directory (and a handful of
+    small files) per incremental run, and past ~10^5 runs the listing
+    itself becomes the scan-planning bottleneck — the exact problem
+    Iceberg's rewrite_manifests exists for. This job folds every
+    committed manifest run dir (plus the previous generation, if any)
+    into ``manifest_gens/gen=<id>/`` — a few size-bounded parquet files
+    sorted by (run, partition_id, chunk_id) with ``run`` as an ordinary
+    string column — then commits a ``consolidate`` snapshot entry and
+    deletes the absorbed dirs.
+
+    Correctness model:
+
+    - **Lossless**: the generation holds the same rows; every reader
+      (`read_manifest`) unions the latest generation with any run dirs
+      newer than it, so resume, zone-map pruning, time travel, branches,
+      rollback, changelog and verify are all unaffected (`consolidate`
+      entries are ignored by the snapshot-visibility replay).
+    - **Atomic**: a generation is readable only once its ``consolidate``
+      log entry lands (the os.link CAS in snapshots.commit). Death
+      before the commit leaves an unreferenced gen dir (garbage, never
+      read, re-collected by the next consolidation); death after the
+      commit but before the dir deletes leaves absorbed dirs that every
+      reader already excludes.
+    - **Conservative**: only run dirs that are BOTH named by the
+      snapshot log AND carry their ``_SUCCESS`` commit marker are
+      absorbed; an in-flight or mid-commit run's dir is left alone.
+
+    The reference has no analog (one process, one output dir —
+    /root/reference/crates/freeze/src/types/reports.rs keeps one report
+    file per run and never folds them); this is table-format machinery
+    the 100 TB deployment needs.
+    """
+    import math
+    import shutil
+
+    if "://" in output_dir:
+        raise ValueError(
+            "manifest consolidation is the catalog's job on a real "
+            "object store (Iceberg rewrite_manifests)")
+    entries = snapshots.log(output_dir)
+    if not entries:
+        return dict(consolidated=False, reason="no snapshot log")
+    logged_runs = {e["run"] for e in entries if e.get("run")}
+    cons = snapshots.latest_consolidation(output_dir)
+    prev_absorbed = cons["absorbed"] if cons else set()
+    man_base = _manifest_path(output_dir)
+    dirs = set()
+    if os.path.isdir(man_base):
+        dirs = {d[4:] for d in os.listdir(man_base) if d.startswith("run=")}
+    # leftovers of a consolidation that died between commit and delete
+    stale = dirs & prev_absorbed
+    root_success = os.path.exists(os.path.join(man_base, "_SUCCESS"))
+    absorb = {
+        d for d in (dirs - stale) & logged_runs
+        if root_success
+        or os.path.exists(os.path.join(man_base, f"run={d}", "_SUCCESS"))
+    }
+    for d in stale:
+        shutil.rmtree(os.path.join(man_base, f"run={d}"), ignore_errors=True)
+    if not absorb:
+        return dict(consolidated=False, reason="nothing to consolidate",
+                    n_stale_cleaned=len(stale))
+    legs = []
+    if cons is not None:
+        legs.append(spark.read.parquet(
+            f"{_manifest_gens_path(output_dir)}/gen={cons['gen']}"))
+    dir_leg = _read_run_partitioned(spark, man_base).filter(
+        F.col("run").isin(sorted(absorb)))
+    legs.append(dir_leg)
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg, allowMissingColumns=True)
+    n_rows = df.count()
+    # bounded file count is the whole point: ~1M manifest rows (a few
+    # tens of MB) per output file, global sort by run so visibility
+    # filters prune row groups
+    n_files = max(1, math.ceil(n_rows / 1_000_000))
+    new_gen = _new_run_id()
+    gen_dir = f"{_manifest_gens_path(output_dir)}/gen={new_gen}"
+    (
+        df.repartitionByRange(n_files, "run", "partition_id", "chunk_id")
+        .sortWithinPartitions("run", "partition_id", "chunk_id")
+        .write.mode("error").parquet(gen_dir)
+    )
+    absorbed_all = sorted(prev_absorbed | absorb)
+    seq = snapshots.commit(output_dir, None, "consolidate", gen=new_gen,
+                           absorbed_runs=absorbed_all)
+    # post-commit cleanup; every reader already excludes these
+    for d in absorb:
+        shutil.rmtree(os.path.join(man_base, f"run={d}"), ignore_errors=True)
+    if cons is not None:
+        shutil.rmtree(
+            f"{_manifest_gens_path(output_dir)}/gen={cons['gen']}",
+            ignore_errors=True)
+    # unreferenced gens (a prior consolidation died pre-commit)
+    gens_base = _manifest_gens_path(output_dir)
+    for g in os.listdir(gens_base):
+        if g.startswith("gen=") and g[4:] != new_gen:
+            shutil.rmtree(os.path.join(gens_base, g), ignore_errors=True)
+    return dict(consolidated=True, snapshot=seq, gen=new_gen,
+                n_absorbed_runs=len(absorb), n_rows=n_rows,
+                n_files=n_files, n_stale_cleaned=len(stale))
 
 
 def _encoded_path(output_dir: str) -> str:
@@ -1695,15 +1815,45 @@ def read_manifest(spark: SparkSession, output_dir: str,
     ``raw=True`` bypasses both (filesystem truth — vacuum's view).
     """
     man_path = _manifest_path(output_dir)
-    if "://" not in output_dir and not os.path.isdir(man_path):
+    cons = snapshots.latest_consolidation(output_dir)
+    if cons is None and "://" not in output_dir and not os.path.isdir(man_path):
         # probing a not-yet-created output through the JVM reader dumps
         # an AnalysisException stack trace into the executor log even
         # though we swallow it — answer the common local case silently
         return None
-    try:
-        man = _read_run_partitioned(spark, man_path)
-    except Exception:
+    legs = []
+    if cons is not None:
+        # consolidated generation: absorbed runs' rows live here with
+        # `run` as an ordinary (string) column. A gen the log references
+        # but whose bytes are gone is metadata corruption — raise rather
+        # than silently dropping every absorbed run's manifest.
+        gen_dir = f"{_manifest_gens_path(output_dir)}/gen={cons['gen']}"
+        try:
+            legs.append(spark.read.parquet(gen_dir))
+        except Exception as e:
+            raise ValueError(
+                f"manifest generation {cons['gen']!r} referenced by "
+                f"snapshot {cons['seq']} is unreadable under "
+                f"{gen_dir!r}") from e
+    dir_leg = None
+    if "://" in output_dir or os.path.isdir(man_path):
+        try:
+            dir_leg = _read_run_partitioned(spark, man_path)
+        except Exception:
+            dir_leg = None
+    if dir_leg is not None and cons is not None and cons["absorbed"]:
+        # absorbed dirs are deleted right after the consolidate commit;
+        # this filter is the crash-window safety net (commit landed,
+        # delete didn't) that keeps their rows from counting twice
+        dir_leg = dir_leg.filter(
+            ~F.col("run").isin(sorted(cons["absorbed"])))
+    if dir_leg is not None:
+        legs.append(dir_leg)
+    if not legs:
         return None
+    man = legs[0]
+    for leg in legs[1:]:
+        man = man.unionByName(leg, allowMissingColumns=True)
     if raw:
         return man
     vis = None

@@ -200,6 +200,25 @@ def current(output_dir: str) -> dict | None:
     return resolve(output_dir, entries[-1]["seq"])
 
 
+def latest_consolidation(output_dir: str) -> dict | None:
+    """The newest manifest-consolidation entry, or None.
+
+    Readers use exactly one entry: each consolidate commit's
+    ``absorbed_runs`` list is cumulative (it includes every run absorbed
+    by prior generations), so the latest entry alone says which manifest
+    ``run=`` dirs are superseded and which generation dir replaces them.
+    Consolidation is metadata-only — ``_state_at`` ignores the kind, so
+    visibility, time travel, branches and rollback are all unaffected.
+    """
+    if "://" in output_dir:
+        return None
+    for e in reversed(log(output_dir)):
+        if e["kind"] == "consolidate":
+            return dict(seq=e["seq"], gen=e["gen"],
+                        absorbed=set(e.get("absorbed_runs", [])))
+    return None
+
+
 def tag(output_dir: str, name: str, seq: int | None = None) -> int:
     """Name a snapshot (Iceberg tag): ``as_of='name'`` resolves to it.
 

@@ -413,6 +413,81 @@ def enc_compact_roundtrip(spark, sf_dir):
 
 
 @q(
+    "enc_consolidate_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
+    s AS (SELECT max(doc_id) // 3 AS s1 FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           CAST(sum(CASE WHEN doc_id < s1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS at1_rows,
+           true AS consolidated,
+           true AS dirs_folded,
+           true AS resume_skipped
+    FROM d, s
+    """,
+)
+def enc_consolidate_roundtrip(spark, sf_dir):
+    """Manifest consolidation end-to-end (Iceberg rewrite_manifests).
+
+    Three key-range freezes append three manifest run dirs;
+    ``consolidate_manifests`` folds them into one generation. The oracle
+    pins that consolidation is metadata-only and lossless: the decoded
+    corpus stays bit-identical (n_mismatch = 0 over a full-outer join
+    with the source), time travel to snapshot 1 still sees exactly the
+    first key range (at1_rows), skip-existing resume still works through
+    the generation (a re-freeze of range 1 encodes nothing), and the
+    run dirs are really gone (dirs_folded).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_consolidate_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = sequences_from_documents(spark, sf_dir)
+    src.write.parquet(f"{base}/in")
+    mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    s1, s2 = mx // 3, 2 * mx // 3
+    out = f"{base}/out"
+    for lo, hi in ((0, s1), (s1, s2), (s2, mx + 1)):
+        engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                      keys=f"{lo}:{hi}")
+    rep = engine.consolidate_manifests(spark, out)
+    man_base = engine._manifest_path(out)
+    dirs_folded = not any(
+        d.startswith("run=") for d in
+        (os.listdir(man_base) if os.path.isdir(man_base) else [])
+    )
+    again = engine.freeze(spark, f"{base}/in", out, target_tokens=200_000,
+                          keys=f"0:{s1}")
+    at1_rows = engine.decode_frozen(spark, out, as_of=1).count()
+    dec = engine.decode_frozen(spark, out)
+    j = dec.alias("d").join(src.alias("s"), "doc_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("d.n_tok").cast("long").alias("tok_sum"),
+        F.sum(
+            F.when(
+                F.col("d.n_tok").isNull() | F.col("s.n_tok").isNull()
+                | (F.col("d.source") != F.col("s.source"))
+                | (F.col("d.tokens") != F.col("s.tokens")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+        F.lit(int(at1_rows)).cast("long").alias("at1_rows"),
+        F.lit(bool(rep["consolidated"])
+              and rep["n_absorbed_runs"] == 3).alias("consolidated"),
+        F.lit(bool(dirs_folded)).alias("dirs_folded"),
+        F.lit(again["n_encoded"] == 0).alias("resume_skipped"),
+    )
+
+
+@q(
     "enc_time_travel",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
