@@ -148,6 +148,43 @@ def test_leftover_absorbed_dir_does_not_double_count(spark, three_runs):
     assert _run_dirs(out) == set()
 
 
+def test_streaming_runs_consolidate(spark, tmp_path):
+    """The case the feature exists for: one manifest dir per micro-batch.
+
+    Incremental streams commit run=stream<N> per batch — the 10^5-run
+    growth mode; consolidation must fold those and leave decode + a
+    later batch's append untouched.
+    """
+    from cryo_spark import streaming
+    from cryo_spark.engine import decode, read_encoded
+
+    inp = tmp_path / "stream_in"
+    inp.mkdir()
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    write_sequences(str(inp / "a.parquet"), n=400, seed=1)
+    streaming.stream_encode(spark, str(inp), out, ckpt,
+                            target_tokens=50_000).awaitTermination(120)
+    write_sequences(str(inp / "b.parquet"), n=300, seed=2)
+    streaming.stream_encode(spark, str(inp), out, ckpt,
+                            target_tokens=50_000).awaitTermination(120)
+
+    rep = consolidate_manifests(spark, out)
+    assert rep["consolidated"] and rep["n_absorbed_runs"] == 2
+    assert _run_dirs(out) == set()
+    assert decode(read_encoded(spark, out)).count() == 700
+
+    # a post-consolidation batch appends a fresh run dir; reads union it
+    write_sequences(str(inp / "c.parquet"), n=200, seed=3)
+    streaming.stream_encode(spark, str(inp), out, ckpt,
+                            target_tokens=50_000).awaitTermination(120)
+    assert len(_run_dirs(out)) == 1
+    assert decode(read_encoded(spark, out)).count() == 900
+    rep2 = consolidate_manifests(spark, out)
+    assert rep2["consolidated"] and rep2["n_absorbed_runs"] == 1
+    assert decode(read_encoded(spark, out)).count() == 900
+
+
 def test_consolidate_nothing_to_do(spark, tmp_path):
     out = str(tmp_path / "empty_out")
     rep = consolidate_manifests(spark, out)
