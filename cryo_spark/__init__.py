@@ -20,8 +20,8 @@ from .engine import (collect, compact, consolidate_manifests, decode,
                      decode_frozen, delete_where,
                      describe, encode, export, export_shards, freeze,
                      load_output_plan, pack, purge_deletes, read_appends,
-                     read_encoded, read_manifest, upsert, vacuum,
-                     verify_output)
+                     read_encoded, read_manifest, remove_orphans, upsert,
+                     vacuum, verify_output)
 from .snapshots import log as snapshot_log
 from .fixtures import (
     generate_embeddings,
@@ -37,7 +37,7 @@ __version__ = "0.1.0"
 __all__ = [
     "encode", "decode", "decode_frozen", "freeze", "compact", "collect",
     "export", "export_shards", "pack", "vacuum", "consolidate_manifests",
-    "read_encoded", "read_manifest", "snapshot_log",
+    "remove_orphans", "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
     "read_appends", "join_frozen", "load_output_plan",
     "compute_used_columns", "hex_columns", "unhex_columns",

@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="frozen output dir to vacuum in place")
     va.add_argument("--master", default=None)
 
+    og = sub.add_parser("remove-orphans",
+                        help="delete run dirs no commit ever claimed "
+                             "(Iceberg remove_orphan_files)")
+    og.add_argument("--output", required=True)
+    og.add_argument("--min-age-s", type=float, default=86_400.0,
+                    help="only dirs whose newest file is older than this "
+                         "(in-flight-writer guard)")
+    og.add_argument("--master", default=None)
+
     cm = sub.add_parser("consolidate",
                         help="fold per-run manifest dirs into one "
                              "generation (Iceberg rewrite_manifests)")
@@ -429,6 +438,13 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 cryo_spark.consolidate_manifests(spark, args.output)))
+            return 0
+
+        if args.cmd == "remove-orphans":
+            import cryo_spark
+
+            print(json.dumps(cryo_spark.remove_orphans(
+                spark, args.output, min_age_s=args.min_age_s)))
             return 0
 
         if args.cmd == "delete":

@@ -2428,6 +2428,64 @@ def vacuum(spark: SparkSession, output_dir: str) -> dict:
                 bytes_reclaimed=reclaimed, deleted_runs=deleted)
 
 
+def remove_orphans(spark: SparkSession, output_dir: str,
+                   min_age_s: float = 86_400.0) -> dict:
+    """Delete run dirs no commit ever claimed (remove_orphan_files analog).
+
+    A freeze/compact that dies before its manifest commit leaves an
+    ``encoded/run=`` (or ``tombstones/run=``) dir that every reader
+    already ignores (the orphan-invisibility semi-join) but that
+    ``vacuum`` deliberately skips — it "may belong to an in-flight
+    freeze". This job is the complement, with Iceberg
+    remove_orphan_files' exact safety rule: a dir is an orphan only if
+    its run appears in NEITHER the manifest (consolidated generations
+    included) NOR the snapshot log, AND its newest file is older than
+    ``min_age_s`` (default 1 day) — an in-flight writer's files are
+    always younger. Removal is invisible to every read path by
+    construction; an ``orphan_gc`` log entry records it for audit
+    (ignored by the visibility replay).
+    """
+    import shutil
+
+    if "://" in output_dir:
+        raise ValueError(
+            "remove_orphans deletes local files; on a real catalog this "
+            "maps to remove_orphan_files")
+    man = read_manifest(spark, output_dir, raw=True)
+    known = set() if man is None else {
+        r["run"] for r in man.select("run").distinct().collect()}
+    known |= {e["run"] for e in snapshots.log(output_dir) if e.get("run")}
+    now = time.time()
+    removed, reclaimed = [], 0
+    for base in (_encoded_path(output_dir), _tombstones_path(output_dir),
+                 _deletes_path(output_dir)):
+        if not os.path.isdir(base):
+            continue
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("run=") or d[4:] in known:
+                continue
+            path = os.path.join(base, d)
+            newest, size = 0.0, 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    newest = max(newest, st.st_mtime)
+                    size += st.st_size
+            newest = max(newest, os.stat(path).st_mtime)
+            if now - newest < min_age_s:
+                continue  # possibly in-flight: too young to judge
+            shutil.rmtree(path)
+            removed.append(f"{os.path.basename(base)}/{d}")
+            reclaimed += size
+    snap = None
+    if removed:
+        snap = snapshots.commit(output_dir, None, "orphan_gc",
+                                removed_orphans=removed)
+    return dict(snapshot=snap, n_removed=len(removed),
+                bytes_reclaimed=reclaimed, removed=removed)
+
+
 def _plan_fingerprint(plan: layout.ChunkPlan) -> str:
     """Stable id of a chunk plan — equal iff the chunk layout is equal."""
     import hashlib
