@@ -3064,6 +3064,84 @@ def cube_order_stats(spark, sf_dir):
     )
 
 
+@q(
+    "grouping_sets_priority_status",
+    """
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_priority_status(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form rollup/cube specialize.
+
+    Two independent one-dimension breakdowns plus the grand total in
+    ONE pass: Spark's Expand replicates each input row once per set
+    before a single map-side-combined aggregate, so the exchange
+    carries <= |sets| x |groups| rows however large the input — the
+    same one-shuffle shape as the suite's rollup/cube, without paying
+    for the (status x priority) cross terms a CUBE would also compute.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5))
+        .cast("long").alias("revenue_cents"),
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders", "revenue_cents",
+    )
+
+
+@q(
+    "unpivot_part_metrics",
+    """
+    WITH m AS (
+        SELECT p_brand, 'size' AS metric,
+               CAST(p_size AS BIGINT) AS value FROM part
+        UNION ALL
+        SELECT p_brand, 'price_cents',
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) FROM part
+    )
+    SELECT p_brand, metric,
+           CAST(sum(value) AS BIGINT) AS value_sum,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(value) AS BIGINT) AS value_max
+    FROM m GROUP BY p_brand, metric
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """unpivot/melt: wide metric columns -> long (metric, value) rows.
+
+    The inverse of pivot_event_types, and the shape feature pipelines
+    use to route N per-entity measures through one generic aggregation.
+    Spark plans the unpivot as Expand (each row replicated once per
+    measure, zero shuffle) feeding one map-side-combined group-by, so
+    the exchange carries |brands| x |metrics| rows only. Values are
+    cast to one integer type up front (unpivot requires a common type;
+    integer cents keep the oracle exact).
+    """
+    p = _t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+    )
+    m = p.unpivot(["p_brand"], ["size", "price_cents"], "metric", "value")
+    return m.groupBy("p_brand", "metric").agg(
+        F.sum("value").cast("long").alias("value_sum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("value").cast("long").alias("value_max"),
+    )
+
+
 _IVAL_US = 1800 * 1_000_000  # 30-minute purchase attribution window
 
 
