@@ -244,6 +244,8 @@ QUERY_SUBSET = [
     "winnowing_fingerprints",
     "join_multiway_revenue",
     "correlated_small_qty",
+    "grouping_sets_priority_status",
+    "unpivot_part_metrics",
 ]
 
 

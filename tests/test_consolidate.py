@@ -185,6 +185,40 @@ def test_streaming_runs_consolidate(spark, tmp_path):
     assert decode(read_encoded(spark, out)).count() == 900
 
 
+def test_colocated_fast_path_survives_consolidation(spark, tmp_path):
+    """join_frozen's zero-exchange path must still engage when both
+    outputs' manifest dirs were folded into generations."""
+    from cryo_spark import colocated, engine
+    from cryo_spark.tablespec import ColumnSpec, TableSpec
+
+    scores_spec = TableSpec(
+        name="scores", key="doc_id",
+        columns=(ColumnSpec("doc_id", "str"), ColumnSpec("score", "int64"),
+                 ColumnSpec("source", "str")),
+        partition_col="source", weight="score",
+    )
+    seq_in = str(tmp_path / "seq_in")
+    write_sequences(seq_in, n=2_000, seed=3)
+    sc_in = str(tmp_path / "sc_in")
+    spark.read.parquet(seq_in).select(
+        "doc_id",
+        (F.crc32("doc_id") % 1000).cast("long").alias("score"),
+        "source",
+    ).write.parquet(sc_in)
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+    engine.freeze(spark, seq_in, out_a, target_tokens=8_192)
+    engine.freeze(spark, sc_in, out_b, spec=scores_spec, align_with=out_a)
+    for out in (out_a, out_b):
+        assert consolidate_manifests(spark, out)["consolidated"]
+    j = colocated.join_frozen(
+        spark, out_a, out_b, columns_a=["n_tok"], columns_b=["score"],
+        require_colocated=True)
+    ref = spark.read.parquet(seq_in).select("doc_id", "n_tok").join(
+        spark.read.parquet(sc_in).select("doc_id", "score"), "doc_id")
+    assert sorted(tuple(r) for r in j.collect()) == sorted(
+        tuple(r) for r in ref.collect())
+
+
 def test_consolidate_nothing_to_do(spark, tmp_path):
     out = str(tmp_path / "empty_out")
     rep = consolidate_manifests(spark, out)
