@@ -488,6 +488,55 @@ def enc_consolidate_roundtrip(spark, sf_dir):
 
 
 @q(
+    "enc_orphan_gc",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           true AS orphan_removed,
+           true AS committed_kept
+    FROM d
+    """,
+)
+def enc_orphan_gc(spark, sf_dir):
+    """Orphan GC end-to-end (Iceberg remove_orphan_files analog).
+
+    A dead writer's encoded run dir (no manifest row, no snapshot entry)
+    is planted next to a committed freeze; ``remove_orphans`` must
+    delete exactly it — the oracle pins that the decoded corpus is
+    untouched (row/token sums over the raw table) and that the orphan
+    really went while every committed dir stayed (booleans pinned true).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from . import engine
+
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_orphangc_" \
+           f"{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = sequences_from_documents(spark, sf_dir)
+    src.write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=200_000)
+    enc = engine._encoded_path(out)
+    committed = sorted(d for d in os.listdir(enc) if d.startswith("run="))
+    orphan = os.path.join(enc, "run=rdeadwriter00")
+    shutil.copytree(os.path.join(enc, committed[0]), orphan)
+    rep = engine.remove_orphans(spark, out, min_age_s=0.0)
+    dec = engine.decode_frozen(spark, out)
+    return dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.lit(rep["n_removed"] == 1
+              and not os.path.isdir(orphan)).alias("orphan_removed"),
+        F.lit(all(os.path.isdir(os.path.join(enc, d)) for d in committed))
+        .alias("committed_kept"),
+    )
+
+
+@q(
     "enc_time_travel",
     """
     WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents),
