@@ -219,6 +219,18 @@ def test_colocated_fast_path_survives_consolidation(spark, tmp_path):
         tuple(r) for r in ref.collect())
 
 
+def test_missing_referenced_gen_raises(spark, three_runs):
+    """A generation the log references but whose bytes are gone is
+    metadata corruption — readers must raise, never silently drop every
+    absorbed run's manifest."""
+    _, out = three_runs
+    rep = consolidate_manifests(spark, out)
+    shutil.rmtree(os.path.join(_manifest_gens_path(out),
+                               f"gen={rep['gen']}"))
+    with pytest.raises(ValueError, match="unreadable"):
+        read_manifest(spark, out).count()
+
+
 def test_consolidate_nothing_to_do(spark, tmp_path):
     out = str(tmp_path / "empty_out")
     rep = consolidate_manifests(spark, out)
