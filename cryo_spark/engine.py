@@ -1019,9 +1019,13 @@ def consolidate_manifests(spark: SparkSession, output_dir: str) -> dict:
     for g in os.listdir(gens_base):
         if g.startswith("gen=") and g[4:] != new_gen:
             shutil.rmtree(os.path.join(gens_base, g), ignore_errors=True)
+    # the snapshot log has the same one-file-per-commit growth the
+    # manifest dirs had; fold it too (verbatim entries, replay-exact)
+    ckpt = snapshots.checkpoint(output_dir)
     return dict(consolidated=True, snapshot=seq, gen=new_gen,
                 n_absorbed_runs=len(absorb), n_rows=n_rows,
-                n_files=n_files, n_stale_cleaned=len(stale))
+                n_files=n_files, n_stale_cleaned=len(stale),
+                log_checkpointed_through=ckpt.get("through_seq"))
 
 
 def _encoded_path(output_dir: str) -> str:

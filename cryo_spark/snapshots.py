@@ -78,18 +78,83 @@ def commit(output_dir: str, run: str | None, kind: str, **extra) -> int | None:
         return seq
 
 
+_CKPT_PREFIX = "checkpoint-"
+
+
 def log(output_dir: str) -> list[dict]:
-    """All snapshot entries, ordered by sequence number."""
+    """All snapshot entries, ordered by sequence number.
+
+    Reads the newest checkpoint (one JSON array holding every entry up
+    to its seq — see :func:`checkpoint`) plus any newer per-commit
+    files; entries present in both (the checkpoint-written/
+    files-not-yet-deleted crash window) dedup by seq. Without a
+    checkpoint this is the original one-file-per-commit read.
+    """
     d = _dir(output_dir)
     if not os.path.isdir(d):
         return []
-    out = []
-    for fn in sorted(os.listdir(d)):
-        if fn.endswith(".json") and not fn.startswith("."):
+    names = os.listdir(d)
+    cps = sorted(n for n in names
+                 if n.startswith(_CKPT_PREFIX) and n.endswith(".json"))
+    out: list[dict] = []
+    seen: set[int] = set()
+    if cps:
+        # zero-padded seq in the name -> lexicographic max is newest
+        with open(os.path.join(d, cps[-1])) as f:
+            for e in json.load(f):
+                out.append(e)
+                seen.add(e["seq"])
+    for fn in sorted(names):
+        if (fn.endswith(".json") and not fn.startswith(".")
+                and not fn.startswith(_CKPT_PREFIX)):
             with open(os.path.join(d, fn)) as f:
-                out.append(json.load(f))
+                e = json.load(f)
+            if e["seq"] not in seen:
+                out.append(e)
     out.sort(key=lambda e: e["seq"])
     return out
+
+
+def checkpoint(output_dir: str) -> dict:
+    """Fold the per-commit log files into ONE checkpoint file.
+
+    At one commit per streaming micro-batch the log is 10^5 tiny JSON
+    files, and every read path replays it — the same O(runs) metadata
+    listing engine.consolidate_manifests removes for manifest dirs,
+    except this one is paid on EVERY read. The checkpoint holds the
+    verbatim entry list (not a folded state), so rollback targets,
+    branch anchors, tags and vacuum records replay exactly as before.
+
+    Crash-safe: the checkpoint lands by tmp+rename; per-commit files it
+    absorbed are deleted afterwards (a death in between only leaves
+    duplicates that :func:`log` dedups by seq, collected on the next
+    checkpoint). Concurrent committers are unaffected — their link(2)
+    CAS claims seqs above the checkpoint, whose max seq `log()` still
+    reports.
+    """
+    d = _dir(output_dir)
+    entries = log(output_dir)
+    if not entries:
+        return dict(checkpointed=False, reason="no snapshot log")
+    top = entries[-1]["seq"]
+    name = f"{_CKPT_PREFIX}{top:010d}.json"
+    tmp = os.path.join(d, f".tmp-ckpt-{os.getpid()}-{top:010d}.json")
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, os.path.join(d, name))
+    n_removed = 0
+    for fn in os.listdir(d):
+        if fn == name or fn.startswith("."):
+            continue
+        p = os.path.join(d, fn)
+        if fn.startswith(_CKPT_PREFIX):
+            os.unlink(p)  # superseded checkpoint
+            n_removed += 1
+        elif fn.endswith(".json") and int(fn[: -len(".json")]) <= top:
+            os.unlink(p)
+            n_removed += 1
+    return dict(checkpointed=True, through_seq=top,
+                n_entries=len(entries), n_files_removed=n_removed)
 
 
 def _state_at(entries: list[dict], seq: int,

@@ -247,3 +247,60 @@ def test_read_appends_incremental_scan(spark, two_appends, tmp_path):
         read_appends(spark, out, 1)
     # ...but a range that stops before the rewrite still works
     assert _ids(read_appends(spark, out, 1, 2)) == second
+
+
+def test_checkpoint_folds_log_and_replays_exactly(tmp_path):
+    """checkpoint(): one file replaces N per-commit files; log(),
+    rollback targets and tags replay verbatim; later commits append
+    fresh files above the checkpoint."""
+    import os
+
+    out = str(tmp_path)
+    for i in range(6):
+        snapshots.commit(out, f"r{i}", "append")
+    snapshots.tag(out, "mid", 3)
+    snapshots.rollback(out, 3)
+    before = snapshots.log(out)
+    rep = snapshots.checkpoint(out)
+    assert rep["checkpointed"] and rep["through_seq"] == 8
+    d = os.path.join(out, "snapshots")
+    files = [f for f in os.listdir(d) if f.endswith(".json")]
+    assert files == ["checkpoint-0000000008.json"]
+    assert snapshots.log(out) == before
+    # replay features still work off the checkpoint
+    assert snapshots.resolve_ref(out, "mid") == 3
+    assert snapshots.resolve(out, 8)["runs"] == {"r0", "r1", "r2"}
+    # new commits land above it and a re-checkpoint absorbs them
+    seq = snapshots.commit(out, "r9", "append")
+    assert seq == 9
+    assert [e["seq"] for e in snapshots.log(out)] == list(range(1, 10))
+    rep2 = snapshots.checkpoint(out)
+    assert rep2["through_seq"] == 9
+    assert [f for f in os.listdir(d) if f.endswith(".json")] == [
+        "checkpoint-0000000009.json"]
+
+
+def test_checkpoint_crash_window_dedups(tmp_path):
+    """Checkpoint written but absorbed files not deleted: log() must
+    not double-count entries."""
+    import json
+    import os
+    import shutil
+
+    out = str(tmp_path)
+    for i in range(4):
+        snapshots.commit(out, f"r{i}", "append")
+    d = os.path.join(out, "snapshots")
+    stash = str(tmp_path / "stash")
+    shutil.copytree(d, stash)
+    snapshots.checkpoint(out)
+    # resurrect the absorbed per-commit files next to the checkpoint
+    for fn in os.listdir(stash):
+        if fn.endswith(".json"):
+            shutil.copy(os.path.join(stash, fn), os.path.join(d, fn))
+    log = snapshots.log(out)
+    assert [e["seq"] for e in log] == [1, 2, 3, 4]
+    # next checkpoint collects the leftovers
+    snapshots.checkpoint(out)
+    assert [f for f in os.listdir(d) if f.endswith(".json")] == [
+        "checkpoint-0000000004.json"]
