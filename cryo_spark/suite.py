@@ -3191,6 +3191,50 @@ def unpivot_part_metrics(spark, sf_dir):
     )
 
 
+@q(
+    "except_intersect_multiset",
+    """
+    WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'except_all' AS op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS id_sum
+    FROM (SELECT user_id FROM v EXCEPT ALL SELECT user_id FROM p)
+    UNION ALL
+    SELECT 'intersect_all',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM (SELECT user_id FROM v INTERSECT ALL SELECT user_id FROM p)
+    """,
+)
+def except_intersect_multiset(spark, sf_dir):
+    """Multiset set ops — exceptAll / intersectAll (bag semantics).
+
+    The set-operator family the suite's anti/semi joins don't cover:
+    EXCEPT ALL keeps max(n_a - n_b, 0) copies per value and INTERSECT
+    ALL min(n_a, n_b) — duplicate counts matter, which a join can't
+    express without an explicit count-compare. Spark plans both as one
+    count-aggregate per side + a generate of the surviving multiplicity
+    (map-side combined, one exchange per side at |distinct| rows); the
+    bounded two-row output makes the oracle an exact UNION of the same
+    bag ops in DuckDB.
+    """
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"))
+
+    def summarize(df, op):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("user_id").cast("long").alias("id_sum"),
+        ).select(F.lit(op).alias("op"), "n_rows", "id_sum")
+
+    return summarize(v.exceptAll(p), "except_all").unionAll(
+        summarize(v.intersectAll(p), "intersect_all"))
+
+
 _IVAL_US = 1800 * 1_000_000  # 30-minute purchase attribution window
 
 
