@@ -219,6 +219,27 @@ def test_colocated_fast_path_survives_consolidation(spark, tmp_path):
         tuple(r) for r in ref.collect())
 
 
+def test_compact_vacuum_after_consolidation(spark, three_runs):
+    """Rewrite + GC over an output whose manifest lives in a generation:
+    compaction tombstones must retire gen-resident rows, vacuum must
+    still find dead runs, and a second consolidation absorbs the
+    compact run."""
+    from cryo_spark.engine import compact, vacuum
+
+    _, out = three_runs
+    before = _decoded(spark, out)
+    consolidate_manifests(spark, out)
+    s = compact(spark, out, target_tokens=100_000)
+    assert s["run"] is not None and s["n_compacted"] > 0
+    assert _decoded(spark, out) == before
+    v = vacuum(spark, out)
+    assert v["n_deleted_runs"] >= 1
+    assert _decoded(spark, out) == before
+    rep = consolidate_manifests(spark, out)
+    assert rep["consolidated"] and rep["n_absorbed_runs"] == 1
+    assert _decoded(spark, out) == before
+
+
 def test_missing_referenced_gen_raises(spark, three_runs):
     """A generation the log references but whose bytes are gone is
     metadata corruption — readers must raise, never silently drop every
