@@ -1127,7 +1127,8 @@ def read_appends(
               else snapshots.resolve_ref(output_dir, to_seq))
     in_range = [e for e in entries if from_seq < e["seq"] <= to_seq]
     bad = [e for e in in_range
-           if e["kind"] not in ("append", "tag", "vacuum")]
+           if e["kind"] not in ("append", "tag", "vacuum",
+                                "consolidate", "orphan_gc")]
     if bad:
         kinds = sorted({e["kind"] for e in bad})
         raise ValueError(
@@ -1207,7 +1208,9 @@ def read_changes(
                     f"row-replacing {what} (seq {e['seq']}); diff full "
                     f"reads at as_of={from_seq} and as_of={to_seq} instead")
             # bare rewrite = compaction: physical reshuffle, no logical change
-        elif k in ("purge", "vacuum", "tag", "branch"):
+        elif k in ("purge", "vacuum", "tag", "branch",
+                   "consolidate", "orphan_gc"):
+            # metadata-only / physical-only: no logical row change
             continue
         else:  # rollback, publish, future kinds
             raise ValueError(

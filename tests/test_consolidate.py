@@ -219,6 +219,25 @@ def test_colocated_fast_path_survives_consolidation(spark, tmp_path):
         tuple(r) for r in ref.collect())
 
 
+def test_changelog_after_consolidation(spark, three_runs):
+    """read_changes must attribute the same inserts to the same commits
+    when the manifest rows live in a generation."""
+    from cryo_spark.engine import read_changes
+
+    _, out = three_runs
+    def changes():
+        return sorted(
+            (r["_commit_seq"], r["_change_type"], r["doc_id"])
+            for r in read_changes(spark, out, 0)
+            .select("_commit_seq", "_change_type", "doc_id").collect())
+    before = changes()
+    consolidate_manifests(spark, out)
+    assert changes() == before
+    # incremental append scan also crosses the consolidate entry fine
+    from cryo_spark import read_appends
+    assert read_appends(spark, out, 1).count() > 0
+
+
 def test_compact_vacuum_after_consolidation(spark, three_runs):
     """Rewrite + GC over an output whose manifest lives in a generation:
     compaction tombstones must retire gen-resident rows, vacuum must
