@@ -219,6 +219,25 @@ def test_colocated_fast_path_survives_consolidation(spark, tmp_path):
         tuple(r) for r in ref.collect())
 
 
+def test_pruned_reads_after_consolidation(spark, three_runs):
+    """Zone maps and key blooms live in manifest rows; pruned reads must
+    return identical results when those rows come from a generation."""
+    from cryo_spark import collect
+
+    _, out = three_runs
+    def reads():
+        return (
+            sorted(r.doc_id for r in
+                   collect(spark, out, keys="150:450").collect()),
+            sorted(r.doc_id for r in
+                   collect(spark, out, keys="77").collect()),
+        )
+    before = reads()
+    assert len(before[0]) == 300 and len(before[1]) == 1
+    consolidate_manifests(spark, out)
+    assert reads() == before
+
+
 def test_changelog_after_consolidation(spark, three_runs):
     """read_changes must attribute the same inserts to the same commits
     when the manifest rows live in a generation."""
