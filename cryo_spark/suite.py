@@ -7081,3 +7081,186 @@ def winnowing_fingerprints(spark, sf_dir):
     )
     return amap(d, _winnow_kernel,
                 "doc_id long, n_fp long, fp_min long, fp_sum long")
+
+
+# ===========================================================================
+# reconciliation / ranking / iterative-propagation vocabulary
+# ===========================================================================
+
+
+@q(
+    "join_full_outer_recon",
+    """
+    WITH e AS (
+        SELECT o_custkey, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    l AS (
+        SELECT o_custkey, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.o_custkey, l.o_custkey) AS o_custkey,
+           CASE WHEN e.o_custkey IS NULL THEN 'late_only'
+                WHEN l.o_custkey IS NULL THEN 'early_only'
+                ELSE 'both' END AS status,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_early,
+           CAST(COALESCE(l.n, 0) AS BIGINT) AS n_late,
+           CAST(COALESCE(e.c, 0) AS BIGINT) AS cents_early,
+           CAST(COALESCE(l.c, 0) AS BIGINT) AS cents_late
+    FROM e FULL OUTER JOIN l ON e.o_custkey = l.o_custkey
+    """,
+)
+def join_full_outer_recon(spark, sf_dir):
+    """FULL OUTER reconciliation of two periods' per-customer activity.
+
+    The snapshot-diff idiom (which customers appear only before, only
+    after, or in both halves of the date range) — the one join type the
+    suite's join vocabulary still lacked. Both sides aggregate BEFORE
+    joining, so the full-outer exchange carries one row per customer
+    per side, not one per order; both aggregates and the join share the
+    same key, so the join reuses the aggregation's hash partitioning
+    (no third exchange). Money is per-row integer cents before
+    summation (order-independent across engines).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = (
+        o.filter(F.col("o_orderdate") < cut).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_e"), F.sum("cents").alias("c_e"))
+    )
+    late = (
+        o.filter(F.col("o_orderdate") >= cut).groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_l"), F.sum("cents").alias("c_l"))
+    )
+    j = early.join(late, "o_custkey", "full_outer")
+    return j.select(
+        "o_custkey",
+        F.when(F.col("n_e").isNull(), F.lit("late_only"))
+        .when(F.col("n_l").isNull(), F.lit("early_only"))
+        .otherwise(F.lit("both")).alias("status"),
+        F.coalesce(F.col("n_e"), F.lit(0)).cast("long").alias("n_early"),
+        F.coalesce(F.col("n_l"), F.lit(0)).cast("long").alias("n_late"),
+        F.coalesce(F.col("c_e"), F.lit(0)).cast("long").alias("cents_early"),
+        F.coalesce(F.col("c_l"), F.lit(0)).cast("long").alias("cents_late"),
+    )
+
+
+@q(
+    "ntile_acctbal_quartiles",
+    """
+    WITH t AS (
+        SELECT c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(cents) AS BIGINT) AS bal_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM t GROUP BY c_mktsegment, quartile
+    """,
+)
+def ntile_acctbal_quartiles(spark, sf_dir):
+    """Per-segment account-balance quartiles via NTILE.
+
+    The equi-height bucketing idiom (cohort analysis, score banding).
+    NTILE is standard-SQL row-number bucketing, so both engines agree
+    given a TOTAL order — the tiebreak on c_custkey makes it one. One
+    shuffle by segment; the in-partition sort is bounded by segment
+    size (five segments here — at 100 TB this shape wants a
+    higher-cardinality partition key or the quantile_sketch_bins
+    variant, which this suite also ships). Balance summed as integer
+    cents pins bucket membership exactly.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    t = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    ).withColumn("quartile", F.ntile(4).over(w))
+    return t.groupBy("c_mktsegment", F.col("quartile").cast("long")
+                     .alias("quartile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("bal_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+@q(
+    "pagerank_bipartite",
+    """
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    dc AS (SELECT c, count(*) AS dc FROM e GROUP BY c),
+    ds AS (SELECT s, count(*) AS ds FROM e GROUP BY s),
+    ed AS (SELECT e.c, e.s, dc.dc, ds.ds
+           FROM e JOIN dc USING (c) JOIN ds USING (s)),
+    rs1 AS (SELECT s, CAST(150000 + (sum(1000000 // dc) * 17) // 20
+                           AS BIGINT) AS r1
+            FROM ed GROUP BY s),
+    rc1 AS (SELECT c, CAST(150000 + (sum(rs1.r1 // ed.ds) * 17) // 20
+                           AS BIGINT) AS r2
+            FROM ed JOIN rs1 USING (s) GROUP BY c),
+    rs2 AS (SELECT ed.s, CAST(150000 + (sum(rc1.r2 // ed.dc) * 17) // 20
+                              AS BIGINT) AS rank_ppm
+            FROM ed JOIN rc1 USING (c) GROUP BY ed.s)
+    SELECT CAST(s AS BIGINT) AS s_suppkey, rank_ppm
+    FROM rs2 ORDER BY rank_ppm DESC, s LIMIT 20
+    """,
+)
+def pagerank_bipartite(spark, sf_dir):
+    """Two damped PageRank rounds over the customer->supplier graph.
+
+    Weighted iterative propagation — the graph-algorithm shape between
+    connected components (label min) and kmeans (centroid mean): each
+    round is ONE shuffle keyed by the receiving node, contribution =
+    rank div out-degree, damping 0.85 applied as *17 div 20 so every
+    intermediate is exact BIGINT arithmetic both engines reproduce
+    bit-for-bit (no float ranks to drift). The edge list (with both
+    degrees attached) is computed once and cached — the only state a
+    round carries forward is the bounded rank vector, nothing on the
+    driver. Top-20 with a full tiebreak keeps the limit deterministic.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    # the degree-annotated edge list feeds all three rounds: checkpoint
+    # it once (the dedup_clusters convention) instead of recomputing the
+    # orders x lineitem join per round
+    ed = e.join(dc, "c").join(ds, "s").localCheckpoint()
+    rs1 = ed.groupBy("s").agg(
+        (F.lit(150000) + F.expr("sum(1000000 div dc) * 17 div 20"))
+        .cast("long").alias("r1"))
+    rc1 = ed.join(rs1, "s").groupBy("c").agg(
+        (F.lit(150000) + F.expr("sum(r1 div ds) * 17 div 20"))
+        .cast("long").alias("r2"))
+    rs2 = ed.join(rc1, "c").groupBy("s").agg(
+        (F.lit(150000) + F.expr("sum(r2 div dc) * 17 div 20"))
+        .cast("long").alias("rank_ppm"))
+    return (
+        rs2.select(F.col("s").cast("long").alias("s_suppkey"), "rank_ppm")
+        .orderBy(F.col("rank_ppm").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
