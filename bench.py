@@ -246,6 +246,8 @@ QUERY_SUBSET = [
     "correlated_small_qty",
     "grouping_sets_priority_status",
     "unpivot_part_metrics",
+    "pagerank_bipartite",
+    "join_full_outer_recon",
 ]
 
 
