@@ -7264,3 +7264,80 @@ def pagerank_bipartite(spark, sf_dir):
         .orderBy(F.col("rank_ppm").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+@q(
+    "fim_transform",
+    f"""
+    WITH seq AS (SELECT doc_id, {{TOK}} AS l FROM documents),
+    tok AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n,
+                   CAST(z[1] AS BIGINT) AS t,
+                   CAST(z[2] AS BIGINT) - 1 AS i
+            FROM (SELECT doc_id, l,
+                         unnest(list_zip(l, range(1, len(l) + 1))) AS z
+                  FROM seq)),
+    m AS (SELECT doc_id, n, n // 3 AS a, (2 * n) // 3 AS b,
+                 sum(t * (CASE
+                     WHEN i < n // 3 THEN 2 + i
+                     WHEN i >= (2 * n) // 3
+                         THEN n // 3 + 3 + (i - (2 * n) // 3)
+                     ELSE n // 3 + 4 + (n - (2 * n) // 3) + (i - n // 3)
+                 END)) AS body
+          FROM tok GROUP BY doc_id, n)
+    SELECT printf('doc-%012d', doc_id) AS doc_id,
+           CAST(n + 3 AS BIGINT) AS out_len,
+           CAST(a AS BIGINT) AS prefix_len,
+           CAST(b - a AS BIGINT) AS middle_len,
+           CAST(n - b AS BIGINT) AS suffix_len,
+           CAST(body + 50257 + 50258 * (a + 2)
+                + 50259 * (a + 3 + n - b) AS BIGINT) AS fim_checksum
+    FROM m
+    """.replace("{TOK}", _TOK_SQL),
+)
+def fim_transform(spark, sf_dir):
+    """Fill-in-the-middle (FIM) example construction, PSM order.
+
+    The infilling pretraining transform (Bayer et al., "Efficient
+    Training of Language Models to Fill in the Middle", 2022): each
+    document splits into prefix/middle/suffix thirds and re-emits as
+    ``[PRE] prefix [SUF] suffix [MID] middle`` so the model learns to
+    complete the middle given both sides. Deterministic thirds here
+    (production randomizes the pivots per epoch with a seeded hash —
+    same plan shape). NO arrays are materialized and NO interpreted
+    lambdas run: tokens explode once, each token's OUTPUT position is
+    a closed-form CASE over its original index, and the per-doc
+    position-weighted checksum (sentinels folded in arithmetically)
+    pins the rearranged sequence exactly — one shuffle, map-side
+    combined, whole-stage codegen throughout.
+    """
+    seqs = sequences_from_documents(spark, sf_dir)
+    tok = seqs.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n"),
+        F.posexplode("tokens").alias("i", "t"),
+    ).select("doc_id", "n", F.col("i").cast("long").alias("i"),
+             F.col("t").cast("long").alias("t"))
+    a = F.expr("n div 3")
+    b = F.expr("(2 * n) div 3")
+    weight = (
+        F.when(F.col("i") < a, 2 + F.col("i"))
+        .when(F.col("i") >= b, a + 3 + (F.col("i") - b))
+        .otherwise(a + 4 + (F.col("n") - b) + (F.col("i") - a))
+    )
+    m = (
+        tok.withColumn("wt", F.col("t") * weight)
+        .groupBy("doc_id", "n")
+        .agg(F.sum("wt").alias("body"))
+    )
+    a2 = F.expr("n div 3")
+    b2 = F.expr("(2 * n) div 3")
+    return m.select(
+        "doc_id",
+        (F.col("n") + 3).cast("long").alias("out_len"),
+        a2.cast("long").alias("prefix_len"),
+        (b2 - a2).cast("long").alias("middle_len"),
+        (F.col("n") - b2).cast("long").alias("suffix_len"),
+        (F.col("body") + 50257 + 50258 * (a2 + 2)
+         + 50259 * (a2 + 3 + F.col("n") - b2)).cast("long")
+        .alias("fim_checksum"),
+    )
