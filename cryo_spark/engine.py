@@ -1993,7 +1993,7 @@ def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
 
 def freeze(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | DataFrame,
     output_dir: str,
     target_tokens: int = layout.DEFAULT_TARGET_TOKENS,
     overwrite: bool = False,
@@ -2007,6 +2007,13 @@ def freeze(
     align_with: str | None = None,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
+
+    ``input_path`` is a parquet path or an in-session DataFrame (the
+    library shape of cryo's Python ``freeze(**kwargs)`` — an upstream
+    transform's output freezes without a staging write). DataFrame
+    inputs plan through the scan path: no parquet footers exist to read
+    exact token sums from, so planning costs one aggregate over the
+    frame instead.
 
     ``align_with`` reuses another frozen output's persisted chunk plan
     (the Iceberg "same partition spec on both tables" precondition for
@@ -2050,6 +2057,8 @@ def freeze(
     from . import sources
 
     t_start = time.perf_counter()
+    input_df = input_path if isinstance(input_path, DataFrame) else None
+    input_desc = "<dataframe>" if input_df is not None else input_path
     if branch is not None:
         # fail fast on an unknown branch (branching requires an existing
         # output with a snapshot log)
@@ -2064,14 +2073,18 @@ def freeze(
         # its zero-padded envelope.
         from . import ranges
 
-        raw = spark.read.parquet(input_path)
+        raw = input_df if input_df is not None \
+            else spark.read.parquet(input_path)
         key_chunks = _parse_keys(
             keys, lambda: raw.agg(F.max(_key_expr(spec))).first()[0])
         key_df = raw.filter(
             ranges.key_predicate(key_chunks, _key_expr(spec),
                                  **_key_envelope(spec))
         )
-    use_arrow = key_df is None and sources.supports(input_path)
+    use_arrow = (key_df is None and input_df is None
+                 and sources.supports(input_path))
+    if key_df is None and input_df is not None:
+        key_df = input_df  # downstream: "the frame to plan/encode from"
     if align_with is not None:
         if keys is not None or n_chunks is not None or chunk_by != "hash":
             raise ValueError(
@@ -2167,7 +2180,7 @@ def freeze(
     run_id = _new_run_id()
     _write_report(output_dir, run_id, dict(
         version="cryo_spark " + "0.1.0", status="incomplete",
-        input_path=input_path, target_tokens=target_tokens,
+        input_path=input_desc, target_tokens=target_tokens,
         n_chunks=plan.n_chunks, n_to_encode=n_missing, n_skipped=n_skipped,
     ))
     _persist_spec(output_dir, spec)
@@ -2260,7 +2273,7 @@ def freeze(
     )
     _write_report(output_dir, run_id, dict(
         version="cryo_spark 0.1.0", status="completed",
-        input_path=input_path, target_tokens=target_tokens, **summary,
+        input_path=input_desc, target_tokens=target_tokens, **summary,
     ))
     return summary
 
