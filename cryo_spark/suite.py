@@ -7341,3 +7341,105 @@ def fim_transform(spark, sf_dir):
          + 50259 * (a2 + 3 + F.col("n") - b2)).cast("long")
         .alias("fim_checksum"),
     )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COALESCE(sum(user_id), 0) FROM v) AS BIGINT)
+               AS id_sum_view,
+           CAST((SELECT COALESCE(sum(user_id), 0) FROM c) AS BIGINT)
+               AS id_sum_click,
+           CAST((SELECT COALESCE(sum(user_id), 0) FROM p) AS BIGINT)
+               AS id_sum_purchase
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered view -> click -> purchase conversion funnel.
+
+    The product-analytics staple: a user advances a stage only by an
+    event strictly AFTER their first event of the previous stage (a
+    click before any view never counts). Three bounded stage tables —
+    each one aggregate keyed by user, each joined broadcast (the
+    funnel population only shrinks) onto the next stage's filtered
+    scan, so the big events table is never shuffled, only scanned with
+    a pushed event_type filter per stage. Stage membership is pinned
+    by user-id sums, not just counts.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .select("user_id").distinct()
+    )
+
+    def stage(df, n_name, s_name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.coalesce(F.sum("user_id"), F.lit(0)).cast("long")
+            .alias(s_name))
+
+    return (
+        stage(v, "n_view", "id_sum_view")
+        .crossJoin(stage(c, "n_click", "id_sum_click"))
+        .crossJoin(stage(p, "n_purchase", "id_sum_purchase"))
+        .select("n_view", "n_click", "n_purchase",
+                "id_sum_view", "id_sum_click", "id_sum_purchase")
+    )
+
+
+@q(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """Typed extraction from a JSON string column (semi-structured scan).
+
+    The reference rejects nested types and treats JSON purely as a sink
+    format (SURVEY §2.9); real event streams carry JSON property bags.
+    ``get_json_object`` is a JVM-side path extractor (no Python, no
+    full-document parse into a map), so the scan stays codegen; the
+    extracted value casts to BIGINT before aggregation. At 100 TB the
+    note is: extraction cost is per-row CPU on the scan — push it AFTER
+    any pruning predicates, and materialize hot keys as real columns
+    (schema evolution) rather than re-parsing per query.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
