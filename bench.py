@@ -248,6 +248,7 @@ QUERY_SUBSET = [
     "unpivot_part_metrics",
     "pagerank_bipartite",
     "join_full_outer_recon",
+    "enc_roundtrip_events",
 ]
 
 

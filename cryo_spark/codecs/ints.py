@@ -119,6 +119,47 @@ def decode_delta(buf: memoryview) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# dod — delta-of-delta: first value + first delta + zigzag(second diffs)
+# bit-packed. Wins on near-regularly spaced ramps — timestamps of an
+# event stream, auto-increment ids with gaps — where the first-order
+# deltas are large but nearly constant, so the SECOND differences are
+# tiny (Gorilla's timestamp idea, VLDB 2015; made vectorizable by
+# fixed-width packing instead of Gorilla's per-value varint).
+# All arithmetic wraps mod 2^64 consistently on both sides, so the
+# round trip is exact for the full int64 range.
+# ---------------------------------------------------------------------------
+
+def encode_dod(values: np.ndarray) -> bytes:
+    hdr, v = _header(values)
+    v64 = v.astype(np.int64, copy=False)
+    first = int(v64[0]) if len(v64) else 0
+    diffs = np.diff(v64)
+    first_d = int(diffs[0]) if len(diffs) else 0
+    dd = np.diff(diffs)
+    zz = zigzag(dd)
+    width = storage_width(int(zz.max())) if len(zz) else 0
+    return hdr + struct.pack("<qqB", first, first_d, width) + pack_bits(zz, width)
+
+
+def decode_dod(buf: memoryview) -> np.ndarray:
+    dt, n, pos = _read_header(buf)
+    first, first_d, width = struct.unpack_from("<qqB", buf, pos)
+    if n == 0:
+        return np.empty(0, dtype=dt)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if n > 1:
+        zz = unpack_bits(buf[pos + 17 :], n - 2, width)
+        diffs = np.empty(n - 1, dtype=np.int64)
+        diffs[0] = first_d
+        np.cumsum(unzigzag(zz), out=diffs[1:])
+        diffs[1:] += first_d
+        np.cumsum(diffs, out=out[1:])
+        out[1:] += first
+    return out.astype(dt)
+
+
+# ---------------------------------------------------------------------------
 # rle — run-length encoding; run values and run lengths nested as FoR blobs
 # ---------------------------------------------------------------------------
 

@@ -33,6 +33,7 @@ CODECS = {
     "bitpack": (ints.encode_bitpack, ints.decode_bitpack, INT_KIND),
     "for": (ints.encode_for, ints.decode_for, INT_KIND),
     "delta": (ints.encode_delta, ints.decode_delta, INT_KIND),
+    "dod": (ints.encode_dod, ints.decode_dod, INT_KIND),
     "rle": (ints.encode_rle, ints.decode_rle, INT_KIND),
     "dict": (ints.encode_dict, ints.decode_dict, INT_KIND),
     "dictf": (ints.encode_dictf, ints.decode_dictf, INT_KIND),

@@ -68,6 +68,12 @@ def _int_estimates(v: np.ndarray) -> dict[str, float]:
         # and is exactly what the codec stores
         zmax = int(zigzag(diffs).max())
         est["delta"] = storage_width(zmax) / 8.0 + 16.0 / n
+        if len(diffs) > 1:
+            # second differences: near-regular ramps (timestamps of an
+            # event stream) collapse to ~0 here while first deltas stay
+            # wide — exactly the gap dod exists to exploit
+            ddmax = int(zigzag(np.diff(diffs)).max())
+            est["dod"] = storage_width(ddmax) / 8.0 + 24.0 / n
     n_runs = 1 + int(np.count_nonzero(diffs)) if len(diffs) else 1
     run_bits = storage_width(vmax - vmin) + storage_width(max(1, n // max(1, n_runs)) * 4)
     est["rle"] = n_runs * run_bits / 8.0 / n + 32.0 / n

@@ -435,6 +435,12 @@ def _encode_chunk(t: pa.Table, spec: TableSpec = SEQUENCES) -> pa.Table:
                  stats=None if c.kind == "binary" else _arr_stats(arr),
                  bloom=key_bloom if c.name == spec.key else None)
         else:
+            if c.kind == "timestamp":
+                # epoch-micros at the codec layer: the int family applies
+                # (dod collapses near-regular event spacing) and the
+                # manifest zone maps hold integer micros, which
+                # _stat_num compares as longs
+                arr = arr.cast(pa.int64())
             dt = c.np_dtype
             vals = arr.fill_null(0).to_numpy(zero_copy_only=False).astype(dt)
             ch = (choose_float if dt.kind == "f" else choose_int)(vals)
@@ -1401,10 +1407,11 @@ def analyze(
             sk_cols.append(name)
         elif name == spec.key and spec.name == SEQUENCES.name:
             sk_cols.append(name)  # numeric key form (layout.key_nums)
-        elif c.kind == "str":
-            # string domains with no numeric form (incl. free-form str
-            # keys): exact distinct count — a str KEY falls here too,
-            # where NDV == row count anyway
+        elif c.kind in ("str", "timestamp"):
+            # domains with no int64 numeric form in the KMV kernel
+            # (incl. free-form str keys, tz-free timestamps): exact
+            # distinct count — a str KEY falls here too, where NDV ==
+            # row count anyway
             exact_cols.append(name)
     df = collect(spark, output_dir, columns=cols, spec=spec, as_of=as_of)
     out: dict[str, dict] = {}
@@ -2888,6 +2895,19 @@ def _stat_num(col: str, c: ColumnSpec):
     return F.col(col).cast("long")
 
 
+def _zone_val(c: ColumnSpec, val):
+    """Zone-map-comparable form of a filter value: timestamp columns
+    store integer epoch-micros stats (written by _encode_chunk's int64
+    cast), so datetime filter values compare as exact integer micros —
+    the subtraction/floor-div is integer-exact, no float epoch math."""
+    import datetime as _dt
+
+    if c.kind == "timestamp" and isinstance(val, _dt.datetime):
+        return (val.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)) \
+            // _dt.timedelta(microseconds=1)
+    return val
+
+
 def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
                     man: DataFrame | None = None) -> DataFrame:
     """Prune whole chunks via the manifest's per-column zone maps.
@@ -2915,18 +2935,19 @@ def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
         c = _filter_spec_col(spec, name, op)
         mn, mx = _stat_num("min_value", c), _stat_num("max_value", c)
         if op == "between":
-            lo, hi = val
+            lo, hi = _zone_val(c, val[0]), _zone_val(c, val[1])
             keep = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
         elif op in ("=", "contains"):  # contains: element min/max stats
-            keep = (mn <= F.lit(val)) & (mx >= F.lit(val))
+            zv = _zone_val(c, val)
+            keep = (mn <= F.lit(zv)) & (mx >= F.lit(zv))
         elif op == "<":
-            keep = mn < F.lit(val)
+            keep = mn < F.lit(_zone_val(c, val))
         elif op == "<=":
-            keep = mn <= F.lit(val)
+            keep = mn <= F.lit(_zone_val(c, val))
         elif op == ">":
-            keep = mx > F.lit(val)
+            keep = mx > F.lit(_zone_val(c, val))
         elif op == ">=":
-            keep = mx >= F.lit(val)
+            keep = mx >= F.lit(_zone_val(c, val))
         else:
             raise ValueError(f"unknown filter op {op!r}; one of {_FILTER_OPS}")
         k = stats_src.filter(

@@ -343,6 +343,66 @@ def enc_freeze_media(spark, sf_dir):
 
 
 @q(
+    "enc_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def enc_roundtrip_events(spark, sf_dir):
+    """Event-stream table (timestamp kind) through the engine, bit-exact.
+
+    The events family carries a tz-free microsecond timestamp — encoded
+    as int64 epoch-micros through the int codec family (delta /
+    delta-of-delta collapse the near-regular stream spacing;
+    tablespec.EVENTS) — plus a double, a JSON property bag and a
+    low-cardinality type column. Encode, decode, verify EVERY column
+    bit-identical per row (n_mismatch pinned 0 by the oracle), then
+    aggregate per event_type with ts bounds as exact integer micros
+    (timestampdiff vs the NTZ epoch == DuckDB epoch_us, both tz-free).
+    """
+    from . import engine
+    from .tablespec import EVENTS
+
+    src = _t(spark, sf_dir, "events")
+    enc = engine.encode(src, target_tokens=25_000, spec=EVENTS)
+    dec = engine.decode(enc, spec=EVENTS)
+    j = dec.alias("d").join(src.alias("s"), "event_id", "full_outer")
+    t_us = F.expr("timestampdiff(MICROSECOND, "
+                  "TIMESTAMP_NTZ '1970-01-01 00:00:00', d.ts)")
+    return (
+        j.groupBy(F.col("d.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(t_us).cast("long").alias("min_ts_us"),
+            F.max(t_us).cast("long").alias("max_ts_us"),
+            F.sum(F.round(F.col("d.value") * 100).cast("long"))
+            .cast("long").alias("cents_sum"),
+            F.sum(
+                F.when(
+                    F.col("d.ts").isNull() | F.col("s.ts").isNull()
+                    | (F.col("d.ts") != F.col("s.ts"))
+                    | (F.col("d.user_id") != F.col("s.user_id"))
+                    | (F.col("d.event_type") != F.col("s.event_type"))
+                    | (F.col("d.value") != F.col("s.value"))
+                    | (F.col("d.props") != F.col("s.props")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_mismatch"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
     "enc_compact_roundtrip",
     """
     WITH d AS (SELECT doc_id, n_chars, source FROM documents)

@@ -47,6 +47,12 @@ _SCALAR_PA = {
     "int64": pa.int64(),
     "float32": pa.float32(),
     "float64": pa.float64(),
+    # tz-free microsecond timestamps (Spark TIMESTAMP_NTZ; what Spark
+    # reads from parquet isAdjustedToUTC=false). Stored/encoded as
+    # int64 epoch-micros through the int codec family — delta-of-delta
+    # ('dod') collapses the near-regular spacing of event streams —
+    # and rebuilt as timestamp[us] on decode, bit-identical.
+    "timestamp": pa.timestamp("us"),
 }
 _LIST_ITEM = {
     "list<int32>": np.dtype("<i4"),
@@ -61,6 +67,7 @@ _SPARK_TYPE = {
     "int64": "long",
     "float32": "float",
     "float64": "double",
+    "timestamp": "timestamp_ntz",
     "list<int32>": "array<int>",
     "list<int64>": "array<long>",
     "list<float32>": "array<float>",
@@ -109,6 +116,7 @@ class ColumnSpec:
         return {
             "int32": np.dtype("<i4"), "int64": np.dtype("<i8"),
             "float32": np.dtype("<f4"), "float64": np.dtype("<f8"),
+            "timestamp": np.dtype("<i8"),  # epoch-micros at the codec layer
         }[self.kind]
 
 
@@ -359,6 +367,21 @@ DOCUMENTS = TableSpec(
     weight="n_chars",
 )
 
+EVENTS = TableSpec(
+    name="events",
+    key="event_id",
+    columns=(
+        ColumnSpec("event_id", "int64"),
+        ColumnSpec("ts", "timestamp"),
+        ColumnSpec("user_id", "int64"),
+        ColumnSpec("event_type", "str"),
+        ColumnSpec("value", "float64"),
+        ColumnSpec("props", "str"),
+    ),
+    partition_col="event_type",
+    weight=None,  # every event weighs 1: chunks balance on row count
+)
+
 # Named registry for CLI/job surfaces (`--table sequences|embeddings|...`)
 # — the analog of the reference's dataset-name lookup
 # (/root/reference/crates/freeze/src/datasets/mod.rs).
@@ -377,7 +400,8 @@ PACKED_SEQUENCES = TableSpec(
 
 SPECS: dict[str, TableSpec] = {
     s.name: s
-    for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA, PACKED_SEQUENCES)
+    for s in (SEQUENCES, EMBEDDINGS, DOCUMENTS, MEDIA, PACKED_SEQUENCES,
+              EVENTS)
 }
 
 

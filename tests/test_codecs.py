@@ -110,10 +110,12 @@ def test_selector_str(case):
 def test_selector_picks_sensibly():
     constant = np.full(100_000, 42, dtype=np.int32)
     const_choice = choose_int(constant)
-    assert const_choice.codec_id.startswith(("rle", "for", "dict", "delta"))
+    assert const_choice.codec_id.startswith(("rle", "for", "dict", "delta",
+                                             "dod"))
     assert const_choice.enc_bytes < 200  # ~0 bits/value either way
     ramp = np.arange(100_000, dtype=np.int32)
-    assert choose_int(ramp).codec_id.startswith(("delta", "rle"))
+    # a ramp's second differences are all zero — dod packs it to ~nothing
+    assert choose_int(ramp).codec_id.startswith(("delta", "rle", "dod"))
     sources = pa.array(["web"] * 60_000 + ["code"] * 20_000, type=pa.string())
     assert choose_str(sources).codec_id.startswith(("strdict", "strplain"))
 
