@@ -249,6 +249,8 @@ QUERY_SUBSET = [
     "pagerank_bipartite",
     "join_full_outer_recon",
     "enc_roundtrip_events",
+    "text_normalize_nfc",
+    "outlier_mad_filter",
 ]
 
 

@@ -7503,3 +7503,172 @@ def json_props_stats(spark, sf_dir):
         F.min("k").cast("long").alias("k_min"),
         F.max("k").cast("long").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization: the canonical text-cleaning stage, pinned
+# against an independent ICU implementation (DuckDB's nfc_normalize)
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_normalize_nfc",
+    """
+    WITH dirty AS (
+      SELECT lang,
+             replace(replace(text, 'a', 'a' || chr(769)), 'e', chr(233))
+               AS dtext
+      FROM documents
+    ), d AS (
+      SELECT lang, dtext, nfc_normalize(dtext) AS ntext FROM dirty
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ntext <> dtext THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(sum(octet_length(encode(dtext))) AS BIGINT) AS dirty_bytes,
+           CAST(sum(octet_length(encode(ntext))) AS BIGINT) AS norm_bytes
+    FROM d
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization of a text column (pandas UDF boundary).
+
+    Every web-scale corpus cleaner canonicalizes Unicode before dedup
+    and tokenization — combining sequences ('a' + U+0301) and their
+    precomposed forms (U+00E1) must hash identically downstream. Spark
+    has no built-in normalizer, so this is the sanctioned Python
+    boundary: an Arrow-batched pandas UDF over `Series.str.normalize`
+    (C-loop over unicodedata, no per-row py4j). The corpus is ASCII, so
+    both engines first derive the same combining-mark-laden text with
+    pure string ops (deterministic, SQL-replayable), then normalize —
+    the oracle pins our normalizer against DuckDB's independent ICU
+    NFC, byte-for-byte via UTF-8 byte sums.
+
+    100 TB: the UDF is per-row CPU on the scan with no shuffle — it
+    scales linearly with executors; place it AFTER pruning predicates
+    so only surviving rows pay the Python transfer.
+    """
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            if t.num_rows == 0:
+                continue
+            s = t.column("dtext").to_pandas()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("lang").combine_chunks(),
+                    t.column("dtext").combine_chunks(),
+                    pa.array(s.str.normalize("NFC"), pa.string()),
+                ],
+                names=["lang", "dtext", "ntext"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.regexp_replace(
+            F.regexp_replace("text", "a", "á"), "e", "é"
+        ).alias("dtext"),
+    ).mapInArrow(kernel, "lang string, dtext string, ntext string")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ntext") != F.col("dtext"), 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum(F.length(F.encode("dtext", "UTF-8"))).cast("long")
+        .alias("dirty_bytes"),
+        F.sum(F.length(F.encode("ntext", "UTF-8"))).cast("long")
+        .alias("norm_bytes"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# robust outlier filtering: exact median/MAD via integer rank arithmetic
+# ---------------------------------------------------------------------------
+
+@q(
+    "outlier_mad_filter",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    ), med AS (
+      SELECT source, n_chars AS med FROM ranked WHERE rn = (cnt + 1) // 2
+    ), dev AS (
+      SELECT r.source, r.doc_id, r.n_chars, m.med,
+             abs(r.n_chars - m.med) AS ad
+      FROM ranked r JOIN med m USING (source)
+    ), dev_ranked AS (
+      SELECT source, med, ad,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ad, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM dev
+    ), mad AS (
+      SELECT source, med, ad AS mad FROM dev_ranked
+      WHERE rn = (cnt + 1) // 2
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN d.ad <= 4 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(m.med AS BIGINT) AS med,
+           CAST(m.mad AS BIGINT) AS mad
+    FROM dev d JOIN mad m USING (source)
+    GROUP BY d.source, m.med, m.mad
+    ORDER BY d.source
+    """,
+)
+def outlier_mad_filter(spark, sf_dir):
+    """Median/MAD outlier filter (robust statistics, integer-exact).
+
+    Mean/stddev outlier gates break on the heavy-tailed length
+    distributions of web corpora (the outliers drag the gate). The
+    robust version — keep rows within k·MAD of the median — needs two
+    exact order statistics per group. Both are computed by integer rank
+    arithmetic (row_number against (cnt+1) div 2, the lower-middle
+    element), never interpolating floats, so DuckDB replays bit-exactly.
+
+    Plan: two shuffles by source (rank n_chars, then rank deviations)
+    plus one broadcast of the per-source medians (one row per source).
+    100 TB: exact per-group ranks are a full sort per group — swap in
+    quantile_sketch_bins' mergeable-histogram p50 when groups are
+    billions of rows; the filter semantics survive, the sort doesn't
+    have to.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    wsrc = Window.partitionBy("source")
+    r = d.withColumn(
+        "rn", F.row_number().over(wsrc.orderBy("n_chars", "doc_id"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(wsrc))
+    med = r.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")) \
+        .select("source", F.col("n_chars").alias("med"))
+    dev = d.join(F.broadcast(med), "source") \
+        .withColumn("ad", F.abs(F.col("n_chars") - F.col("med")))
+    dr = dev.withColumn(
+        "rn", F.row_number().over(wsrc.orderBy("ad", "doc_id"))
+    ).withColumn("cnt", F.count(F.lit(1)).over(wsrc))
+    mad = dr.filter(F.col("rn") == F.expr("(cnt + 1) DIV 2")) \
+        .select("source", F.col("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("ad") <= 4 * F.col("mad"), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+        )
+        .select(
+            "source", "n_total", "n_kept",
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+        )
+        .orderBy("source")
+    )
