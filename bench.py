@@ -251,6 +251,7 @@ QUERY_SUBSET = [
     "enc_roundtrip_events",
     "text_normalize_nfc",
     "outlier_mad_filter",
+    "cohort_retention",
 ]
 
 

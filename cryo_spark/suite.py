@@ -7672,3 +7672,67 @@ def outlier_mad_filter(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention: the classic event-analytics rollup (first-seen week
+# cohorts x activity-week offsets), all integer week arithmetic
+# ---------------------------------------------------------------------------
+
+_COHORT_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 in micros
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+@q(
+    "cohort_retention",
+    f"""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_us(ts) - {_COHORT_BASE_US}) // {_WEEK_US} AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           e.week - c.cohort_week AS offset_week,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, offset_week
+    ORDER BY c.cohort_week, offset_week
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention over the event stream.
+
+    Users are bucketed by first-seen week (their cohort); every later
+    active week counts them at that offset — the retention-curve input
+    every growth dashboard draws. Week ids are integer floor-divisions
+    of tz-free epoch micros, so both engines bucket identically with no
+    date-library involvement.
+
+    Plan: one shuffle by user_id serves BOTH the min-week cohort agg
+    and the activity join (the join reuses the aggregation's hash
+    partitioning — no second exchange of the event side); the final
+    (cohort, offset) agg is a bounded rollup (weeks x weeks rows).
+    100 TB: countDistinct carries user_id sets per (cohort, offset) —
+    swap to approx_count_distinct or the KMV sketch when cell
+    populations stop fitting a shuffle partition.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(floor((timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) - {_COHORT_BASE_US}) "
+            f"/ {_WEEK_US}) AS BIGINT)"
+        ).alias("week"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_week"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "offset_week")
+    )
