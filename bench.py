@@ -252,6 +252,8 @@ QUERY_SUBSET = [
     "text_normalize_nfc",
     "outlier_mad_filter",
     "cohort_retention",
+    "top_revenue_suppliers",
+    "ordered_string_agg",
 ]
 
 

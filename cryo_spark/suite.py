@@ -7736,3 +7736,106 @@ def cohort_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
         .orderBy("cohort_week", "offset_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate view -> global max -> tie-safe selection
+# ---------------------------------------------------------------------------
+
+@q(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.revenue_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_suppliers(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum total revenue, tie-safe.
+
+    The classic view-vs-scalar-subquery shape: revenue per supplier
+    (integer cents per row BEFORE the sum, so the fold is exact and
+    order-independent), the global max of that view, and the equality
+    selection that keeps EVERY tied supplier — a LIMIT 1 would be
+    nondeterministic under ties. Plan: one shuffle for the supplier
+    agg; the single-row max broadcasts back via a cross join; the
+    supplier name lookup broadcasts the dim. The revenue view is
+    computed once and reused for both sides (cached logical subtree,
+    no second lineitem scan at Spark's discretion under AQE).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + 0.5)
+        ).cast("long").alias("revenue_cents")
+    )
+    mx = rev.agg(F.max("revenue_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation: deterministic listagg per group
+# ---------------------------------------------------------------------------
+
+@q(
+    "ordered_string_agg",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC,
+                                doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked
+    WHERE rn <= 5
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def ordered_string_agg(spark, sf_dir):
+    """Deterministic LISTAGG: top-5 longest docs per source as one string.
+
+    collect_list has no intra-group order guarantee in a distributed
+    fold — the idiom that survives any partitioning is rank first (a
+    total order: length desc, doc_id tiebreak), filter to the top-k,
+    then aggregate structs of (rank, id) and sort INSIDE the array
+    before joining. The result is a pure function of the data, pinned
+    against DuckDB's ORDER BY string_agg.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("top_docs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("source")
+    )

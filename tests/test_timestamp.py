@@ -156,3 +156,24 @@ def test_ts_zone_map_actually_prunes(spark, tmp_path):
                   raw.filter(F.col("ts") >= F.lit(cut))
                   .select("event_id").collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_encode_events_spec(spark, tmp_path):
+    """stream_encode is spec-driven: the events family (timestamp kind)
+    streams through the same kernels and decodes bit-identical."""
+    from cryo_spark import engine, streaming
+
+    inp = tmp_path / "ev_in"
+    inp.mkdir()
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    _write_events(str(inp / "a.parquet"), n=800)
+    q = streaming.stream_encode(spark, str(inp), out, ckpt,
+                                target_tokens=300, spec=EVENTS)
+    q.awaitTermination(120)
+    raw = spark.read.parquet(str(inp / "a.parquet"))
+    dec = engine.decode(engine.read_encoded(spark, out), spec=EVENTS)
+    cols = [c.name for c in EVENTS.columns]
+    want = sorted(raw.select(cols).collect(), key=lambda r: r.event_id)
+    got = sorted(dec.select(cols).collect(), key=lambda r: r.event_id)
+    assert got == want
