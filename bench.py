@@ -254,6 +254,7 @@ QUERY_SUBSET = [
     "cohort_retention",
     "top_revenue_suppliers",
     "ordered_string_agg",
+    "enc_freeze_daypart",
 ]
 
 

@@ -182,10 +182,7 @@ def _pack_assign(lut_b, n_buckets: int, keep_mask: np.ndarray | None = None,
         for b in batches:
             t = pa.Table.from_batches([b]).combine_chunks()
             key_str = tablespec.key_strings(t, spec)
-            src = (
-                t.column(spec.partition_col).combine_chunks()
-                if spec.partition_col else None
-            )
+            src = tablespec.partition_values(t, spec)
             pid, cid = layout.assign_arrays(
                 key_str, src, lut_b.value, n_buckets, bounds=bounds,
                 knum=None if bounds is None else layout.key_nums(t, spec),

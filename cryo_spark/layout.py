@@ -272,10 +272,7 @@ def _hist_kernel(n_buckets: int, spec: TableSpec = SEQUENCES,
         acc: dict[str | None, np.ndarray] = {}
         for b in batches:
             t = pa.Table.from_batches([b])
-            src = (
-                t.column(spec.partition_col).combine_chunks()
-                if spec.partition_col else None
-            )
+            src = tablespec.partition_values(t, spec)
             buckets = _bucketize(t, tablespec.key_strings(t, spec), src,
                                  n_buckets, spec, bounds)
             n_tok = tablespec.row_weights(t, spec)  # null weight weighs 0
@@ -364,8 +361,7 @@ def _key_num_expr(spec: TableSpec):
 def _range_bounds_of(df: DataFrame, spec: TableSpec) -> dict:
     """Per-source numeric key (min, max) — one tiny agg job."""
     knum = _key_num_expr(spec)
-    gcol = (F.col(spec.partition_col) if spec.partition_col
-            else F.lit("")).alias("s")
+    gcol = tablespec.partition_expr(spec).alias("s")
     rows = df.groupBy(gcol).agg(F.min(knum).alias("lo"),
                                 F.max(knum).alias("hi")).collect()
     return {r["s"]: (int(r["lo"]), int(r["hi"]))
@@ -384,8 +380,7 @@ def _zorder_bounds_of(df: DataFrame, spec: TableSpec) -> dict:
             f"{spec.name!r} has {spec.weight!r}")
     knum = _key_num_expr(spec)
     w = _weight_expr(spec)
-    gcol = (F.col(spec.partition_col) if spec.partition_col
-            else F.lit("")).alias("s")
+    gcol = tablespec.partition_expr(spec).alias("s")
     rows = df.groupBy(gcol).agg(
         F.min(knum).alias("klo"), F.max(knum).alias("khi"),
         F.min(w).alias("wlo"), F.max(w).alias("whi")).collect()

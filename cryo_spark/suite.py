@@ -7839,3 +7839,66 @@ def ordered_string_agg(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning: day(ts) partition transform end-to-end
+# ---------------------------------------------------------------------------
+
+@q(
+    "enc_freeze_daypart",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+             AS n_partitions,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM events
+    """,
+)
+def enc_freeze_daypart(spark, sf_dir):
+    """Iceberg hidden partitioning: freeze events under day(ts).
+
+    The spec declares ``partition_transform='day(ts)'`` — partition
+    values are DERIVED (epoch-day of the timestamp) identically in the
+    plan histogram and the pack kernel, never stored as a column. The
+    oracle pins (a) the engine's partition count == the exact number of
+    distinct event days in the data (hidden partition routing is
+    correct and complete) and (b) the decoded table bit-identical per
+    row. At 10^12 scale this is the layout that makes time-range reads
+    prune at the partition level before zone maps even load.
+    """
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from . import engine
+    from .tablespec import EVENTS
+
+    spec = dataclasses.replace(EVENTS, partition_col=None,
+                               partition_transform="day(ts)")
+    base = f"{tempfile.gettempdir()}/cryo_spark_suite_daypart_" \
+           f"{abs(hash(sf_dir)) % (1 << 30)}"
+    shutil.rmtree(base, ignore_errors=True)
+    src = _t(spark, sf_dir, "events")
+    s = engine.freeze(spark, src, base, target_tokens=50_000, spec=spec)
+    assert s["n_failed"] == 0
+    man = engine.read_manifest(spark, base)
+    nparts = man.filter(F.col("status") == "ok") \
+        .select("partition_id").distinct().count()
+    dec = engine.decode(engine.read_encoded(spark, base), spec=spec)
+    j = dec.alias("d").join(src.alias("s"), "event_id", "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(nparts).cast("long").alias("n_partitions"),
+        F.sum(
+            F.when(
+                F.col("d.ts").isNull() | F.col("s.ts").isNull()
+                | (F.col("d.ts") != F.col("s.ts"))
+                | (F.col("d.user_id") != F.col("s.user_id"))
+                | (F.col("d.event_type") != F.col("s.event_type"))
+                | (F.col("d.value") != F.col("s.value"))
+                | (F.col("d.props") != F.col("s.props")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_mismatch"),
+    )

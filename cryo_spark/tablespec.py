@@ -120,6 +120,96 @@ class ColumnSpec:
         }[self.kind]
 
 
+_NULL_PART = "__null__"   # partition value of a null transform input
+_DAY_US = 86_400_000_000
+
+
+def _parse_transform(expr: str) -> tuple[str, tuple[str, ...]]:
+    """Parse ``day(col)`` / ``bucket(n, col)`` / ``truncate(w, col)``."""
+    import re
+
+    m = re.fullmatch(r"\s*(day|bucket|truncate)\(\s*(.+?)\s*\)\s*", expr)
+    if m:
+        kind = m.group(1)
+        args = tuple(a.strip() for a in m.group(2).split(","))
+        if kind == "day" and len(args) == 1:
+            return kind, args
+        if (kind in ("bucket", "truncate") and len(args) == 2
+                and args[0].isdigit() and int(args[0]) > 0):
+            return kind, args
+    raise ValueError(
+        f"bad partition_transform {expr!r}; expected day(col), "
+        "bucket(n, col) or truncate(w, col)")
+
+
+def partition_values(t: pa.Table, spec: "TableSpec") -> pa.Array | None:
+    """Per-row partition value (string array), or None for one partition.
+
+    THE definition of a row's partition — the plan histogram and the
+    executors' pack kernel both call this, so placement stays a pure
+    function of the data (FIXTURES.md §4) under hidden partitioning
+    exactly as it does for an identity partition column. Null transform
+    inputs map to the sentinel '__null__' partition (Iceberg puts null
+    values in their own partition too).
+    """
+    if spec.partition_col is not None:
+        return t.column(spec.partition_col).combine_chunks()
+    if spec.partition_transform is None:
+        return None
+    kind, args = _parse_transform(spec.partition_transform)
+    a = t.column(args[-1]).combine_chunks()
+    if kind == "day":
+        vals = a.cast(pa.int64()).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pc.cast(pa.array(np.floor_divide(vals, _DAY_US)), pa.string())
+    elif kind == "bucket":
+        from . import hashing
+
+        n = int(args[0])
+        s = a if a.type == pa.string() else pc.cast(a, pa.string())
+        h = hashing.hash_utf8(s.fill_null(""))
+        out = pc.cast(pa.array((h % np.uint64(n)).astype(np.int64)),
+                      pa.string())
+    else:  # truncate
+        out = pc.utf8_slice_codeunits(a, 0, int(args[0]))
+    if a.null_count:
+        out = pc.if_else(a.is_valid(), out, pa.scalar(_NULL_PART))
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def partition_expr(spec: "TableSpec"):
+    """Spark Column form of :func:`partition_values` (same strings).
+
+    Used by the range/zorder bounds aggregation, which groups in SQL.
+    ``bucket`` has no JVM twin of the numpy hash — range/zorder layouts
+    reject it; the hash layout's histogram runs arrow-side and never
+    needs this expression.
+    """
+    from pyspark.sql import functions as F
+
+    if spec.partition_col is not None:
+        return F.col(spec.partition_col)
+    if spec.partition_transform is None:
+        return F.lit("")
+    kind, args = _parse_transform(spec.partition_transform)
+    col = args[-1]
+    if kind == "day":
+        # floor over double is exact here: |micros| < 2^53 (year 2255)
+        # and adjacent inputs differ by >= 1 us, far above the ulp at
+        # day-index magnitude — matches numpy floor_divide bit-for-bit
+        e = F.expr(
+            "CAST(CAST(floor(timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) "
+            f"/ {_DAY_US}.0) AS BIGINT) AS STRING)")
+    elif kind == "truncate":
+        e = F.substring(col, 1, int(args[0]))
+    else:
+        raise ValueError(
+            "bucket() partition transform requires the hash layout "
+            "(no SQL twin of the planner's hash)")
+    return F.coalesce(e, F.lit(_NULL_PART))
+
+
 @dataclass(frozen=True)
 class TableSpec:
     """Declarative table contract.
@@ -129,6 +219,18 @@ class TableSpec:
     or None (every row weighs 1). ``partition_col``: the string column
     whose distinct values become top-level partitions (the reference's
     per-source output dirs); None collapses to a single partition.
+
+    ``partition_transform``: Iceberg hidden partitioning — a DERIVED
+    partition value, computed identically at plan and pack time, never
+    stored as a column. Grammar (Iceberg's transform menu):
+
+      ``day(col)``          epoch-day index of a timestamp column
+      ``bucket(n, col)``    hash_utf8(value) mod n of a str/int column
+      ``truncate(w, col)``  first w code points of a str column
+
+    Mutually exclusive with ``partition_col`` (which IS the identity
+    transform). Transform values are strings (like source values); the
+    underlying column still round-trips bit-identically as data.
     """
 
     name: str
@@ -136,6 +238,7 @@ class TableSpec:
     columns: tuple[ColumnSpec, ...]
     partition_col: str | None = None
     weight: str | None = None
+    partition_transform: str | None = None
 
     def __post_init__(self):
         by_name = {c.name: c for c in self.columns}
@@ -155,6 +258,24 @@ class TableSpec:
                 and not by_name[self.weight].is_list)
         ):
             raise ValueError("weight must be an int or list column")
+        if self.partition_transform is not None:
+            if self.partition_col is not None:
+                raise ValueError(
+                    "partition_transform and partition_col are mutually "
+                    "exclusive (partition_col IS the identity transform)")
+            kind, args = _parse_transform(self.partition_transform)
+            col = by_name.get(args[-1])
+            if col is None:
+                raise ValueError(
+                    f"partition_transform references unknown column "
+                    f"{args[-1]!r}")
+            want = {"day": ("timestamp",),
+                    "bucket": ("str", "int32", "int64"),
+                    "truncate": ("str",)}[kind]
+            if col.kind not in want:
+                raise ValueError(
+                    f"{kind}() partition transform needs a column of kind "
+                    f"{want}; {col.name!r} is {col.kind!r}")
 
     def col(self, name: str) -> ColumnSpec:
         for c in self.columns:
@@ -240,13 +361,17 @@ class TableSpec:
             cols.append(self.weight)
         if self.partition_col is not None and self.partition_col not in cols:
             cols.append(self.partition_col)
+        if self.partition_transform is not None:
+            src = _parse_transform(self.partition_transform)[1][-1]
+            if src not in cols:
+                cols.append(src)
         return cols
 
     def to_dict(self) -> dict:
         """JSON-portable form (the Iceberg table-metadata schema analog:
         frozen outputs persist this next to the snapshot log so readers
         need no out-of-band spec)."""
-        return {
+        d = {
             "name": self.name,
             "key": self.key,
             "columns": [{"name": c.name, "kind": c.kind}
@@ -254,6 +379,11 @@ class TableSpec:
             "partition_col": self.partition_col,
             "weight": self.weight,
         }
+        # omitted when unset: specs persisted by older engine versions
+        # round-trip byte-identically (fingerprint stability)
+        if self.partition_transform is not None:
+            d["partition_transform"] = self.partition_transform
+        return d
 
     def to_json(self) -> str:
         import json
@@ -264,7 +394,8 @@ class TableSpec:
     def from_dict(cls, d: dict) -> "TableSpec":
         """Inverse of :meth:`to_dict`; ``__post_init__`` re-validates, so
         a hand-written JSON spec gets the same checks as a literal one."""
-        extra = set(d) - {"name", "key", "columns", "partition_col", "weight"}
+        extra = set(d) - {"name", "key", "columns", "partition_col",
+                          "weight", "partition_transform"}
         if extra:
             raise ValueError(f"unknown TableSpec fields: {sorted(extra)}")
         return cls(
@@ -274,6 +405,7 @@ class TableSpec:
                           for c in d["columns"]),
             partition_col=d.get("partition_col"),
             weight=d.get("weight"),
+            partition_transform=d.get("partition_transform"),
         )
 
     @classmethod
