@@ -125,21 +125,25 @@ _DAY_US = 86_400_000_000
 
 
 def _parse_transform(expr: str) -> tuple[str, tuple[str, ...]]:
-    """Parse ``day(col)`` / ``bucket(n, col)`` / ``truncate(w, col)``."""
+    """Parse ``year|month|day|hour(col)`` / ``bucket(n, col)`` /
+    ``truncate(w, col)``. Temporal transforms follow Iceberg's
+    semantics: the value is the UNITS-SINCE-EPOCH index (years since
+    1970, months since 1970-01, days/hours since the epoch instant)."""
     import re
 
-    m = re.fullmatch(r"\s*(day|bucket|truncate)\(\s*(.+?)\s*\)\s*", expr)
+    m = re.fullmatch(
+        r"\s*(year|month|day|hour|bucket|truncate)\(\s*(.+?)\s*\)\s*", expr)
     if m:
         kind = m.group(1)
         args = tuple(a.strip() for a in m.group(2).split(","))
-        if kind == "day" and len(args) == 1:
+        if kind in ("year", "month", "day", "hour") and len(args) == 1:
             return kind, args
         if (kind in ("bucket", "truncate") and len(args) == 2
                 and args[0].isdigit() and int(args[0]) > 0):
             return kind, args
     raise ValueError(
-        f"bad partition_transform {expr!r}; expected day(col), "
-        "bucket(n, col) or truncate(w, col)")
+        f"bad partition_transform {expr!r}; expected year(col), month(col), "
+        "day(col), hour(col), bucket(n, col) or truncate(w, col)")
 
 
 def partition_values(t: pa.Table, spec: "TableSpec") -> pa.Array | None:
@@ -158,10 +162,19 @@ def partition_values(t: pa.Table, spec: "TableSpec") -> pa.Array | None:
         return None
     kind, args = _parse_transform(spec.partition_transform)
     a = t.column(args[-1]).combine_chunks()
-    if kind == "day":
+    if kind in ("day", "hour"):
         vals = a.cast(pa.int64()).fill_null(0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        out = pc.cast(pa.array(np.floor_divide(vals, _DAY_US)), pa.string())
+        unit = _DAY_US if kind == "day" else _DAY_US // 24
+        out = pc.cast(pa.array(np.floor_divide(vals, unit)), pa.string())
+    elif kind in ("year", "month"):
+        # proleptic-Gregorian calendar fields, offset to Iceberg's
+        # years/months-since-epoch indices; arrow and Spark agree on
+        # year()/month() for the full timestamp range
+        y = pc.subtract(pc.year(a), 1970)
+        idx = (y if kind == "year"
+               else pc.add(pc.multiply(y, 12), pc.subtract(pc.month(a), 1)))
+        out = pc.cast(idx.fill_null(0), pa.string())
     elif kind == "bucket":
         from . import hashing
 
@@ -193,14 +206,20 @@ def partition_expr(spec: "TableSpec"):
         return F.lit("")
     kind, args = _parse_transform(spec.partition_transform)
     col = args[-1]
-    if kind == "day":
+    if kind in ("day", "hour"):
         # floor over double is exact here: |micros| < 2^53 (year 2255)
         # and adjacent inputs differ by >= 1 us, far above the ulp at
         # day-index magnitude — matches numpy floor_divide bit-for-bit
+        unit = _DAY_US if kind == "day" else _DAY_US // 24
         e = F.expr(
             "CAST(CAST(floor(timestampdiff(MICROSECOND, "
             f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) "
-            f"/ {_DAY_US}.0) AS BIGINT) AS STRING)")
+            f"/ {unit}.0) AS BIGINT) AS STRING)")
+    elif kind == "year":
+        e = F.expr(f"CAST(year({col}) - 1970 AS STRING)")
+    elif kind == "month":
+        e = F.expr(
+            f"CAST((year({col}) - 1970) * 12 + month({col}) - 1 AS STRING)")
     elif kind == "truncate":
         e = F.substring(col, 1, int(args[0]))
     else:
@@ -224,7 +243,8 @@ class TableSpec:
     partition value, computed identically at plan and pack time, never
     stored as a column. Grammar (Iceberg's transform menu):
 
-      ``day(col)``          epoch-day index of a timestamp column
+      ``year|month|day|hour(col)``  units-since-epoch index of a
+                            timestamp column (Iceberg's temporal menu)
       ``bucket(n, col)``    hash_utf8(value) mod n of a str/int column
       ``truncate(w, col)``  first w code points of a str column
 
@@ -269,7 +289,8 @@ class TableSpec:
                 raise ValueError(
                     f"partition_transform references unknown column "
                     f"{args[-1]!r}")
-            want = {"day": ("timestamp",),
+            want = {"year": ("timestamp",), "month": ("timestamp",),
+                    "day": ("timestamp",), "hour": ("timestamp",),
                     "bucket": ("str", "int32", "int64"),
                     "truncate": ("str",)}[kind]
             if col.kind not in want:

@@ -51,9 +51,12 @@ def _events_table(n: int = 4_000, seed: int = 7) -> pa.Table:
 
 def test_transform_grammar():
     assert _parse_transform("day(ts)") == ("day", ("ts",))
+    assert _parse_transform("hour(ts)") == ("hour", ("ts",))
+    assert _parse_transform("year(ts)") == ("year", ("ts",))
+    assert _parse_transform("month(ts)") == ("month", ("ts",))
     assert _parse_transform("bucket(16, user_id)") == ("bucket", ("16", "user_id"))
     assert _parse_transform(" truncate(3, name) ") == ("truncate", ("3", "name"))
-    for bad in ("day()", "bucket(user_id)", "bucket(0, x)", "hour(ts)",
+    for bad in ("day()", "bucket(user_id)", "bucket(0, x)", "week(ts)",
                 "truncate(x, y)"):
         with pytest.raises(ValueError):
             _parse_transform(bad)
@@ -144,3 +147,33 @@ def test_hidden_partition_resume(spark, tmp_path):
     assert s1["n_failed"] == 0 and s1["n_encoded"] > 0
     s2 = engine.freeze(spark, src_path, out, target_tokens=500, spec=spec)
     assert s2["n_encoded"] == 0
+
+
+@pytest.mark.parametrize("transform", ["year(ts)", "month(ts)", "day(ts)",
+                                       "hour(ts)"])
+def test_spark_and_arrow_transforms_agree(spark, transform):
+    """partition_expr (SQL side, range/zorder bounds) and
+    partition_values (arrow side, histogram/pack) produce identical
+    strings — including pre-1970 negatives."""
+    import datetime
+
+    from cryo_spark.tablespec import partition_expr
+
+    vals = [datetime.datetime(1969, 12, 31, 23, 0),
+            datetime.datetime(1970, 1, 1),
+            datetime.datetime(2024, 3, 15, 7, 30),
+            datetime.datetime(2025, 12, 31, 23, 59)]
+    spec = _spec(transform)
+    t = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(vals, pa.timestamp("us")),
+        "user_id": pa.array([0] * len(vals), pa.int64()),
+    })
+    want = partition_values(t, spec).to_pylist()
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vals)],
+        "event_id long, ts timestamp_ntz, user_id long")
+    got = [r.p for r in
+           df.select(partition_expr(spec).alias("p"))
+           .orderBy("event_id").collect()]
+    assert got == want
