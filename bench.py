@@ -255,6 +255,8 @@ QUERY_SUBSET = [
     "top_revenue_suppliers",
     "ordered_string_agg",
     "enc_freeze_daypart",
+    "ks_drift_sources",
+    "time_bucket_gap_fill",
 ]
 
 

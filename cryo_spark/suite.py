@@ -7902,3 +7902,143 @@ def enc_freeze_daypart(spark, sf_dir):
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: exact two-sample Kolmogorov-Smirnov via integer ranks
+# ---------------------------------------------------------------------------
+
+@q(
+    "ks_drift_sources",
+    """
+    WITH a AS (SELECT n_chars FROM documents WHERE source = 'web'),
+         b AS (SELECT n_chars FROM documents WHERE source = 'code'),
+         na AS (SELECT count(*) AS n FROM a),
+         nb AS (SELECT count(*) AS n FROM b),
+         pts AS (
+           SELECT v, sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+           FROM (
+             SELECT n_chars AS v, count(*) AS ca, 0 AS cb FROM a GROUP BY 1
+             UNION ALL
+             SELECT n_chars AS v, 0 AS ca, count(*) AS cb FROM b GROUP BY 1
+           )
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+         ), folded AS (
+           SELECT v, max(cum_a) AS cum_a, max(cum_b) AS cum_b
+           FROM pts GROUP BY v
+         )
+    SELECT CAST((SELECT n FROM na) AS BIGINT) AS n_web,
+           CAST((SELECT n FROM nb) AS BIGINT) AS n_code,
+           CAST(max(abs(cum_a * (SELECT n FROM nb)
+                        - cum_b * (SELECT n FROM na))) AS BIGINT)
+             AS ks_scaled
+    FROM folded
+    """,
+)
+def ks_drift_sources(spark, sf_dir):
+    """Two-sample KS statistic between sources, exact integers.
+
+    Data-drift monitoring compares a slice's length distribution
+    against another's; the KS statistic is max |F_a(v) - F_b(v)|. The
+    float CDFs are replaced by the cross-multiplied integer form
+    max |cum_a*n_b - cum_b*n_a| (== D * n_a * n_b exactly), so both
+    engines agree bit-for-bit with no division anywhere. Plan: one
+    scan, a per-value counts agg (bounded by the value domain), ONE
+    running-sum window over the merged value axis, a 3-int result.
+    100 TB: the windowed axis holds one row per distinct value, not
+    per row — n_chars-like domains are ~10^5 whatever the corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "web")
+    b = d.filter(F.col("source") == "code")
+    na = a.count()
+    nb = b.count()
+    pts = (
+        a.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .withColumn("cb", F.lit(0))
+        .unionByName(
+            b.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+            .withColumn("ca", F.lit(0)),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    folded = (
+        pts.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .groupBy("v")
+        .agg(F.max("cum_a").alias("cum_a"), F.max("cum_b").alias("cum_b"))
+    )
+    return folded.agg(
+        F.lit(na).cast("long").alias("n_web"),
+        F.lit(nb).cast("long").alias("n_code"),
+        F.max(F.abs(F.col("cum_a") * nb - F.col("cum_b") * na))
+        .cast("long").alias("ks_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-filled time series: dense minute buckets incl. empty ones
+# ---------------------------------------------------------------------------
+
+@q(
+    "time_bucket_gap_fill",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) // 60000000 AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), bounds AS (
+      SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+    ), dense AS (
+      SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds
+    )
+    SELECT d.bucket AS minute_bucket,
+           CAST(coalesce(b.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(b.cents, 0) AS BIGINT) AS cents
+    FROM dense d LEFT JOIN b USING (bucket)
+    ORDER BY d.bucket
+    """,
+)
+def time_bucket_gap_fill(spark, sf_dir):
+    """Dense per-minute rollup with explicit zero rows for empty minutes.
+
+    Downstream consumers of a time series (anomaly detectors, charting,
+    join-on-time) need EVERY bucket present, not just the observed
+    ones. The dense axis comes from sequence(min, max) exploded on the
+    driver-aggregated bounds (two scalars — no driver data loop), then
+    a left join against the sparse per-bucket agg. Integer minute
+    buckets from epoch-micros floor-division, money as integer cents.
+    100 TB: the dense axis is one row per minute (~525k/year) however
+    large the corpus; the sparse agg is the only data-sized stage.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    b = e.select(
+        F.expr("CAST(floor(timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 60000000.0) "
+               "AS BIGINT)").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    dense = (
+        b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    )
+    return (
+        dense.join(b, "bucket", "left")
+        .select(
+            F.col("bucket").alias("minute_bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("cents"),
+        )
+        .orderBy("minute_bucket")
+    )
