@@ -257,6 +257,8 @@ QUERY_SUBSET = [
     "enc_freeze_daypart",
     "ks_drift_sources",
     "time_bucket_gap_fill",
+    "large_orders_q18",
+    "sole_flagged_supplier_q21",
 ]
 
 

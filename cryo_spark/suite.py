@@ -8042,3 +8042,123 @@ def time_bucket_gap_fill(spark, sf_dir):
         )
         .orderBy("minute_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-threshold subquery joined back to the dims
+# ---------------------------------------------------------------------------
+
+@q(
+    "large_orders_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey, b.sum_qty,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_orders_q18(spark, sf_dir):
+    """TPC-H Q18: customers behind the largest orders.
+
+    The aggregate-then-threshold-then-join-back shape: the HAVING
+    filter shrinks the fact-side BEFORE the dim joins, so the order
+    and customer lookups join against ~hundreds of rows, not the full
+    lineitem (both become broadcast-able after the filter under AQE).
+    Quantities are integral by data contract — the sum casts to BIGINT
+    exactly. Deterministic top-100 via (sum_qty DESC, orderkey) total
+    order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey", "sum_qty",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            .alias("price_cents"),
+        )
+        .orderBy(F.col("sum_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table
+# ---------------------------------------------------------------------------
+
+@q(
+    "sole_flagged_supplier_q21",
+    """
+    WITH r AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R'
+    ), all_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), sole AS (
+      SELECT r.l_orderkey, r.l_suppkey FROM r
+      WHERE EXISTS (SELECT 1 FROM all_pairs a
+                    WHERE a.l_orderkey = r.l_orderkey
+                      AND a.l_suppkey <> r.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM r r2
+                        WHERE r2.l_orderkey = r.l_orderkey
+                          AND r2.l_suppkey <> r.l_suppkey)
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_orders
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY n_orders DESC, s.s_name
+    LIMIT 50
+    """,
+)
+def sole_flagged_supplier_q21(spark, sf_dir):
+    """TPC-H Q21: suppliers who were the ONLY flagged supplier in a
+    multi-supplier order ('R' return lines standing in for late lines —
+    the synthetic lineitem carries no receipt/commit dates).
+
+    The double-correlated EXISTS / NOT EXISTS pair compiles to one
+    LEFT SEMI and one LEFT ANTI join against self-derived pair sets;
+    both sides shrink to DISTINCT (orderkey, suppkey) pairs before any
+    join, so the exchanges carry pair cardinality, not line
+    cardinality. Deterministic top-50 with a (count, name) total order.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    r = (li.filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_suppkey").distinct())
+    all_pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    other = (all_pairs.withColumnRenamed("l_suppkey", "o_suppkey"))
+    exists_other = r.join(
+        other,
+        (r.l_orderkey == other.l_orderkey)
+        & (r.l_suppkey != other.o_suppkey),
+        "left_semi",
+    )
+    r2 = (r.withColumnRenamed("l_suppkey", "r_suppkey"))
+    sole = exists_other.join(
+        r2,
+        (exists_other.l_orderkey == r2.l_orderkey)
+        & (exists_other.l_suppkey != r2.r_suppkey),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(50)
+    )
