@@ -7765,12 +7765,16 @@ def top_revenue_suppliers(spark, sf_dir):
     (integer cents per row BEFORE the sum, so the fold is exact and
     order-independent), the global max of that view, and the equality
     selection that keeps EVERY tied supplier — a LIMIT 1 would be
-    nondeterministic under ties. Plan: one shuffle for the supplier
-    agg; the single-row max broadcasts back via a cross join; the
-    supplier name lookup broadcasts the dim. The revenue view is
-    computed once and reused for both sides (cached logical subtree,
-    no second lineitem scan at Spark's discretion under AQE).
+    nondeterministic under ties. The max comes from an unpartitioned
+    window over the AGGREGATED view, not a second aggregation: the
+    naive rev.agg(max) formulation re-scans lineitem (Spark plans the
+    shared subtree twice — verified in the physical plan), while the
+    window sees one row per supplier, a dim-sized single partition.
+    Plan: ONE lineitem shuffle (the supplier agg), a single-partition
+    exchange of supplier-count rows for the max, a broadcast dim join.
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(
@@ -7778,10 +7782,11 @@ def top_revenue_suppliers(spark, sf_dir):
                     * 100 + 0.5)
         ).cast("long").alias("revenue_cents")
     )
-    mx = rev.agg(F.max("revenue_cents").alias("mx"))
+    w = Window.partitionBy()  # supplier-cardinality rows: bounded
     s = _t(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx), F.col("revenue_cents") == F.col("mx"))
+        rev.withColumn("mx", F.max("revenue_cents").over(w))
+        .filter(F.col("revenue_cents") == F.col("mx"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
         .select("s_suppkey", "s_name", "revenue_cents")
         .orderBy("s_suppkey")
