@@ -233,8 +233,9 @@ def resolve(output_dir: str, as_of: int | str) -> dict:
         branch = as_of[len("branch:"):]
         _branch_anchor(entries, branch)  # raises on unknown branch
         as_of = entries[-1]["seq"]
-    elif isinstance(as_of, str):
-        as_of = resolve_ref(output_dir, as_of)
+    else:
+        as_of = resolve_ref(output_dir, as_of)  # int passes through;
+        # tag / 'ts:<time>' / datetime resolve to a seq
     removed = {
         r
         for e in entries
@@ -308,15 +309,41 @@ def tag(output_dir: str, name: str, seq: int | None = None) -> int:
 def resolve_ref(output_dir: str, ref: int | str) -> int:
     """A snapshot reference -> sequence number.
 
-    Ints pass through; a string resolves the latest tag entry with that
-    name (latest wins, so moved tags behave like branch heads).
+    Ints pass through; a ``datetime`` or ``'ts:<iso8601|epoch>'`` string
+    resolves to the newest snapshot committed at-or-before that wall
+    time (Iceberg's FOR SYSTEM_TIME AS OF — every log entry carries its
+    commit ts); any other string resolves the latest tag entry with
+    that name (latest wins, so moved tags behave like branch heads).
     """
+    import datetime as _dt
+
+    if isinstance(ref, _dt.datetime):
+        return _seq_at_time(output_dir, ref.timestamp())
     if not isinstance(ref, str):
         return ref
+    if ref.startswith("ts:"):
+        raw = ref[3:]
+        try:
+            t = float(raw)
+        except ValueError:
+            t = _dt.datetime.fromisoformat(raw).timestamp()
+        return _seq_at_time(output_dir, t)
     for e in reversed(log(output_dir)):
         if e["kind"] == "tag" and e.get("tag") == ref:
             return e["target"]
     raise ValueError(f"unknown tag {ref!r} under {output_dir!r}")
+
+
+def _seq_at_time(output_dir: str, t: float) -> int:
+    """Newest snapshot seq whose commit ts is <= ``t``."""
+    entries = log(output_dir)
+    at_or_before = [e for e in entries if e["ts"] <= t]
+    if not at_or_before:
+        first = entries[0]["ts"] if entries else None
+        raise ValueError(
+            f"no snapshot at or before t={t} under {output_dir!r} "
+            f"(earliest commit ts: {first})")
+    return at_or_before[-1]["seq"]
 
 
 def _branch_anchor(entries: list[dict], name: str) -> dict:

@@ -304,3 +304,40 @@ def test_checkpoint_crash_window_dedups(tmp_path):
     snapshots.checkpoint(out)
     assert [f for f in os.listdir(d) if f.endswith(".json")] == [
         "checkpoint-0000000004.json"]
+
+
+def test_time_based_as_of(spark, tmp_path):
+    """Iceberg FOR SYSTEM_TIME AS OF: 'ts:<time>' / datetime as_of
+    resolves to the newest snapshot committed at-or-before that time."""
+    import datetime
+    import time
+
+    from cryo_spark import freeze
+    from cryo_spark.engine import read_manifest
+    from cryo_spark.fixtures import write_sequences
+    from cryo_spark import snapshots
+
+    p1 = str(tmp_path / "a.parquet")
+    write_sequences(p1, n=400, seed=1)
+    out = str(tmp_path / "out")
+    freeze(spark, p1, out, target_tokens=20_000)
+    runs_at_1 = read_manifest(spark, out).select("run").distinct().count()
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    p2 = str(tmp_path / "b.parquet")
+    write_sequences(p2, n=300, seed=2)
+    freeze(spark, p2, out, target_tokens=20_000)
+    assert read_manifest(spark, out).select("run").distinct().count() \
+        == runs_at_1 + 1
+    # epoch form, ISO form, and datetime object all pin the first commit
+    for ref in (f"ts:{mid}",
+                "ts:" + datetime.datetime.fromtimestamp(mid).isoformat(),
+                datetime.datetime.fromtimestamp(mid)):
+        man = read_manifest(spark, out, as_of=ref)
+        assert man.select("run").distinct().count() == runs_at_1, ref
+    # a time before all history raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot at or before"):
+        snapshots.resolve(out, "ts:1.0")
