@@ -259,6 +259,8 @@ QUERY_SUBSET = [
     "time_bucket_gap_fill",
     "large_orders_q18",
     "sole_flagged_supplier_q21",
+    "running_distinct_users",
+    "event_transition_matrix",
 ]
 
 

@@ -8167,3 +8167,105 @@ def sole_flagged_supplier_q21(spark, sf_dir):
         .orderBy(F.col("n_orders").desc(), "s_name")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct: users-ever-seen by day (first-touch running sum)
+# ---------------------------------------------------------------------------
+
+@q(
+    "running_distinct_users",
+    """
+    WITH first_day AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS d0
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d0 AS day, count(*) AS n_new FROM first_day GROUP BY d0
+    )
+    SELECT day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS users_ever
+    FROM per_day
+    ORDER BY day
+    """,
+)
+def running_distinct_users(spark, sf_dir):
+    """Cumulative distinct users by day — without a running DISTINCT.
+
+    'How many unique users have we ever seen as of day D' is a
+    cumulative COUNT DISTINCT, which no engine computes incrementally
+    as written; the classic rewrite is first-touch attribution: each
+    user contributes exactly once, at their FIRST activity day, and the
+    cumulative curve is a running SUM of those firsts. One shuffle by
+    user for the min-day agg; the running sum's window holds one row
+    per day, not per event (bounded axis at any corpus size).
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 86400000000.0) "
+               "AS BIGINT)").alias("day"),
+    )
+    per_day = (
+        e.groupBy("user_id").agg(F.min("day").alias("d0"))
+        .groupBy(F.col("d0").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return per_day.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("users_ever"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix: per-user lag pairs (Markov-chain counts)
+# ---------------------------------------------------------------------------
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order transition counts between consecutive events per user.
+
+    The Markov-chain input every behavioral model starts from: order
+    each user's stream by (ts, event_id) — the id tiebreak makes the
+    sequence a total order, so simultaneous events can't flip pairs —
+    take lead() within the user partition, count (state, next) pairs.
+    ONE shuffle by user_id serves the window; the pair count is a
+    bounded |types|^2 rollup.
+    """
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "next_type")
+    )
