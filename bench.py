@@ -261,6 +261,7 @@ QUERY_SUBSET = [
     "sole_flagged_supplier_q21",
     "running_distinct_users",
     "event_transition_matrix",
+    "anomalous_minutes_zscore",
 ]
 
 

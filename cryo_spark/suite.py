@@ -8269,3 +8269,62 @@ def event_transition_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# anomaly detection: z-score outlier minutes, exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+@q(
+    "anomalous_minutes_zscore",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) // 60000000 AS minute_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS k, sum(n) AS s, sum(n * n) AS ss FROM b
+    )
+    SELECT b.minute_bucket, b.n
+    FROM b, stats
+    WHERE k > 1
+      AND (k * b.n - s) * (k * b.n - s) * (k - 1) > 9 * k * (k * ss - s * s)
+    ORDER BY b.minute_bucket
+    """,
+)
+def anomalous_minutes_zscore(spark, sf_dir):
+    """Minutes whose event count sits >3 sigma from the mean — no floats.
+
+    The z-score test |x - mean| > 3*sd is cross-multiplied into pure
+    BIGINT arithmetic: with k buckets, sum s and sum-of-squares ss,
+      (k*x - s)^2 * (k-1) > 9 * k * (k*ss - s^2)
+    is exactly |x - s/k| > 3*sqrt((ss - s^2/k)/(k-1)) — both engines
+    agree bit-for-bit because nothing is ever a float. Plan: one
+    per-minute agg (bounded axis), a single-row stats agg broadcast
+    back via cross join. Magnitude guard: k, n fit ~10^6 at any corpus
+    (minutes x counts/minute), so k^2*ss stays far below 2^63 —
+    at larger magnitudes move to the scaled-decimal form.
+    """
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        F.expr("CAST(floor(timestampdiff(MICROSECOND, "
+               "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 60000000.0) "
+               "AS BIGINT)").alias("minute_bucket"),
+    ).groupBy("minute_bucket").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = b.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    dev = F.col("k") * F.col("n") - F.col("s")
+    return (
+        b.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("k") > 1)
+            & (dev * dev * (F.col("k") - 1)
+               > 9 * F.col("k") * (F.col("k") * F.col("ss")
+                                   - F.col("s") * F.col("s")))
+        )
+        .select("minute_bucket", "n")
+        .orderBy("minute_bucket")
+    )
