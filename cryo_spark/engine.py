@@ -2896,13 +2896,45 @@ def _zone_val(c: ColumnSpec, val):
     """Zone-map-comparable form of a filter value: timestamp columns
     store integer epoch-micros stats (written by _encode_chunk's int64
     cast), so datetime filter values compare as exact integer micros —
-    the subtraction/floor-div is integer-exact, no float epoch math."""
+    the subtraction/floor-div is integer-exact, no float epoch math.
+    Values reach here already tz-normalized (_normalize_filters), so
+    replace(tzinfo=None) is a no-op kept as a guard."""
     import datetime as _dt
 
     if c.kind == "timestamp" and isinstance(val, _dt.datetime):
         return (val.replace(tzinfo=None) - _dt.datetime(1970, 1, 1)) \
             // _dt.timedelta(microseconds=1)
     return val
+
+
+def _normalize_filters(filters, spec: TableSpec):
+    """Filter triples with tz-aware datetime values converted to naive
+    UTC wall clock, once, before ANY consumer sees them.
+
+    Timestamp columns are TIMESTAMP_NTZ holding UTC wall-clock values
+    (tablespec.py). A tz-aware filter value therefore means an absolute
+    instant: astimezone(UTC) then drop the tzinfo so the zone-map prune
+    (_zone_map_prune), the Catalyst pushdown, and the residual row
+    predicate (_filter_predicate) all compare the SAME naive value —
+    normalizing in only one of those paths can silently prune chunks
+    whose rows the row filter would keep."""
+    import datetime as _dt
+
+    def norm_one(c: ColumnSpec, v):
+        if (c.kind == "timestamp" and isinstance(v, _dt.datetime)
+                and v.tzinfo is not None):
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    out = []
+    for name, op, val in filters:
+        c = _filter_spec_col(spec, name, op)
+        if op == "between":
+            val = (norm_one(c, val[0]), norm_one(c, val[1]))
+        else:
+            val = norm_one(c, val)
+        out.append((name, op, val))
+    return out
 
 
 def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
@@ -3086,6 +3118,8 @@ def collect(
         isinstance(source, DataFrame) or read_manifest(spark, source) is None
     ):
         raise ValueError("as_of requires an encoded output dir (snapshots.py)")
+    if filters:
+        filters = _normalize_filters(filters, spec)
     residual = _filter_predicate(filters, spec) if filters else None
     if keys is not None and isinstance(source, DataFrame):
         key_chunks = _parse_keys(

@@ -314,11 +314,21 @@ def resolve_ref(output_dir: str, ref: int | str) -> int:
     time (Iceberg's FOR SYSTEM_TIME AS OF — every log entry carries its
     commit ts); any other string resolves the latest tag entry with
     that name (latest wins, so moved tags behave like branch heads).
+
+    Log entries store UTC epoch seconds, so NAIVE datetimes / iso
+    strings are defined as UTC (not host-local time — the same
+    ``as_of`` must resolve to the same snapshot on every machine);
+    pass a tz-aware value for any other zone.
     """
     import datetime as _dt
 
+    def _epoch(d: _dt.datetime) -> float:
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return d.timestamp()
+
     if isinstance(ref, _dt.datetime):
-        return _seq_at_time(output_dir, ref.timestamp())
+        return _seq_at_time(output_dir, _epoch(ref))
     if not isinstance(ref, str):
         return ref
     if ref.startswith("ts:"):
@@ -326,7 +336,7 @@ def resolve_ref(output_dir: str, ref: int | str) -> int:
         try:
             t = float(raw)
         except ValueError:
-            t = _dt.datetime.fromisoformat(raw).timestamp()
+            t = _epoch(_dt.datetime.fromisoformat(raw))
         return _seq_at_time(output_dir, t)
     for e in reversed(log(output_dir)):
         if e["kind"] == "tag" and e.get("tag") == ref:

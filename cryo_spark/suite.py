@@ -44,6 +44,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ne(a: str, b: str):
+    """Null-safe 'differs' for roundtrip-audit columns: plain ``!=``
+    yields NULL when exactly one side is null, which
+    WHEN(...).OTHERWISE(0) silently counts as a match — a decode bug
+    that nulls one column of a row whose join key survives would go
+    undetected. ``~eqNullSafe`` makes null-vs-value count as a
+    mismatch and null-vs-null as a match."""
+    return ~F.col(a).eqNullSafe(F.col(b))
+
+
 # ===========================================================================
 # engine queries: derived sequences -> encode -> decode -> verify
 # ===========================================================================
@@ -287,10 +297,10 @@ def enc_freeze_documents(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.text").isNull() | F.col("s.text").isNull()
-                | (F.col("d.text") != F.col("s.text"))
-                | (F.col("d.lang") != F.col("s.lang"))
-                | (F.col("d.source") != F.col("s.source"))
-                | (F.col("d.n_chars") != F.col("s.n_chars")),
+                | _ne("d.text", "s.text")
+                | _ne("d.lang", "s.lang")
+                | _ne("d.source", "s.source")
+                | _ne("d.n_chars", "s.n_chars"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
@@ -334,8 +344,8 @@ def enc_freeze_media(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.payload").isNull() | F.col("s.payload").isNull()
-                | (F.col("d.payload") != F.col("s.payload"))
-                | (F.col("d.mime") != F.col("s.mime")),
+                | _ne("d.payload", "s.payload")
+                | _ne("d.mime", "s.mime"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
@@ -389,11 +399,11 @@ def enc_roundtrip_events(spark, sf_dir):
             F.sum(
                 F.when(
                     F.col("d.ts").isNull() | F.col("s.ts").isNull()
-                    | (F.col("d.ts") != F.col("s.ts"))
-                    | (F.col("d.user_id") != F.col("s.user_id"))
-                    | (F.col("d.event_type") != F.col("s.event_type"))
-                    | (F.col("d.value") != F.col("s.value"))
-                    | (F.col("d.props") != F.col("s.props")),
+                    | _ne("d.ts", "s.ts")
+                    | _ne("d.user_id", "s.user_id")
+                    | _ne("d.event_type", "s.event_type")
+                    | _ne("d.value", "s.value")
+                    | _ne("d.props", "s.props"),
                     1,
                 ).otherwise(0)
             ).cast("long").alias("n_mismatch"),
@@ -459,8 +469,8 @@ def enc_compact_roundtrip(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.n_tok").isNull() | F.col("s.n_tok").isNull()
-                | (F.col("d.source") != F.col("s.source"))
-                | (F.col("d.tokens") != F.col("s.tokens")),
+                | _ne("d.source", "s.source")
+                | _ne("d.tokens", "s.tokens"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
@@ -534,8 +544,8 @@ def enc_consolidate_roundtrip(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.n_tok").isNull() | F.col("s.n_tok").isNull()
-                | (F.col("d.source") != F.col("s.source"))
-                | (F.col("d.tokens") != F.col("s.tokens")),
+                | _ne("d.source", "s.source")
+                | _ne("d.tokens", "s.tokens"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
@@ -1078,8 +1088,8 @@ def enc_freeze_embeddings(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.label").isNull() | F.col("s.label").isNull()
-                | (F.col("d.label") != F.col("s.label"))
-                | (F.col("d.embedding") != F.col("s.embedding")),
+                | _ne("d.label", "s.label")
+                | _ne("d.embedding", "s.embedding"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),
@@ -7873,6 +7883,7 @@ def enc_freeze_daypart(spark, sf_dir):
     prune at the partition level before zone maps even load.
     """
     import dataclasses
+    import hashlib
     import shutil
     import tempfile
 
@@ -7881,8 +7892,11 @@ def enc_freeze_daypart(spark, sf_dir):
 
     spec = dataclasses.replace(EVENTS, partition_col=None,
                                partition_transform="day(ts)")
+    # stable digest, NOT hash(): the salted str hash gives every process
+    # a different scratch path, so stale dirs from prior runs never get
+    # the rmtree below and pile up under /tmp
     base = f"{tempfile.gettempdir()}/cryo_spark_suite_daypart_" \
-           f"{abs(hash(sf_dir)) % (1 << 30)}"
+           f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
     shutil.rmtree(base, ignore_errors=True)
     src = _t(spark, sf_dir, "events")
     s = engine.freeze(spark, src, base, target_tokens=50_000, spec=spec)
@@ -7898,11 +7912,11 @@ def enc_freeze_daypart(spark, sf_dir):
         F.sum(
             F.when(
                 F.col("d.ts").isNull() | F.col("s.ts").isNull()
-                | (F.col("d.ts") != F.col("s.ts"))
-                | (F.col("d.user_id") != F.col("s.user_id"))
-                | (F.col("d.event_type") != F.col("s.event_type"))
-                | (F.col("d.value") != F.col("s.value"))
-                | (F.col("d.props") != F.col("s.props")),
+                | _ne("d.ts", "s.ts")
+                | _ne("d.user_id", "s.user_id")
+                | _ne("d.event_type", "s.event_type")
+                | _ne("d.value", "s.value")
+                | _ne("d.props", "s.props"),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_mismatch"),

@@ -330,10 +330,16 @@ def test_time_based_as_of(spark, tmp_path):
     freeze(spark, p2, out, target_tokens=20_000)
     assert read_manifest(spark, out).select("run").distinct().count() \
         == runs_at_1 + 1
-    # epoch form, ISO form, and datetime object all pin the first commit
+    # epoch form, ISO form (naive = UTC by contract), naive datetime
+    # (= UTC), and tz-aware datetime in a non-UTC zone all pin the
+    # first commit — the resolution must not depend on the host TZ
+    utc = datetime.timezone.utc
+    mid_utc = datetime.datetime.fromtimestamp(mid, tz=utc)
     for ref in (f"ts:{mid}",
-                "ts:" + datetime.datetime.fromtimestamp(mid).isoformat(),
-                datetime.datetime.fromtimestamp(mid)):
+                "ts:" + mid_utc.replace(tzinfo=None).isoformat(),
+                mid_utc.replace(tzinfo=None),
+                mid_utc.astimezone(datetime.timezone(
+                    datetime.timedelta(hours=5, minutes=30)))):
         man = read_manifest(spark, out, as_of=ref)
         assert man.select("run").distinct().count() == runs_at_1, ref
     # a time before all history raises loudly

@@ -127,6 +127,40 @@ def test_ts_filtered_collect_with_datetime_values(spark, events_frozen):
         assert got == want and len(want) > 0, filters
 
 
+def test_ts_filter_tz_aware_matches_naive_utc(spark, events_frozen):
+    """A tz-aware filter value means an absolute instant: it must
+    select exactly the rows its naive-UTC equivalent selects, with the
+    zone-map prune and the residual row predicate agreeing (a
+    normalization applied to only one of the two paths silently drops
+    chunks whose rows the row filter would keep)."""
+    src, out = events_frozen
+    raw = spark.read.parquet(src)
+    naive = datetime.datetime(2024, 1, 1, 1, 0, 0)  # UTC wall clock
+    ist = datetime.timezone(datetime.timedelta(hours=5, minutes=30))
+    aware = naive.replace(tzinfo=datetime.timezone.utc).astimezone(ist)
+    want = sorted(r.event_id for r in
+                  raw.filter(F.col("ts") >= F.lit(naive))
+                  .select("event_id").collect())
+    assert len(want) > 0
+    for cut in (aware, naive):
+        got = sorted(r.event_id for r in
+                     collect(spark, out, filters=[("ts", ">=", cut)],
+                             spec=EVENTS).select("event_id").collect())
+        assert got == want, cut
+    hi_aware = (naive + datetime.timedelta(minutes=30)) \
+        .replace(tzinfo=datetime.timezone.utc).astimezone(ist)
+    got = sorted(r.event_id for r in
+                 collect(spark, out,
+                         filters=[("ts", "between", (aware, hi_aware))],
+                         spec=EVENTS).select("event_id").collect())
+    want_between = sorted(
+        r.event_id for r in raw.filter(
+            (F.col("ts") >= F.lit(naive))
+            & (F.col("ts") <= F.lit(naive + datetime.timedelta(minutes=30)))
+        ).select("event_id").collect())
+    assert got == want_between and len(want_between) > 0
+
+
 def test_ts_zone_map_actually_prunes(spark, tmp_path):
     # a selective ts range must decode strictly fewer chunks than exist.
     # Needs a layout where chunk key ranges track time: event_id grows
