@@ -139,17 +139,83 @@ def enc_roundtrip_agg(spark, sf_dir):
     )
 
 
-@q("enc_chunk_manifest")  # chunk planning is engine-internal: rows-only check
+@q(
+    "enc_chunk_manifest",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS n_tok FROM documents)
+    SELECT * FROM (
+      SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_values,
+             printf('doc-%012d', min(doc_id)) AS min_doc_id,
+             printf('doc-%012d', max(doc_id)) AS max_doc_id,
+             true AS all_ok, true AS compresses, true AS bounded,
+             true AS columns_aligned
+      FROM d
+      UNION ALL
+      SELECT 'n_tok', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+             printf('doc-%012d', min(doc_id)), printf('doc-%012d', max(doc_id)),
+             true, true, true, true FROM d
+      UNION ALL
+      SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+             printf('doc-%012d', min(doc_id)), printf('doc-%012d', max(doc_id)),
+             true, true, true, true FROM d
+      UNION ALL
+      SELECT 'tokens', CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+             printf('doc-%012d', min(doc_id)), printf('doc-%012d', max(doc_id)),
+             true, true, true, true FROM d
+    ) ORDER BY "column"
+    """,
+)
 def enc_chunk_manifest(spark, sf_dir):
-    """Encoded-chunk lineage: codec choices + sizes per (chunk, column)."""
+    """Manifest invariants, oracle-pinned — the last formerly rows-only
+    query (r2 verdict item 2).
+
+    The chunk BOUNDARIES are engine-internal (hash-bucket planning,
+    layout.py; browse them via engine.read_manifest / describe), but
+    the lineage must satisfy SQL-replayable conservation laws, checked
+    per column over the whole chunk set:
+
+    - row/value conservation: sum(n_rows) == corpus docs for every
+      column; sum(n_values) == corpus token mass for the list column
+      (each doc lands in exactly one chunk — a lost or duplicated
+      chunk breaks the count);
+    - doc-id coverage: chunk min/max doc_id envelope equals the corpus
+      envelope;
+    - status domain: every chunk row 'ok' (all_ok);
+    - compression floor: sum(enc_bytes) <= sum(raw_bytes) (compresses);
+    - chunk bound: max per-chunk n_values <= target_tokens (bounded —
+      the layout.py sweep closes a chunk before exceeding the target);
+    - cross-column alignment: every (partition, chunk) carries all 4
+      columns with one common n_rows (columns_aligned).
+    """
     from . import engine
 
     seqs = sequences_from_documents(spark, sf_dir)
-    enc = engine.encode(seqs, target_tokens=16_384)
-    return enc.select(
-        "partition_id", "chunk_id", "column", "codec_id", "n_rows",
-        "n_values", "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id",
-    ).orderBy("partition_id", "chunk_id", "column")
+    enc = engine.encode(seqs, target_tokens=16_384).select(
+        "partition_id", "chunk_id", "column", "n_rows", "n_values",
+        "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "status",
+    )
+    chunk_align = (
+        enc.groupBy("partition_id", "chunk_id")
+        .agg(F.countDistinct("column").alias("nc"),
+             F.countDistinct("n_rows").alias("nr"))
+        .agg(F.bool_and((F.col("nc") == 4) & (F.col("nr") == 1))
+             .alias("columns_aligned"))
+    )
+    return (
+        enc.groupBy("column")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_values").cast("long").alias("n_values"),
+            F.min("min_doc_id").alias("min_doc_id"),
+            F.max("max_doc_id").alias("max_doc_id"),
+            F.bool_and(F.col("status") == "ok").alias("all_ok"),
+            (F.sum("enc_bytes") <= F.sum("raw_bytes")).alias("compresses"),
+            (F.max("n_values") <= F.lit(16_384)).alias("bounded"),
+        )
+        .crossJoin(chunk_align)
+        .orderBy("column")
+    )
 
 
 @q(
@@ -8082,6 +8148,8 @@ def ks_drift_sources(spark, sf_dir):
             .withColumn("ca", F.lit(0)),
         )
     )
+    # unpartitioned Window is intentional: input is one row per DISTINCT
+    # n_chars value (post-agg), a domain-bounded axis at any corpus size
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
     folded = (
@@ -8327,6 +8395,8 @@ def running_distinct_users(spark, sf_dir):
         .groupBy(F.col("d0").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
+    # unpartitioned Window is intentional: input is one row per DAY
+    # (post-agg), bounded by the calendar at any corpus size
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow)
     return per_day.select(
