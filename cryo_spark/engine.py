@@ -1969,10 +1969,21 @@ def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
     O(n_chunks/8) bytes regardless of manifest row count. At the
     10^12-sequence target (~10^8 chunks) that is a 12 MB bitmap where a
     Python set of (partition_id, chunk_id) tuples would be ~10 GB.
+
+    Blobs travel zlib-compressed: a partition's bitmap is mostly zeros
+    (each chunk id is committed by exactly one partition), so total
+    driver ingress is bounded by the SET-BIT entropy (~n_chunks/8 in
+    aggregate across all blobs), not partitions x bitmap size — with
+    raw blobs, 1000 manifest partitions at 10^8 chunks would ship
+    1000 x 12.5 MB to the driver.
     """
+    import zlib
+
     nbytes = (n_chunks + 7) // 8
 
     def fold(batches):
+        import zlib
+
         import numpy as np
         import pyarrow as pa
 
@@ -1987,11 +1998,12 @@ def _done_chunk_bitmap(man: DataFrame, n_chunks: int) -> np.ndarray:
                                  (np.uint8(1) << (cid & 7).astype(np.uint8)))
         if seen:
             yield pa.RecordBatch.from_arrays(
-                [pa.array([bits.tobytes()], pa.binary())], names=["bits"])
+                [pa.array([zlib.compress(bits.tobytes(), 1)], pa.binary())],
+                names=["bits"])
 
     out = np.zeros(nbytes, dtype=np.uint8)
     for row in amap(man.select("chunk_id"), fold, "bits binary").toLocalIterator():
-        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+        out |= np.frombuffer(zlib.decompress(row["bits"]), dtype=np.uint8)
     return out
 
 

@@ -222,6 +222,30 @@ def test_done_bitmap_million_chunks(spark):
     assert np.array_equal(got, want)
 
 
+def test_done_bitmap_hundred_million_chunks(spark):
+    """The design claim measured: at the 10^8-chunk target (10^12
+    sequences / ~10^4 tokens per chunk) the resume fold stays a 12.5 MB
+    driver bitmap and finishes in seconds — no payload needed, manifest
+    chunk ids only (VERDICT r2 item 5)."""
+    import time
+
+    import numpy as np
+
+    n_chunks = 100_000_000
+    man = spark.range(0, n_chunks, 10).selectExpr(
+        "CAST(id AS INT) AS chunk_id")  # 10^7 committed ids
+    t0 = time.perf_counter()
+    bits = engine._done_chunk_bitmap(man, n_chunks)
+    wall = time.perf_counter() - t0
+    assert bits.nbytes == (n_chunks + 7) // 8 == 12_500_000
+    assert wall < 120, f"bitmap fold took {wall:.1f}s at 10^8 chunks"
+    # exact population + sampled membership
+    assert int(np.unpackbits(bits).sum()) == 10_000_000
+    for cid in (0, 9, 10, 12_345_670, 12_345_671, 99_999_990, 99_999_999):
+        got = bool((bits[cid >> 3] >> (cid & 7)) & 1)
+        assert got == (cid % 10 == 0), cid
+
+
 def test_freeze_partition_by(spark, sequences_path, tmp_path):
     """partition_by parity (partitions.rs:290-337): encoded output lands
     in one directory per key value; decode still round-trips."""
