@@ -386,6 +386,18 @@ def main() -> None:
             ),
             n_chunks=enc_stats["n_chunks"],
         )
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "queries_baseline.json")
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as f:
+                base = json.load(f).get("queries", {})
+            rec["vs_baseline"] = {
+                k: round(v / base[k], 2)
+                for k, v in queries.items() if base.get(k)
+            }
+        except Exception:  # noqa: BLE001 — baselines are advisory only
+            pass
     if errors:
         rec["errors"] = errors
     print(json.dumps(rec))
