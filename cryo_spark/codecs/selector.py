@@ -29,7 +29,15 @@ import numpy as np
 from . import registry
 from .bits import storage_width, zigzag, zstd_compress
 
-SAMPLE_TARGET = 1 << 15  # values sampled for estimation
+# Values sampled for estimation + trials. 8k (was 32k in r2): the
+# trial loop was ~3.6 ms of an ~11 ms per-chunk kernel at 32k; at 8k it
+# is ~0.9 ms with IDENTICAL choices and sizes across 11 distribution
+# shapes (zipf/uniform/ramps/runs/dict/negatives — PLANS.md r3 A/B).
+# Still a fixed-stride pure function of the chunk's values, so codec
+# choices stay parallelism-invariant (tools/differential.py pins it).
+# Env override is for A/B measurement only.
+SAMPLE_TARGET = int(__import__("os").environ.get(
+    "CRYO_SPARK_TRIAL_SAMPLE", 1 << 13))
 _TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
 
 
