@@ -59,9 +59,22 @@ def main() -> int:
                   flush=True)
     best = {n: max(ts) for n, ts in levels.items()}
     eff = best[8] / best[2] / 4
-    print("CONFIRM best:", best, "efficiency:", round(eff, 3), flush=True)
+    # multi-process scaling calibration alongside the single-thread gbps:
+    # a window's raw ratio is only interpretable against what the host's
+    # bus allowed DURING that window (the r3 sessions saw memcpy 2->8
+    # collapse from 3.7x to ~2.2x, capping every raw reading below 0.80
+    # while both levels sat at their per-level capability records)
+    scal = bench._hw_calibration()
+    blended = (scal["cpu_2_8"] + scal["memcpy_2_8"]) / 2
+    print("CONFIRM best:", best, "efficiency:", round(eff, 3),
+          "hw 2->8:", scal["cpu_2_8"], "/", scal["memcpy_2_8"],
+          "ceiling-relative:", round(best[8] / best[2] / blended, 3),
+          flush=True)
     print(json.dumps({"best": best, "efficiency": round(eff, 3),
-                      "calibration": cal, "runs": levels}))
+                      "calibration": cal, "hw_scaling": scal,
+                      "ceiling_relative":
+                          round(best[8] / best[2] / blended, 3),
+                      "runs": levels}))
     return 0
 
 
