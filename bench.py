@@ -509,23 +509,27 @@ def _calib_memcpy(_arg):
     return n
 
 
-def _hw_calibration() -> dict:
+def _hw_calibration(pairs: tuple = ((2, 8), (4, 16))) -> dict:
     """Measured process-scaling of this VM for CPU-bound and bandwidth-
     bound work (ideal = 4.0 per pair). An encode job is a blend: codec
     kernels are CPU-like, scan/shuffle/Arrow transfers are memcpy-like.
     The memcpy 4->16 ceiling (~2.5x: all 32 vCPUs share one memory bus)
     bounds what any shuffle-bearing job can measure at the saturated
-    pair; real-cluster executors have independent buses."""
+    pair; real-cluster executors have independent buses. ``pairs``
+    restricts measurement (e.g. ((2, 8),) halves the probe cost when
+    only the headline pair matters)."""
     import multiprocessing as mp
 
     out = {}
+    wanted = sorted({p for pair in pairs for p in pair})
     for name, fn in (("cpu", _calib_spin), ("memcpy", _calib_memcpy)):
         totals = {}
-        for procs in (2, 4, 8, 16):
+        for procs in wanted:
             with mp.Pool(procs) as p:
                 totals[procs] = sum(p.map(fn, range(procs)))
-        out[f"{name}_2_8"] = round(totals[8] / max(totals[2], 1), 3)
-        out[f"{name}_4_16"] = round(totals[16] / max(totals[4], 1), 3)
+        for lo, hi in pairs:
+            out[f"{name}_{lo}_{hi}"] = round(
+                totals[hi] / max(totals[lo], 1), 3)
     return out
 
 

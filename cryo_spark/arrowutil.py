@@ -57,3 +57,26 @@ def conforming(kernel, target: pa.Schema):
 def amap(df, kernel, ddl: str):
     """``df.mapInArrow`` with output batches conformed to ``ddl``."""
     return df.mapInArrow(conforming(kernel, declared_arrow_schema(ddl)), ddl)
+
+
+def fixed_list_matrix(table: pa.Table, column: str, dtype="float64"):
+    """(n, d) ndarray view of a fixed-width list column of ``table``.
+
+    The shared extraction for every embedding kernel (IVF/semantic
+    assign, kmeans partials, codebook fold): combine chunks, honor the
+    ListArray offsets (a sliced array's buffer does not start at 0 —
+    the known pyarrow sharp edge), assert the rows are non-ragged, and
+    reshape the flat values. Keeping ONE copy means an offsets fix
+    lands everywhere at once."""
+    import numpy as np
+
+    col = table.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lens = np.diff(np.asarray(col.offsets))
+    d = int(lens[0]) if n else 0
+    assert (lens == d).all(), f"ragged {column} dims"
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=dtype)
+    return flat.reshape(n, d)

@@ -22,6 +22,7 @@ invariance).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -35,9 +36,12 @@ from .bits import storage_width, zigzag, zstd_compress
 # shapes (zipf/uniform/ramps/runs/dict/negatives — PLANS.md r3 A/B).
 # Still a fixed-stride pure function of the chunk's values, so codec
 # choices stay parallelism-invariant (tools/differential.py pins it).
-# Env override is for A/B measurement only.
-SAMPLE_TARGET = int(__import__("os").environ.get(
-    "CRYO_SPARK_TRIAL_SAMPLE", 1 << 13))
+# Env override is for A/B measurement only; a malformed value falls
+# back to the default rather than crashing every executor import.
+try:
+    SAMPLE_TARGET = int(os.environ.get("CRYO_SPARK_TRIAL_SAMPLE", 1 << 13))
+except ValueError:
+    SAMPLE_TARGET = 1 << 13
 _TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
 
 

@@ -231,10 +231,11 @@ def _decode_dims_feature(offsets, data, lengths):
             px = raw
         else:
             raise NotImplementedError(
-                "payload is neither PPM (P6) nor uncompressed BMP, and "
-                "decoding other formats requires Pillow/libjpeg (not in "
-                f"this container); set {_FAKE_ENV}=1 for the "
-                "deterministic test fake"
+                f"payload at batch row {i} (magic "
+                f"{raw[:4].tobytes().hex()}) is neither PPM (P6) nor "
+                "uncompressed BMP, and decoding other formats requires "
+                f"Pillow/libjpeg (not in this container); set {_FAKE_ENV}=1 "
+                "for the deterministic test fake"
             )
         parts.append(px)
         part_off.append(part_off[-1] + len(px))
@@ -333,11 +334,16 @@ def resize_media(df: DataFrame, width: int, height: int,
                 continue
             offsets, data, lengths = _binary_buffers(t.column(payload_col))
             n = t.num_rows
-            use_fake = fake is True or (
-                fake is None and not _HAVE_PIL
-                and bool(os.environ.get(_FAKE_ENV))
-            )
-            if not use_fake and _HAVE_PIL:
+            ids = t.column(id_col).combine_chunks().cast(pa.string())
+            if fake is True:
+                # batch gather: out[i, j] = payload_i[(j * len_i) // out_len]
+                j = np.arange(out_len, dtype=np.int64)
+                src = (j[None, :] * lengths[:, None]) // out_len
+                src = np.minimum(src, np.maximum(lengths[:, None] - 1, 0))
+                pad = np.concatenate((data, np.zeros(1, np.uint8)))
+                flat = pad[(offsets[:-1, None] + src)].reshape(-1)
+                flat[np.repeat(lengths == 0, out_len)] = 0
+            elif _HAVE_PIL:
                 parts = []
                 for i in range(n):
                     img = _PILImage.open(
@@ -346,35 +352,44 @@ def resize_media(df: DataFrame, width: int, height: int,
                     parts.append(np.frombuffer(img.tobytes(), np.uint8))
                 flat = (np.concatenate(parts) if parts
                         else np.zeros(0, np.uint8))
-            elif not use_fake:
+            else:
+                # per-item dispatch, MIRRORING extract_media_meta: the
+                # vendored parser takes precedence over the fake for
+                # payloads it covers, so the two kernels never disagree
+                # about the same payload's decode model
+                fake_ok = fake is None and bool(os.environ.get(_FAKE_ENV))
                 parts = []
                 for i in range(n):
                     raw = data[offsets[i]: offsets[i + 1]].tobytes()
                     dec = _builtin_decode(raw)
-                    if dec is None:
+                    if dec is not None:
+                        sw, sh, _, px = dec
+                        img = px.reshape(sh, sw, 3)
+                        # nearest: out[y, x] = img[(y*sh)//H, (x*sw)//W]
+                        yi = (np.arange(height, dtype=np.int64) * sh) // height
+                        xi = (np.arange(width, dtype=np.int64) * sw) // width
+                        parts.append(
+                            np.ascontiguousarray(img[yi][:, xi]).reshape(-1))
+                    elif fake_ok:
+                        li = int(lengths[i])
+                        if li == 0:
+                            parts.append(np.zeros(out_len, np.uint8))
+                        else:
+                            j = np.arange(out_len, dtype=np.int64)
+                            src = np.minimum((j * li) // out_len, li - 1)
+                            parts.append(
+                                data[offsets[i]: offsets[i + 1]][src])
+                    else:
                         raise NotImplementedError(
-                            "payload is neither PPM (P6) nor uncompressed "
-                            "BMP, and resizing other formats requires "
-                            "Pillow/libjpeg (not in this container); set "
-                            f"{_FAKE_ENV}=1 for the test fake"
+                            f"payload {ids[i].as_py()!r} (magic "
+                            f"{raw[:4].hex()}) is neither PPM (P6) nor "
+                            "uncompressed BMP, and resizing other formats "
+                            "requires Pillow/libjpeg (not in this "
+                            f"container); set {_FAKE_ENV}=1 for the test "
+                            "fake"
                         )
-                    sw, sh, _, px = dec
-                    img = px.reshape(sh, sw, 3)
-                    # nearest-neighbor: out[y, x] = img[(y*sh)//H, (x*sw)//W]
-                    yi = (np.arange(height, dtype=np.int64) * sh) // height
-                    xi = (np.arange(width, dtype=np.int64) * sw) // width
-                    parts.append(
-                        np.ascontiguousarray(img[yi][:, xi]).reshape(-1))
                 flat = (np.concatenate(parts) if parts
                         else np.zeros(0, np.uint8))
-            else:
-                # batch gather: out[i, j] = payload_i[(j * len_i) // out_len]
-                j = np.arange(out_len, dtype=np.int64)
-                src = (j[None, :] * lengths[:, None]) // out_len
-                src = np.minimum(src, np.maximum(lengths[:, None] - 1, 0))
-                pad = np.concatenate((data, np.zeros(1, np.uint8)))
-                flat = pad[(offsets[:-1, None] + src)].reshape(-1)
-                flat[np.repeat(lengths == 0, out_len)] = 0
             out_off = np.arange(n + 1, dtype=np.int32) * out_len
             payload = pa.Array.from_buffers(
                 pa.binary(), n,

@@ -44,6 +44,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(tag: str, sf_dir: str) -> str:
+    """Fresh private scratch dir for a freeze-producing suite query.
+
+    Stable per-(tag, sf_dir) ROOT (discoverable, and stale runs are
+    GC'd: siblings older than 30 min are removed — the r2-ADVICE /tmp
+    leak), with a per-run ``mkdtemp`` INSIDE it so two concurrent
+    processes running the same query never rmtree each other's
+    in-flight output. A query cannot clean up after itself — its
+    DataFrame is evaluated lazily AFTER the function returns — so
+    next-run GC is the only safe reclamation point."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = (f"{tempfile.gettempdir()}/cryo_spark_suite_{tag}_"
+            f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}")
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(p) > 1800:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(dir=root)
+
+
 def _ne(a: str, b: str):
     """Null-safe 'differs' for roundtrip-audit columns: plain ``!=``
     yields NULL when exactly one side is null, which
@@ -512,9 +542,7 @@ def enc_compact_roundtrip(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_compact_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("compact", sf_dir)
     # chunks never span sources (a source partition is the planning
     # unit), so the many-source documents fixture would floor the chunk
     # count at n_sources and leave compaction nothing to merge; 3 coarse
@@ -582,9 +610,7 @@ def enc_consolidate_roundtrip(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_consolidate_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("consolidate", sf_dir)
     src = sequences_from_documents(spark, sf_dir)
     src.write.parquet(f"{base}/in")
     mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
@@ -649,9 +675,7 @@ def enc_orphan_gc(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_orphangc_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("orphangc", sf_dir)
     src = sequences_from_documents(spark, sf_dir)
     src.write.parquet(f"{base}/in")
     out = f"{base}/out"
@@ -710,9 +734,7 @@ def enc_time_travel(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_timetravel_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("timetravel", sf_dir)
     src = sequences_from_documents(spark, sf_dir)
     src.write.parquet(f"{base}/in")
     mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
@@ -762,9 +784,7 @@ def enc_incremental_scan(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_increment_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("increment", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
@@ -813,9 +833,7 @@ def enc_upsert(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_upsert_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("upsert", sf_dir)
     src = sequences_from_documents(spark, sf_dir)
     src.write.parquet(f"{base}/in")
     out = f"{base}/out"
@@ -861,9 +879,7 @@ def enc_freeze_range(spark, sf_dir):
     from . import engine, ranges
     from .tablespec import SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_rangelayout_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("rangelayout", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     # small target => several chunks per source, so the pruning
@@ -927,9 +943,7 @@ def scan_point_lookup(spark, sf_dir):
     from . import engine
     from .tablespec import SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pointlookup_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("pointlookup", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=20_000)
@@ -979,9 +993,7 @@ def enc_delete_where(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_delete_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("delete", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=100_000)
@@ -1035,9 +1047,7 @@ def enc_schema_evolution(spark, sf_dir):
     from . import engine
     from .tablespec import SEQUENCES, ColumnSpec
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_evolve_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("evolve", sf_dir)
     spec2 = SEQUENCES.with_column(ColumnSpec("lang", "str"))
     src = sequences_from_documents(spark, sf_dir)
     mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
@@ -1090,9 +1100,7 @@ def scan_zone_pruned(spark, sf_dir):
     from . import engine
     from .tablespec import SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_zonemap_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("zonemap", sf_dir)
     seqs = sequences_from_documents(spark, sf_dir)
     seqs.write.parquet(f"{base}/in")
     out = f"{base}/out"
@@ -1193,9 +1201,7 @@ def join_colocated_frozen(spark, sf_dir):
     from . import colocated, engine
     from .tablespec import ColumnSpec, TableSpec
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_coloc_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("coloc", sf_dir)
     seqs = sequences_from_documents(spark, sf_dir)
     seqs.write.parquet(f"{base}/in_a")
     docmeta = TableSpec(
@@ -3769,17 +3775,15 @@ def _ivf_codebook(e):
         import numpy as np
         import pyarrow as pa
 
+        from cryo_spark.arrowutil import fixed_list_matrix
+
         for b in batches:
             t = pa.Table.from_batches([b])
             n = t.num_rows
             if n == 0:
                 continue
-            col = t.column("embedding").combine_chunks()
-            lens = np.diff(np.asarray(col.offsets))
-            d = int(lens[0]) if n else 0
-            assert (lens == d).all(), "ragged embedding dims"
-            X = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
-                           dtype=np.float64).reshape(n, d)
+            X = fixed_list_matrix(t, "embedding")
+            d = X.shape[1]
             Xq = np.floor(X * S + 0.5).astype(np.int64)
             cells = (t.column("vec_id").to_numpy(zero_copy_only=False)
                      % K).astype(np.int64)
@@ -3873,17 +3877,14 @@ def ann_ivf_topk(spark, sf_dir):
         import numpy as np
         import pyarrow as pa
 
+        from cryo_spark.arrowutil import fixed_list_matrix
+
         for b in batches:
             t = pa.Table.from_batches([b])
             n = t.num_rows
             if n == 0:
                 continue
-            col = t.column("embedding").combine_chunks()
-            lens = np.diff(np.asarray(col.offsets))
-            d = int(lens[0]) if n else 0
-            assert (lens == d).all(), "ragged embedding dims"
-            X = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
-                           dtype=np.float64).reshape(n, d)
+            X = fixed_list_matrix(t, "embedding")
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             # argmax takes the FIRST max: cids are sorted ascending, so
@@ -3970,9 +3971,7 @@ def pipeline_corpus_freeze(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pipeline_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("pipeline", sf_dir)
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     mh = amap(d, _minhash_kernel, _MINHASH_DDL)
@@ -4427,19 +4426,12 @@ def kmeans_embeddings(spark, sf_dir):
     C = np.array([r.embedding for r in init], dtype=np.float64)
 
     def _batch_xy(b):
-        import numpy as np
         import pyarrow as pa
 
+        from cryo_spark.arrowutil import fixed_list_matrix
+
         t = pa.Table.from_batches([b])
-        n = t.num_rows
-        col = t.column("embedding").combine_chunks()
-        lens = np.diff(np.asarray(col.offsets))
-        d = int(lens[0]) if n else 0
-        assert (lens == d).all(), "ragged embedding dims"
-        X = np.asarray(
-            col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
-        ).reshape(n, d)
-        return t, X
+        return t, fixed_list_matrix(t, "embedding")
 
     def partials_fn(Cb):
         def fn(batches):
@@ -4548,9 +4540,7 @@ def enc_pack_freeze(spark, sf_dir):
     from . import engine
     from .tablespec import PACKED_SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_pack_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("pack", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     engine.pack(spark, f"{base}/in", f"{base}/out", window=_PACK_W,
                 target_tokens=100_000)
@@ -6097,17 +6087,15 @@ def semantic_dedup(spark, sf_dir):
         import numpy as np
         import pyarrow as pa
 
+        from cryo_spark.arrowutil import fixed_list_matrix
+
         for b in batches:
             t = pa.Table.from_batches([b])
             n = t.num_rows
             if n == 0:
                 continue
-            col = t.column("embedding").combine_chunks()
-            lens = np.diff(np.asarray(col.offsets))
-            d = int(lens[0]) if n else 0
-            assert (lens == d).all(), "ragged embedding dims"
-            X = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
-                           dtype=np.float64).reshape(n, d)
+            X = fixed_list_matrix(t, "embedding")
+            d = X.shape[1]
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
             best = (Xn @ Cn.T).argmax(axis=1)
@@ -6274,9 +6262,7 @@ def enc_changelog(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_changelog_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("changelog", sf_dir)
     src = sequences_from_documents(spark, sf_dir)
     src.write.parquet(f"{base}/in")
     mx = _t(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
@@ -6346,9 +6332,7 @@ def enc_freeze_zorder(spark, sf_dir):
     from .engine import _zone_map_prune
     from .tablespec import SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_zorder_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("zorder", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=200,
@@ -6420,9 +6404,7 @@ def scan_token_contains(spark, sf_dir):
     from .engine import _zone_map_prune
     from .tablespec import SEQUENCES
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_contains_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("contains", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=2000)
@@ -6507,9 +6489,7 @@ def enc_analyze_ndv(spark, sf_dir):
 
     from . import engine
 
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_ndv_" \
-           f"{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("ndv", sf_dir)
     sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
     out = f"{base}/out"
     engine.freeze(spark, f"{base}/in", out, target_tokens=200_000)
@@ -8055,12 +8035,7 @@ def enc_freeze_daypart(spark, sf_dir):
 
     spec = dataclasses.replace(EVENTS, partition_col=None,
                                partition_transform="day(ts)")
-    # stable digest, NOT hash(): the salted str hash gives every process
-    # a different scratch path, so stale dirs from prior runs never get
-    # the rmtree below and pile up under /tmp
-    base = f"{tempfile.gettempdir()}/cryo_spark_suite_daypart_" \
-           f"{hashlib.sha1(sf_dir.encode()).hexdigest()[:8]}"
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("daypart", sf_dir)
     src = _t(spark, sf_dir, "events")
     s = engine.freeze(spark, src, base, target_tokens=50_000, spec=spec)
     assert s["n_failed"] == 0

@@ -123,6 +123,31 @@ def test_extract_media_meta_real_path_rejects_other_formats(spark):
         multimodal.extract_media_meta(df).collect()
 
 
+def test_resize_mixed_batch_builtin_precedes_fake(spark):
+    """With the fake env set, a parseable PPM still takes the REAL path
+    (same precedence as extract_media_meta — the two kernels must never
+    disagree about one payload's decode model) while an unparseable
+    payload falls back to the fake gather."""
+    os.environ["CRYO_SPARK_FAKE_MEDIA"] = "1"
+    spark.sparkContext.environment["CRYO_SPARK_FAKE_MEDIA"] = "1"
+    try:
+        img = _img(6, 8, 21)
+        blob = bytes(range(7, 207))  # not PPM/BMP -> fake path
+        out = {r.media_id: r
+               for r in multimodal.resize_media(
+                   _media_df(spark, [ppm_bytes(img), blob]),
+                   width=4, height=3).collect()}
+        yi, xi = (np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4
+        assert bytes(out["m0"].payload) == img[yi][:, xi].reshape(-1).tobytes()
+        j = np.arange(36, dtype=np.int64)
+        src = np.minimum((j * len(blob)) // 36, len(blob) - 1)
+        want_fake = np.frombuffer(blob, np.uint8)[src].tobytes()
+        assert bytes(out["m1"].payload) == want_fake
+    finally:
+        os.environ.pop("CRYO_SPARK_FAKE_MEDIA", None)
+        spark.sparkContext.environment.pop("CRYO_SPARK_FAKE_MEDIA", None)
+
+
 def test_resize_media_real_path(spark):
     os.environ.pop("CRYO_SPARK_FAKE_MEDIA", None)
     img = _img(6, 8, 20)

@@ -41,6 +41,11 @@ def main() -> int:
 
     inp = bench.scaling_input()
     print("INPUT ready:", inp, flush=True)
+    # bus-scaling snapshot BEFORE the windows (and again after): the
+    # 2->8 memcpy ratio swings 3.7x..1.9x within a session, and a raw
+    # window is only interpretable against the regime it ran in
+    hw_pre = bench._hw_calibration(pairs=((2, 8),))
+    print("hw 2->8 pre:", hw_pre, flush=True)
     levels: dict[int, list[int]] = {2: [], 8: []}
     for rnd in range(2):
         for n in (2, 8):
@@ -59,19 +64,19 @@ def main() -> int:
                   flush=True)
     best = {n: max(ts) for n, ts in levels.items()}
     eff = best[8] / best[2] / 4
-    # multi-process scaling calibration alongside the single-thread gbps:
-    # a window's raw ratio is only interpretable against what the host's
-    # bus allowed DURING that window (the r3 sessions saw memcpy 2->8
-    # collapse from 3.7x to ~2.2x, capping every raw reading below 0.80
-    # while both levels sat at their per-level capability records)
-    scal = bench._hw_calibration()
+    # post-window snapshot brackets the regime; blend uses the more
+    # conservative (higher) of the two readings per metric so the
+    # ceiling-relative figure is not inflated by a transiently bad probe
+    hw_post = bench._hw_calibration(pairs=((2, 8),))
+    scal = {k: max(hw_pre[k], hw_post[k]) for k in hw_pre}
     blended = (scal["cpu_2_8"] + scal["memcpy_2_8"]) / 2
     print("CONFIRM best:", best, "efficiency:", round(eff, 3),
-          "hw 2->8:", scal["cpu_2_8"], "/", scal["memcpy_2_8"],
+          "hw 2->8 pre/post:", hw_pre, hw_post,
           "ceiling-relative:", round(best[8] / best[2] / blended, 3),
           flush=True)
     print(json.dumps({"best": best, "efficiency": round(eff, 3),
-                      "calibration": cal, "hw_scaling": scal,
+                      "calibration": cal,
+                      "hw_scaling_pre": hw_pre, "hw_scaling_post": hw_post,
                       "ceiling_relative":
                           round(best[8] / best[2] / blended, 3),
                       "runs": levels}))

@@ -102,23 +102,43 @@ EVENTS_DAYPART = dataclasses.replace(
     EVENTS, partition_col=None, partition_transform="day(ts)")
 
 
+def _valid_parquet(path: str, n_rows: int) -> bool:
+    """Footer-validated cache check: a writer killed mid-run leaves a
+    path os.path.exists happily reuses but every later run dies on."""
+    try:
+        files = (sorted(glob.glob(f"{path}/*.parquet"))
+                 if os.path.isdir(path) else [path])
+        return bool(files) and sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files) == n_rows
+    except Exception:
+        return False
+
+
 def _inputs() -> dict:
     d = os.path.join(BASE, "inputs")
     os.makedirs(d, exist_ok=True)
-    paths = {
-        "seq": os.path.join(d, "sequences.parquet"),
-        "docs": os.path.join(d, "documents.parquet"),
-        "events": os.path.join(d, "events.parquet"),
-        "emb": os.path.join(d, "embeddings.parquet"),
+    makers = {
+        "seq": ("sequences.parquet", 4_000,
+                lambda p: write_sequences(p, n=4_000, seed=3, shards=4)),
+        "docs": ("documents.parquet", 2_000, _write_documents),
+        "events": ("events.parquet", 5_000, _write_events),
+        "emb": ("embeddings.parquet", 1_500,
+                lambda p: write_embeddings(p, n=1_500, dim=32, seed=5)),
     }
-    if not os.path.exists(paths["seq"]):
-        write_sequences(paths["seq"], n=4_000, seed=3, shards=4)
-    if not os.path.exists(paths["docs"]):
-        _write_documents(paths["docs"])
-    if not os.path.exists(paths["events"]):
-        _write_events(paths["events"])
-    if not os.path.exists(paths["emb"]):
-        write_embeddings(paths["emb"], n=1_500, dim=32, seed=5)
+    paths = {}
+    for key, (fname, n, make) in makers.items():
+        path = os.path.join(d, fname)
+        if not _valid_parquet(path, n):
+            tmp = f"{path}.tmp{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.isfile(tmp):
+                os.unlink(tmp)
+            make(tmp)
+            shutil.rmtree(path, ignore_errors=True)
+            if os.path.isfile(path):
+                os.unlink(path)
+            os.replace(tmp, path)  # atomic publish
+        paths[key] = path
     return paths
 
 
