@@ -39,8 +39,11 @@ from .bits import storage_width, zigzag, zstd_compress
 # Env override is for A/B measurement only; a malformed value falls
 # back to the default rather than crashing every executor import.
 try:
-    SAMPLE_TARGET = int(os.environ.get("CRYO_SPARK_TRIAL_SAMPLE", 1 << 13))
-except ValueError:
+    # max(1, ...): 0/negative would make _sample's ``n // target`` stride
+    # divide by zero in every chunk-encode kernel — clamp, don't crash.
+    SAMPLE_TARGET = max(1, int(os.environ.get("CRYO_SPARK_TRIAL_SAMPLE",
+                                              1 << 13)))
+except Exception:
     SAMPLE_TARGET = 1 << 13
 _TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
 

@@ -307,8 +307,10 @@ def resize_media(df: DataFrame, width: int, height: int,
     Pillow path: real decode + ``Image.resize`` per item (the C call is
     inherently per-item), re-emitted as raw bytes. Without Pillow, PPM
     (P6) and uncompressed BMP payloads take the REAL path through the
-    vendored parser + a vectorized nearest-neighbor gather (the same
-    index arithmetic Pillow's NEAREST uses). Fake path (other formats
+    vendored parser + a vectorized nearest-neighbor gather with
+    integer CENTER sampling (floor((i+0.5)*scale)) — the same pixel
+    choice as Pillow's NEAREST, so the same payload resizes to the
+    same bytes whether or not Pillow is installed. Fake path (other formats
     in this container, ``CRYO_SPARK_FAKE_MEDIA=1``): a deterministic
     strided byte gather — each output byte samples the payload at a
     fixed stride — fully batch numpy, so a real decoder drops in
@@ -334,7 +336,6 @@ def resize_media(df: DataFrame, width: int, height: int,
                 continue
             offsets, data, lengths = _binary_buffers(t.column(payload_col))
             n = t.num_rows
-            ids = t.column(id_col).combine_chunks().cast(pa.string())
             if fake is True:
                 # batch gather: out[i, j] = payload_i[(j * len_i) // out_len]
                 j = np.arange(out_len, dtype=np.int64)
@@ -365,9 +366,15 @@ def resize_media(df: DataFrame, width: int, height: int,
                     if dec is not None:
                         sw, sh, _, px = dec
                         img = px.reshape(sh, sw, 3)
-                        # nearest: out[y, x] = img[(y*sh)//H, (x*sw)//W]
-                        yi = (np.arange(height, dtype=np.int64) * sh) // height
-                        xi = (np.arange(width, dtype=np.int64) * sw) // width
+                        # nearest, CENTER-sampled to match Pillow exactly:
+                        # out[y, x] = img[floor((y+0.5)*sh/H),
+                        #                 floor((x+0.5)*sw/W)]
+                        # (corner sampling (y*sh)//H diverges from Pillow,
+                        # e.g. width 3->2 picks cols [0,1] vs Pillow's [0,2])
+                        yi = ((2 * np.arange(height, dtype=np.int64) + 1)
+                              * sh) // (2 * height)
+                        xi = ((2 * np.arange(width, dtype=np.int64) + 1)
+                              * sw) // (2 * width)
                         parts.append(
                             np.ascontiguousarray(img[yi][:, xi]).reshape(-1))
                     elif fake_ok:
@@ -380,8 +387,12 @@ def resize_media(df: DataFrame, width: int, height: int,
                             parts.append(
                                 data[offsets[i]: offsets[i + 1]][src])
                     else:
+                        # id extraction only here: it is per-batch wasted
+                        # work on the fake/Pillow paths (r3 ADVICE)
+                        mid = (t.column(id_col).combine_chunks()
+                               .cast(pa.string())[i].as_py())
                         raise NotImplementedError(
-                            f"payload {ids[i].as_py()!r} (magic "
+                            f"payload {mid!r} (magic "
                             f"{raw[:4].hex()}) is neither PPM (P6) nor "
                             "uncompressed BMP, and resizing other formats "
                             "requires Pillow/libjpeg (not in this "

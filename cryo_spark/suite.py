@@ -48,8 +48,11 @@ def _scratch(tag: str, sf_dir: str) -> str:
     """Fresh private scratch dir for a freeze-producing suite query.
 
     Stable per-(tag, sf_dir) ROOT (discoverable, and stale runs are
-    GC'd: siblings older than 30 min are removed — the r2-ADVICE /tmp
-    leak), with a per-run ``mkdtemp`` INSIDE it so two concurrent
+    GC'd: siblings older than 24 h are removed — the r2-ADVICE /tmp
+    leak; the window is WIDE because a sibling run's lazily-evaluated
+    Spark job may still be executing and dir mtime is not refreshed by
+    writes in nested subdirs, and the host intermittently runs 4-8x
+    slow — r3 ADVICE), with a per-run ``mkdtemp`` INSIDE it so two concurrent
     processes running the same query never rmtree each other's
     in-flight output. A query cannot clean up after itself — its
     DataFrame is evaluated lazily AFTER the function returns — so
@@ -67,7 +70,7 @@ def _scratch(tag: str, sf_dir: str) -> str:
     for d in os.listdir(root):
         p = os.path.join(root, d)
         try:
-            if now - os.path.getmtime(p) > 1800:
+            if now - os.path.getmtime(p) > 86400:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass
@@ -3813,6 +3816,9 @@ def _ivf_codebook(e):
         .agg(F.sum("xq").alias("sq"), F.sum("cnt").alias("cs"))
         .collect()  # exactly K*d rows after the map-side combine
     )
+    if not rows:
+        raise ValueError("empty embeddings input: cannot derive an IVF "
+                         "codebook from zero vectors")
     d = 1 + max(r.pos for r in rows)
     sums = np.zeros((K, d), dtype=np.int64)
     cnts = np.zeros(K, dtype=np.int64)

@@ -137,7 +137,9 @@ def test_resize_mixed_batch_builtin_precedes_fake(spark):
                for r in multimodal.resize_media(
                    _media_df(spark, [ppm_bytes(img), blob]),
                    width=4, height=3).collect()}
-        yi, xi = (np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4
+        # center sampling, Pillow-exact: floor((i+0.5)*scale)
+        yi = ((2 * np.arange(3) + 1) * 6) // 6
+        xi = ((2 * np.arange(4) + 1) * 8) // 8
         assert bytes(out["m0"].payload) == img[yi][:, xi].reshape(-1).tobytes()
         j = np.arange(36, dtype=np.int64)
         src = np.minimum((j * len(blob)) // 36, len(blob) - 1)
@@ -155,8 +157,9 @@ def test_resize_media_real_path(spark):
     out = {r.media_id: r
            for r in multimodal.resize_media(
                _media_df(spark, payloads), width=4, height=3).collect()}
-    yi = (np.arange(3) * 6) // 3
-    xi = (np.arange(4) * 8) // 4
+    # center sampling, Pillow-exact: floor((i+0.5)*scale)
+    yi = ((2 * np.arange(3) + 1) * 6) // 6
+    xi = ((2 * np.arange(4) + 1) * 8) // 8
     want = img[yi][:, xi].reshape(-1).tobytes()
     for mid in ("m0", "m1"):
         r = out[mid]
