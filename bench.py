@@ -7,6 +7,11 @@ subset at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "...", "value": <sec>, "unit": "sec",
      "queries": {...}, "sf": ..., ...extra keys...}
 
+Per-query walls are the MIN of 3 runs (all runs in ``queries_runs``):
+single timings made sub-second scheduler hiccups read as 2.5x
+regressions (r3 verdict item 3). ``encode_freeze`` stays the 5-run
+median window run_encode already implements.
+
 ``--scaling`` mode (BASELINE.md protocol): same encode job at local[4]
 and local[16] (N vs 4N; see run_scaling for why not 8/32 on this host)
 in fresh subprocesses (clean JVM each), median of 3, reports throughput
@@ -323,32 +328,42 @@ def main() -> None:
     # decode timing on the just-written output
     from cryo_spark import engine
 
+    # min-of-3 per query (r3 verdict item 3): a single timing makes a
+    # 0.5 s scheduler hiccup read as a 2.5x regression on a sub-second
+    # query. ``queries`` keeps its name->seconds schema but now carries
+    # the MIN of 3 runs; all runs land in ``queries_runs`` so the spread
+    # stays diagnosable. vs_baseline divides min by a min-based baseline.
+    QUERY_REPS = 3
+    queries_runs: dict[str, list[float]] = {}
+
+    def timed(name: str, call) -> None:
+        runs: list[float] = []
+        for _ in range(QUERY_REPS):
+            t0 = time.perf_counter()
+            try:
+                call()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if runs:
+            queries[name] = min(runs)
+            queries_runs[name] = runs
+
     out_dir = enc_stats.get("out_dir") if enc_stats else None
     if out_dir and os.path.exists(out_dir):
-        t0 = time.perf_counter()
-        try:
-            # shuffle-free file-granular decode (engine.decode_frozen);
-            # the relational decode is timed alongside for the delta
-            engine.decode_frozen(spark, out_dir).count()
-            queries["decode_full"] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            errors["decode_full"] = f"{type(e).__name__}: {e}"[:300]
-        t0 = time.perf_counter()
-        try:
-            engine.decode(engine.read_encoded(spark, out_dir)).count()
-            queries["decode_full_shuffle"] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            errors["decode_full_shuffle"] = f"{type(e).__name__}: {e}"[:300]
+        # shuffle-free file-granular decode (engine.decode_frozen);
+        # the relational decode is timed alongside for the delta
+        timed("decode_full",
+              lambda: engine.decode_frozen(spark, out_dir).count())
+        timed("decode_full_shuffle",
+              lambda: engine.decode(engine.read_encoded(spark, out_dir))
+              .count())
         shutil.rmtree(out_dir, ignore_errors=True)
     for name in QUERY_SUBSET:
         fn = suite.QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+        timed(name, lambda fn=fn: fn(spark, sf_dir)
+              .write.format("noop").mode("overwrite").save())
     spark.stop()
 
     total = time.perf_counter() - t_total
@@ -358,6 +373,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "queries_reps": QUERY_REPS,
+        "queries_runs": queries_runs,
         "sf": sf,
         **cal,
         # healthy sandbox: cpu_scan ~1.4, memcpy ~5 GB/s single-thread.
