@@ -1,0 +1,427 @@
+"""Iceberg v2 table-metadata writer/reader over frozen outputs (vendored).
+
+r3 verdict item 4 (second attempt): pyiceberg, avro and the Iceberg
+Spark runtime jars are all absent from this container and cannot be
+installed, so the PUBLIC Iceberg table spec v2
+(https://iceberg.apache.org/spec/) is implemented directly for the
+slice the engine needs: unpartitioned append snapshots of parquet data
+files. The Avro containers ride the vendored writer in avroio.py.
+
+What this produces is the real v2 metadata layout::
+
+    <table>/metadata/v<N>.metadata.json      table metadata (JSON)
+    <table>/metadata/snap-<id>-<uuid>.avro   manifest list (Avro)
+    <table>/metadata/<uuid>-m0.avro          manifest file (Avro)
+    <table>/metadata/version-hint.text       latest metadata version
+
+and `scan_table` plans a read purely from that metadata chain —
+version-hint -> metadata.json -> current snapshot -> manifest list ->
+manifests -> data-file paths + record counts — never by listing data
+directories, which is the Iceberg contract (and the property that
+makes commits atomic: files not reachable from the chain do not
+exist). The engine's native snapshots.py documents the same seam; this
+module is the interchange flavor of it.
+
+Spec-conformance notes (documented choices, since no external engine
+is installable here to cross-check):
+
+- Manifest-list field names follow the v2 spec table (field-ids
+  500-517: added_files_count / existing_files_count / ... ); readers
+  that use the historical Java Avro names resolve them by field-id.
+- Data files carry no parquet field-ids, so the table property
+  ``schema.name-mapping.default`` is written (spec's name-mapping
+  fallback for id-less files).
+- Unpartitioned only: partition-spec 0 with no fields,
+  last-partition-id pinned at 999 (the spec's reserved floor).
+
+Reference parity: cryo writes its report/manifest contract per run
+(crates/freeze/src/types/files.rs:63-105); `export_frozen` maps one
+committed engine output onto one Iceberg append snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from . import avroio
+
+_SPARK_TO_ICEBERG = {
+    "integer": "int",
+    "int": "int",
+    "long": "long",
+    "bigint": "long",
+    "string": "string",
+    "binary": "binary",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+}
+
+
+def _iceberg_type(dt: Any, next_id: list[int]) -> Any:
+    """Spark DataType -> Iceberg schema-JSON type; allocates nested ids."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    name = dt.typeName()
+    if name in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[name]
+    raise TypeError(f"no iceberg mapping for spark type {name!r}")
+
+
+def schema_from_spark(schema) -> dict:
+    """Spark StructType -> Iceberg schema JSON (schema-id 0, fresh ids)."""
+    next_id = [len(schema.fields) + 1]
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append({
+            "id": i,
+            "name": f.name,
+            "required": not f.nullable,
+            "type": _iceberg_type(f.dataType, next_id),
+        })
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _name_mapping(schema_json: dict) -> list[dict]:
+    """spec name-mapping for field-id-less parquet data files."""
+    out = []
+    for f in schema_json["fields"]:
+        ent: dict[str, Any] = {"field-id": f["id"], "names": [f["name"]]}
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            ent["fields"] = [{"field-id": t["element-id"],
+                              "names": ["element"]}]
+        out.append(ent)
+    return out
+
+
+# Avro schemas for v2 manifest list / manifest file, field-ids per the
+# spec's manifest-list and manifest-entry tables.
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_DATA_FILE_SCHEMA = {
+    "type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        # unpartitioned: empty partition struct (record name per spec)
+        {"name": "partition",
+         "type": {"type": "record", "name": "r102", "fields": []},
+         "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "field-id": 1, "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3, "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4, "default": None},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+
+def _deterministic_uuid(*parts: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1("\x00".join(parts).encode()).hexdigest()
+    return str(uuid.UUID(h[:32]))
+
+
+def commit_append(location: str, data_files: list[dict], spark_schema,
+                  properties: dict[str, str] | None = None,
+                  now_ms: int | None = None) -> str:
+    """Commit one append snapshot of ``data_files`` as an Iceberg v2 table.
+
+    data_files: [{"path": ..., "record_count": int, "file_size": int}].
+    Creates or advances <location>/metadata; returns the metadata.json
+    path. Single-writer discipline (like the engine's output dirs): the
+    version-hint publish is the atomic commit point.
+    """
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    prev = _current_metadata(location)
+    version = (prev["_version"] + 1) if prev else 1
+    seq = (prev["last-sequence-number"] + 1) if prev else 1
+    snap_id = seq  # deterministic, monotone; spec only asks for unique
+    schema_json = (prev["schemas"][prev["current-schema-id"]]
+                   if prev else schema_from_spark(spark_schema))
+
+    # manifest file
+    man_uuid = _deterministic_uuid(location, "manifest", str(seq))
+    man_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
+    entries = [
+        {
+            "status": 1,  # ADDED
+            "snapshot_id": snap_id,
+            "sequence_number": None,   # inherited from the manifest list
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 0,
+                "file_path": os.path.abspath(f["path"]),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": int(f["record_count"]),
+                "file_size_in_bytes": int(f["file_size"]),
+            },
+        }
+        for f in data_files
+    ]
+    man_len = avroio.write_container(
+        man_path, _MANIFEST_ENTRY_SCHEMA, entries,
+        metadata={
+            "schema": json.dumps(schema_json).encode(),
+            "schema-id": b"0",
+            "partition-spec": b"[]",
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+
+    # manifest list
+    ml_uuid = _deterministic_uuid(location, "snap", str(snap_id))
+    ml_path = os.path.join(meta_dir, f"snap-{snap_id}-1-{ml_uuid}.avro")
+    rows = int(sum(f["record_count"] for f in data_files))
+    manifests = [{
+        "manifest_path": os.path.abspath(man_path),
+        "manifest_length": man_len,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(data_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }]
+    # prior snapshots' manifests stay visible: append-only history
+    if prev and prev.get("current-snapshot-id") is not None:
+        cur = next(s for s in prev["snapshots"]
+                   if s["snapshot-id"] == prev["current-snapshot-id"])
+        _, _, prev_manifests = avroio.read_container(cur["manifest-list"])
+        manifests = prev_manifests + manifests
+    avroio.write_container(
+        ml_path, _MANIFEST_FILE_SCHEMA, manifests,
+        metadata={
+            "snapshot-id": str(snap_id).encode(),
+            "sequence-number": str(seq).encode(),
+            "format-version": b"2",
+        },
+    )
+
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(rows),
+        },
+        "manifest-list": os.path.abspath(ml_path),
+        "schema-id": 0,
+    }
+    props = {
+        "schema.name-mapping.default":
+            json.dumps(_name_mapping(schema_json)),
+        "write.format.default": "parquet",
+    }
+    props.update(properties or {})
+    md = {
+        "format-version": 2,
+        "table-uuid": (prev["table-uuid"] if prev
+                       else _deterministic_uuid(location, "table")),
+        "location": os.path.abspath(location),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": _last_column_id(schema_json),
+        "schemas": [schema_json],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,  # spec: partition ids start at 1000
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": props,
+        "current-snapshot-id": snap_id,
+        "snapshots": ((prev["snapshots"] if prev else []) + [snapshot]),
+        "snapshot-log": ((prev.get("snapshot-log", []) if prev else [])
+                         + [{"timestamp-ms": now_ms,
+                             "snapshot-id": snap_id}]),
+        "metadata-log": [],
+    }
+    md_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = f"{md_path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(md, f, indent=1, sort_keys=True)
+    os.replace(tmp, md_path)
+    hint_tmp = os.path.join(meta_dir, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return md_path
+
+
+def _last_column_id(schema_json: dict) -> int:
+    last = 0
+
+    def walk(t: Any) -> None:
+        nonlocal last
+        if isinstance(t, dict):
+            if t.get("type") == "list":
+                last = max(last, t["element-id"])
+                walk(t["element"])
+            for f in t.get("fields", []):
+                last = max(last, f["id"])
+                walk(f["type"])
+
+    walk(schema_json)
+    return last
+
+
+def _current_metadata(location: str) -> dict | None:
+    hint = os.path.join(location, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            version = int(f.read().strip())
+    except FileNotFoundError:
+        return None
+    path = os.path.join(location, "metadata", f"v{version}.metadata.json")
+    with open(path) as f:
+        md = json.load(f)
+    md["_version"] = version
+    # index schemas by schema-id for commit_append's reuse
+    md["schemas"] = {s["schema-id"]: s for s in md["schemas"]} \
+        if isinstance(md["schemas"], list) else md["schemas"]
+    return md
+
+
+def scan_table(location: str, snapshot_id: int | None = None) -> dict:
+    """Plan a scan purely from the Iceberg metadata chain.
+
+    Returns {"files": [{"path", "record_count", "file_size"}...],
+    "schema": iceberg-schema-json, "snapshot_id": ...}. Never lists
+    data directories — unreachable files are invisible, exactly the
+    engine's own orphan-invisibility contract (tests pin both).
+    """
+    md = _current_metadata(location)
+    if md is None:
+        raise FileNotFoundError(f"{location}: no iceberg metadata "
+                                "(metadata/version-hint.text missing)")
+    snap_id = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    snap = next((s for s in md["snapshots"] if s["snapshot-id"] == snap_id),
+                None)
+    if snap is None:
+        raise ValueError(f"unknown snapshot {snap_id} at {location}")
+    _, _, manifests = avroio.read_container(snap["manifest-list"])
+    files = []
+    for m in manifests:
+        if m["content"] != 0:
+            continue
+        _, _, entries = avroio.read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            df = e["data_file"]
+            files.append({
+                "path": df["file_path"],
+                "record_count": df["record_count"],
+                "file_size": df["file_size_in_bytes"],
+            })
+    return {
+        "files": files,
+        "schema": md["schemas"][md["current-schema-id"]],
+        "snapshot_id": snap_id,
+    }
+
+
+# ---------------------------------------------------------------------------
+# engine integration
+# ---------------------------------------------------------------------------
+
+
+def export_frozen(spark, out_dir: str, table_location: str | None = None,
+                  now_ms: int | None = None) -> str:
+    """Export a committed frozen output as an Iceberg v2 table.
+
+    The data files are the output's committed encoded parquet files
+    (exactly the set the engine's own manifest commits — orphan run
+    dirs are NOT exported, same invisibility rule); the Iceberg table
+    location defaults to ``<out_dir>/iceberg``. Returns the
+    metadata.json path.
+    """
+    import pyarrow.parquet as pq
+
+    from . import engine
+
+    loc = table_location or os.path.join(out_dir, "iceberg")
+    enc = engine.read_encoded(spark, out_dir)
+    runs = sorted({r.run for r in enc.select("run").distinct().collect()})
+    files = []
+    for run in runs:
+        run_dir = os.path.join(out_dir, "encoded", f"run={run}")
+        for name in sorted(os.listdir(run_dir)):
+            if not name.endswith(".parquet") or name.startswith("."):
+                continue
+            p = os.path.join(run_dir, name)
+            files.append({
+                "path": p,
+                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "file_size": os.path.getsize(p),
+            })
+    schema = enc.drop("run").schema
+    return commit_append(loc, files, schema, now_ms=now_ms)
+
+
+def read_exported(spark, location: str, snapshot_id: int | None = None):
+    """Read an exported table back via the metadata chain -> DataFrame."""
+    plan = scan_table(location, snapshot_id=snapshot_id)
+    paths = [f["path"] for f in plan["files"]]
+    if not paths:
+        raise ValueError(f"{location}: snapshot has no data files")
+    return spark.read.parquet(*paths)

@@ -8562,3 +8562,52 @@ def anomalous_minutes_zscore(spark, sf_dir):
         .select("minute_bucket", "n")
         .orderBy("minute_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v2 interchange (vendored metadata writer/reader, iceberg.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "enc_iceberg_export",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars % 64 + 1) AS BIGINT) AS total_tokens,
+           true AS from_metadata_chain
+    FROM documents GROUP BY source
+    """,
+)
+def enc_iceberg_export(spark, sf_dir):
+    """Freeze -> Iceberg v2 export -> read back via the metadata chain.
+
+    r3 verdict item 4: the frozen output's committed encoded parquet
+    files are committed as an Iceberg v2 append snapshot (vendored
+    metadata.json + Avro manifest list + manifest, iceberg.py), then
+    the scan is planned PURELY from that chain — version-hint ->
+    metadata.json -> snapshot -> manifest list -> manifests -> file
+    paths — never by directory listing. ``from_metadata_chain`` pins
+    that the chain's planned record counts equal the scanned rows, and
+    the decoded corpus must reproduce the source aggregation exactly
+    (same oracle arithmetic as enc_roundtrip_agg).
+    """
+    from . import engine, iceberg
+
+    base = _scratch("iceberg", sf_dir)
+    sequences_from_documents(spark, sf_dir).write.parquet(f"{base}/in")
+    out = f"{base}/out"
+    engine.freeze(spark, f"{base}/in", out, target_tokens=30_000)
+    iceberg.export_frozen(spark, out)
+    enc = iceberg.read_exported(spark, f"{out}/iceberg")
+    plan = iceberg.scan_table(f"{out}/iceberg")
+    ok = (sum(f["record_count"] for f in plan["files"]) == enc.count())
+    dec = engine.decode(enc)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .withColumn("from_metadata_chain", F.lit(bool(ok)))
+    )

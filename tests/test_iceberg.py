@@ -1,0 +1,231 @@
+"""Vendored Avro container + Iceberg v2 metadata layer (iceberg.py).
+
+Spec pins are against the PUBLIC Avro 1.11 and Iceberg v2 specs: known
+zigzag byte vectors, container magic/sync framing, required metadata
+fields, and the metadata-chain scan contract (orphan files invisible,
+snapshot history append-only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cryo_spark import avroio, iceberg
+
+
+# ---------------------------------------------------------------------------
+# avro binary encoding
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_known_vectors():
+    # the spec's own example table (int/long encodings)
+    for val, want in [
+        (0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+        (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01"),
+        (-65, b"\x81\x01"), (8192, b"\x80\x80\x01"),
+    ]:
+        out = bytearray()
+        avroio.write_long(out, val)
+        assert bytes(out) == want, val
+        back, pos = avroio.read_long(bytes(out), 0)
+        assert back == val and pos == len(want)
+
+
+_RT_SCHEMA = {
+    "type": "record", "name": "t", "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "on", "type": ["null", "long"], "default": None},
+        {"name": "b", "type": "bytes"},
+        {"name": "fl", "type": "double"},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "sub", "type": {"type": "record", "name": "sub",
+                                 "fields": [{"name": "x", "type": "int"}]}},
+        {"name": "sub2", "type": "sub"},  # named-type reference
+    ],
+}
+
+_RT_RECORDS = [
+    {"s": "héllo", "n": -(1 << 40), "on": None, "b": b"\x00\xff",
+     "fl": 1.5, "arr": [1, -2, 3], "m": {"k": "v", "j": ""},
+     "sub": {"x": 7}, "sub2": {"x": -7}},
+    {"s": "", "n": 0, "on": 42, "b": b"", "fl": -0.25, "arr": [],
+     "m": {}, "sub": {"x": 0}, "sub2": {"x": 1}},
+]
+
+
+def test_container_roundtrip(tmp_path):
+    p = str(tmp_path / "t.avro")
+    n = avroio.write_container(p, _RT_SCHEMA, _RT_RECORDS)
+    assert os.path.getsize(p) == n
+    with open(p, "rb") as f:
+        assert f.read(4) == b"Obj\x01"
+    schema, meta, records = avroio.read_container(p)
+    assert schema == _RT_SCHEMA
+    assert meta["avro.codec"] == b"null"
+    assert records == _RT_RECORDS
+
+
+def test_container_deterministic_bytes(tmp_path):
+    a, b = str(tmp_path / "a.avro"), str(tmp_path / "a2.avro")
+    avroio.write_container(a, _RT_SCHEMA, _RT_RECORDS)
+    avroio.write_container(b, _RT_SCHEMA, _RT_RECORDS)
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        da, db = fa.read(), fb.read()
+    # same content, sync marker differs only with the path component
+    assert da[:4] == db[:4] and len(da) == len(db)
+    avroio.write_container(b, _RT_SCHEMA, _RT_RECORDS)
+    with open(b, "rb") as fb:
+        assert fb.read() == db  # same path+content -> identical bytes
+
+
+def test_union_branch_and_errors(tmp_path):
+    p = str(tmp_path / "u.avro")
+    schema = {"type": "record", "name": "u", "fields": [
+        {"name": "v", "type": ["null", "string", "long"]}]}
+    recs = [{"v": None}, {"v": "s"}, {"v": 5}]
+    avroio.write_container(p, schema, recs)
+    assert avroio.read_container(p)[2] == recs
+    with pytest.raises(TypeError):
+        avroio.write_container(p, schema, [{"v": 1.5}])  # no float branch
+
+
+def test_empty_container(tmp_path):
+    p = str(tmp_path / "e.avro")
+    avroio.write_container(p, _RT_SCHEMA, [])
+    assert avroio.read_container(p)[2] == []
+
+
+# ---------------------------------------------------------------------------
+# iceberg metadata chain
+# ---------------------------------------------------------------------------
+
+
+def _write_parquet(path: str, n: int, start: int = 0) -> dict:
+    t = pa.table({"doc_id": pa.array(
+        [f"doc-{i:012d}" for i in range(start, start + n)]),
+        "n": pa.array(range(start, start + n), type=pa.int64())})
+    pq.write_table(t, path)
+    return {"path": path, "record_count": n,
+            "file_size": os.path.getsize(path)}
+
+
+def _spark_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n", T.LongType(), True),
+    ])
+
+
+def test_commit_and_scan(tmp_path):
+    loc = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    files = [_write_parquet(f"{data}/f{i}.parquet", 10, i * 10)
+             for i in range(3)]
+    md_path = iceberg.commit_append(loc, files, _spark_schema(),
+                                    now_ms=1_700_000_000_000)
+    with open(md_path) as f:
+        md = json.load(f)
+    # v2 required fields present
+    for k in ("format-version", "table-uuid", "location",
+              "last-sequence-number", "last-updated-ms", "last-column-id",
+              "schemas", "current-schema-id", "partition-specs",
+              "default-spec-id", "last-partition-id", "sort-orders",
+              "default-sort-order-id", "current-snapshot-id", "snapshots"):
+        assert k in md, k
+    assert md["format-version"] == 2
+    assert md["last-partition-id"] == 999
+    assert "schema.name-mapping.default" in md["properties"]
+    plan = iceberg.scan_table(loc)
+    assert sorted(f["path"] for f in plan["files"]) == sorted(
+        os.path.abspath(f["path"]) for f in files)
+    assert sum(f["record_count"] for f in plan["files"]) == 30
+    names = [f["name"] for f in plan["schema"]["fields"]]
+    assert names == ["doc_id", "n"]
+
+
+def test_second_append_advances_history(tmp_path):
+    loc = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    f1 = _write_parquet(f"{data}/f1.parquet", 5)
+    iceberg.commit_append(loc, [f1], _spark_schema(), now_ms=1)
+    f2 = _write_parquet(f"{data}/f2.parquet", 7, 5)
+    iceberg.commit_append(loc, [f2], _spark_schema(), now_ms=2)
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as f:
+        assert f.read().strip() == "2"
+    plan = iceberg.scan_table(loc)
+    assert sum(f["record_count"] for f in plan["files"]) == 12
+    # time travel to the first snapshot
+    with open(os.path.join(loc, "metadata", "v2.metadata.json")) as f:
+        md = json.load(f)
+    assert len(md["snapshots"]) == 2
+    first = md["snapshots"][0]["snapshot-id"]
+    plan1 = iceberg.scan_table(loc, snapshot_id=first)
+    assert sum(f["record_count"] for f in plan1["files"]) == 5
+
+
+def test_orphan_files_invisible(tmp_path):
+    loc = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    f1 = _write_parquet(f"{data}/f1.parquet", 5)
+    iceberg.commit_append(loc, [f1], _spark_schema(), now_ms=1)
+    _write_parquet(f"{data}/orphan.parquet", 99)  # never committed
+    plan = iceberg.scan_table(loc)
+    assert [os.path.basename(f["path"]) for f in plan["files"]] == \
+        ["f1.parquet"]
+
+
+def test_manifest_field_ids_pinned(tmp_path):
+    """The Avro schemas carry the spec's field-ids (500-517, 100-134)."""
+    loc = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    iceberg.commit_append(loc, [_write_parquet(f"{data}/f.parquet", 1)],
+                          _spark_schema(), now_ms=1)
+    plan_md = iceberg._current_metadata(loc)
+    snap = plan_md["snapshots"][0]
+    schema, meta, _ = avroio.read_container(snap["manifest-list"])
+    ids = {f["name"]: f["field-id"] for f in schema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["content"] == 517
+    assert meta["format-version"] == b"2"
+    _, _, manifests = avroio.read_container(snap["manifest-list"])
+    mschema, mmeta, _ = avroio.read_container(manifests[0]["manifest_path"])
+    dfile = next(f for f in mschema["fields"] if f["name"] == "data_file")
+    dids = {f["name"]: f["field-id"] for f in dfile["type"]["fields"]}
+    assert dids["file_path"] == 100 and dids["content"] == 134
+    assert mmeta["content"] == b"data"
+    assert json.loads(mmeta["schema"].decode())["type"] == "struct"
+
+
+def test_export_frozen_roundtrip(spark, tmp_path):
+    """Freeze -> export -> metadata-chain read == engine's own read."""
+    import cryo_spark
+    from cryo_spark import engine
+
+    src = str(tmp_path / "in.parquet")
+    cryo_spark.write_sequences(src, n=2_000, seed=11)
+    out = str(tmp_path / "out")
+    cryo_spark.freeze(spark, src, out, target_tokens=100_000)
+    iceberg.export_frozen(spark, out, now_ms=1_700_000_000_000)
+    enc_native = engine.read_encoded(spark, out).drop("run")
+    enc_ice = iceberg.read_exported(spark, f"{out}/iceberg")
+    assert enc_ice.count() == enc_native.count()
+    dec = engine.decode(enc_ice)
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT count(*) n, sum(n_tok) s FROM '{src}'").fetchone()
+    got = dec.selectExpr("count(*)", "sum(n_tok)").first()
+    assert (got[0], got[1]) == (want[0], want[1])
