@@ -28,8 +28,16 @@ SCHEMA = pa.schema(
 )
 
 
-def generate_sequences(n: int, seed: int = 42) -> pa.Table:
-    """Build the synthetic table fully vectorized; deterministic for (n, seed)."""
+def generate_sequences(n: int, seed: int = 42, id_offset: int = 0) -> pa.Table:
+    """Build the synthetic table fully vectorized; deterministic for
+    (n, seed, id_offset).
+
+    ``id_offset`` shifts the doc_id range to [id_offset, id_offset+n) so
+    independently generated shards compose into one table with globally
+    unique keys (the 10x disk-proof input is built this way — each
+    shard's token stream derives from its own seed, and per-shard token
+    totals stay below the int32 offset ceiling).
+    """
     rng = np.random.default_rng(seed)
     # lengths: clipped lognormal around ~200 tokens
     lengths = np.clip(
@@ -70,7 +78,9 @@ def generate_sequences(n: int, seed: int = 42) -> pa.Table:
         lambda ln, r: np.random.default_rng(r).integers(0, 2**31 - 1, ln, dtype=np.int32),
     )
 
-    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n)], type=pa.string())
+    doc_ids = pa.array(
+        [f"doc-{i:012d}" for i in range(id_offset, id_offset + n)],
+        type=pa.string())
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
     tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
@@ -108,6 +118,40 @@ def write_sequences(path: str, n: int, seed: int = 42, shards: int = 1) -> str:
                 row_group_size=8192,
             )
     return path
+
+
+def _write_big_shard(args: tuple) -> int:
+    path, i, n_i, seed, id_offset = args
+    part = generate_sequences(n_i, seed=seed + i, id_offset=id_offset)
+    pq.write_table(part, f"{path}/part-{i:05d}.parquet",
+                   compression="snappy", row_group_size=8192)
+    return int(part.column("n_tok").to_numpy().sum())
+
+
+def write_sequences_big(path: str, n: int, seed: int = 42,
+                        shards: int = 64, processes: int = 16) -> int:
+    """Multi-process sharded generator for inputs too big for one table.
+
+    Composes ``shards`` independently seeded shards (seed+i, disjoint
+    id_offset ranges) into one parquet directory — deterministic for
+    (n, seed, shards), any process count. Returns total tokens. Exists
+    for the 10x disk-backed scale proof: a single generate_sequences
+    call at 60M docs would hold ~80 GB in one arrow table and overflow
+    its int32 list offsets.
+    """
+    import multiprocessing as mp
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    step = (n + shards - 1) // shards
+    jobs = []
+    for i in range(shards):
+        n_i = min(step, n - i * step)
+        if n_i > 0:
+            jobs.append((path, i, n_i, seed, i * step))
+    with mp.get_context("spawn").Pool(processes) as pool:
+        totals = pool.map(_write_big_shard, jobs)
+    return int(sum(totals))
 
 
 def reference_zstd_bytes(table: pa.Table, path: str) -> int:
