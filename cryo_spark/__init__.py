@@ -22,6 +22,7 @@ from .engine import (collect, compact, consolidate_manifests, decode,
                      load_output_plan, pack, purge_deletes, read_appends,
                      read_encoded, read_manifest, remove_orphans, upsert,
                      vacuum, verify_output)
+from .aio import async_collect, async_decode, async_encode, async_freeze
 from .snapshots import log as snapshot_log
 from .fixtures import (
     generate_embeddings,
@@ -40,6 +41,7 @@ __all__ = [
     "remove_orphans", "read_encoded", "read_manifest", "snapshot_log",
     "delete_where", "purge_deletes", "upsert", "describe", "verify_output",
     "read_appends", "join_frozen", "load_output_plan",
+    "async_collect", "async_freeze", "async_encode", "async_decode",
     "compute_used_columns", "hex_columns", "unhex_columns",
     "generate_sequences", "write_sequences",
     "generate_embeddings", "write_embeddings",
