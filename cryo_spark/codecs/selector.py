@@ -46,6 +46,29 @@ try:
 except Exception:
     SAMPLE_TARGET = 1 << 13
 _TRIAL_ZSTD_LEVEL = 1  # entropy probe level: matches ZSTD_LEVEL
+# skip the full-size zstd frame when the trial's entropy gain on the
+# winning base is below this margin (z_trial >= margin * raw_trial)
+_ZSTD_SKIP_MARGIN = 0.97
+_PROBE_WIN = 1 << 15  # payload-probe window (32 KiB x head/mid/tail)
+
+
+def _zstd_futile(payload: bytes) -> bool:
+    """Confirm on the REAL payload that the entropy stage has nothing.
+
+    The trial gate alone is unsafe: the strided value sample aliases
+    away run structure (e.g. 64-long runs sampled at stride 64 look
+    like noise), so a chunk whose full payload zstd-compresses 20x can
+    read as incompressible at trial time (measured: the 'runs' shape,
+    bitpack 458 KB vs bitpack+zstd 23 KB). Three CONTIGUOUS windows of
+    the full winner payload (head/mid/tail) keep local repetition
+    visible at ~1/20 the cost of the full frame.
+    """
+    n = len(payload)
+    mid = (n - _PROBE_WIN) // 2
+    probe = (payload[:_PROBE_WIN] + payload[mid:mid + _PROBE_WIN]
+             + payload[n - _PROBE_WIN:])
+    return len(zstd_compress(probe, level=_TRIAL_ZSTD_LEVEL)) >= \
+        _ZSTD_SKIP_MARGIN * len(probe)
 
 
 @dataclass
@@ -161,6 +184,7 @@ def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
 
     best: Choice | None = None
     tried_bases: list[str] = []
+    plain_z_trial = est.get("plain+zstd~trial", float("inf"))
     for _, codec_id in trials:
         base, _ = registry.split_codec_id(codec_id)
         if base in tried_bases:
@@ -169,7 +193,25 @@ def choose_int(values: np.ndarray, *, zstd_level: int = registry.ZSTD_LEVEL,
             break
         tried_bases.append(base)
         payload = registry.CODECS[base][0](values)
-        best = _consider(best, base, payload, est, zstd_level)
+        # zstd-cascade skip (r3 verdict item 7): the winner's FULL +zstd
+        # frame is ~4.3 ms of the ~8 ms kernel, but when the TRIAL shows
+        # the entropy stage gains <3% on this base's structural payload
+        # there is nothing left for it to find at full size either. Only
+        # skip when the base's raw trial also beats plain+zstd's trial —
+        # that keeps the match-or-beat-parquet-zstd floor intact (a base
+        # whose raw form loses to plain+zstd must still get its zstd
+        # variant considered). Pure function of the sample -> codec
+        # choice stays parallelism-invariant (differential.py pins it).
+        raw_t = est.get(base + "~trial", float("inf"))
+        z_t = est.get(base + "+zstd~trial", float("inf"))
+        zskip = (
+            z_t >= _ZSTD_SKIP_MARGIN * raw_t      # trial: no entropy gain
+            and raw_t <= plain_z_trial            # floor guard intact
+            and len(payload) > 3 * _PROBE_WIN     # frame cost worth saving
+            and _zstd_futile(payload)             # confirmed on REAL bytes
+        )
+        best = _consider(best, base, payload, est, zstd_level,
+                         variants=(True, not zskip))
 
     # raw-plain floor: size known without encoding (header + raw bytes)
     plain_size = _plain_frame_size(values)
