@@ -120,6 +120,71 @@ def write_sequences(path: str, n: int, seed: int = 42, shards: int = 1) -> str:
     return path
 
 
+def generate_sequences_skewed(n: int, seed: int = 42, alpha: float = 1.5,
+                              heavy_share: float = 0.8,
+                              heavy_source: str = "web") -> pa.Table:
+    """Adversarial-skew variant (r3 verdict item 6): one source holds
+    ``heavy_share`` of the TOKEN MASS and doc lengths are Zipf-``alpha``.
+
+    Same schema/id format as generate_sequences so it drops into every
+    layout/freeze path. Construction: zipf-alpha lengths clipped to
+    [1, 4096], source draw per SOURCE_PROBS, then the heavy source's
+    lengths are scaled so its token share hits ~heavy_share (re-clipped,
+    so the achieved share is asserted by the tests, not assumed).
+    Deterministic for (n, seed, alpha, heavy_share).
+    """
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(rng.zipf(alpha, n).astype(np.int64), 1, 4096)
+    source_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_PROBS)
+    heavy = source_idx == SOURCES.index(heavy_source)
+    # iterate: the 4096 clip truncates the scaled tail, so one scaling
+    # pass undershoots the share; a few deterministic passes converge
+    for _ in range(6):
+        h_sum, o_sum = int(lengths[heavy].sum()), int(lengths[~heavy].sum())
+        if not (h_sum and o_sum):
+            break
+        if h_sum >= heavy_share / (1 - heavy_share) * o_sum:
+            break
+        want = heavy_share / (1 - heavy_share) * o_sum
+        lengths[heavy] = np.clip(
+            (lengths[heavy] * (want / h_sum)).astype(np.int64), 1, 4096)
+    total = int(lengths.sum())
+    flat = (rng.zipf(1.2, total) % VOCAB).astype(np.int32)
+    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n)], type=pa.string())
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.int32())
+    ).cast(pa.list_(pa.int32()))
+    return pa.table(
+        {"doc_id": doc_ids, "tokens": tokens,
+         "n_tok": pa.array(lengths.astype(np.int32), type=pa.int32()),
+         "source": pa.array([SOURCES[i] for i in source_idx],
+                            type=pa.string())},
+        schema=SCHEMA,
+    )
+
+
+def write_sequences_skewed(path: str, n: int, seed: int = 42,
+                           alpha: float = 1.5, heavy_share: float = 0.8,
+                           shards: int = 1) -> str:
+    table = generate_sequences_skewed(n, seed, alpha, heavy_share)
+    if shards <= 1:
+        pq.write_table(table, path, compression="snappy",
+                       row_group_size=8192)
+        return path
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    step = (n + shards - 1) // shards
+    for i in range(shards):
+        part = table.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, f"{path}/part-{i:05d}.parquet",
+                           compression="snappy", row_group_size=8192)
+    return path
+
+
 def _write_big_shard(args: tuple) -> int:
     path, i, n_i, seed, id_offset = args
     part = generate_sequences(n_i, seed=seed + i, id_offset=id_offset)

@@ -11,7 +11,11 @@ memory bus intermittently collapses to <1.5 GB/s single-thread memcpy
 scaling ratio meaningless. A reading taken in that state looks exactly
 like a code regression (we lost an afternoon to one); gate first.
 
-Usage: python tools/confirm_scaling.py [--force]
+Usage: python tools/confirm_scaling.py [--force] [--input PATH]
+                                       [--label NAME]
+
+``--input`` points the window at an alternate parquet sequences table
+(e.g. the adversarial-skew fixture); ``--label`` tags the JSON record.
 """
 
 from __future__ import annotations
@@ -40,6 +44,11 @@ def main() -> int:
         return 2
 
     inp = bench.scaling_input()
+    label = None
+    if "--input" in sys.argv:
+        inp = sys.argv[sys.argv.index("--input") + 1]
+    if "--label" in sys.argv:
+        label = sys.argv[sys.argv.index("--label") + 1]
     print("INPUT ready:", inp, flush=True)
     # bus-scaling snapshot BEFORE the windows (and again after): the
     # 2->8 memcpy ratio swings 3.7x..1.9x within a session, and a raw
@@ -75,6 +84,8 @@ def main() -> int:
           "ceiling-relative:", round(best[8] / best[2] / blended, 3),
           flush=True)
     print(json.dumps({"best": best, "efficiency": round(eff, 3),
+                      **({"label": label} if label else {}),
+                      "input": inp,
                       "calibration": cal,
                       "hw_scaling_pre": hw_pre, "hw_scaling_post": hw_post,
                       "ceiling_relative":
