@@ -278,6 +278,21 @@ def main(argv: list[str] | None = None) -> int:
     es.add_argument("--filter", action="append", default=None)
     es.add_argument("--master", default=None)
 
+    ie = sub.add_parser("iceberg-export",
+                        help="commit a frozen output's encoded files as an "
+                             "Iceberg v2 append snapshot (vendored "
+                             "metadata.json + Avro manifests)")
+    ie.add_argument("--output", required=True, help="frozen output dir")
+    ie.add_argument("--location", default=None,
+                    help="table location (default <output>/iceberg)")
+    ie.add_argument("--master", default=None)
+
+    isc = sub.add_parser("iceberg-scan",
+                         help="plan a scan purely from an Iceberg table's "
+                              "metadata chain; prints the file list JSON")
+    isc.add_argument("--location", required=True)
+    isc.add_argument("--snapshot", type=int, default=None)
+
     sn = sub.add_parser("snapshots",
                         help="list the output dir's commit history "
                              "(time-travel points for collect --as-of)")
@@ -346,6 +361,14 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(entry))
         return 0
 
+    if args.cmd == "iceberg-scan":
+        # pure metadata: the whole point is planning WITHOUT an engine
+        from cryo_spark import iceberg
+
+        print(json.dumps(iceberg.scan_table(args.location,
+                                            snapshot_id=args.snapshot)))
+        return 0
+
     if args.cmd == "rollback":
         from cryo_spark import snapshots as snap_mod
 
@@ -412,6 +435,14 @@ def main(argv: list[str] | None = None) -> int:
                 align_with=args.align_with,
             )
             print(json.dumps(summary))
+            return 0
+
+        if args.cmd == "iceberg-export":
+            from cryo_spark import iceberg
+
+            md_path = iceberg.export_frozen(spark, args.output,
+                                            table_location=args.location)
+            print(json.dumps({"metadata": md_path}))
             return 0
 
         if args.cmd == "compact":
