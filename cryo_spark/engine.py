@@ -1723,12 +1723,31 @@ def purge_deletes(
     n_before = rows.count()
     n_keep = keep.count()
     if n_keep == 0:
-        # nothing survives the rewrite: an empty run cannot carry the
-        # manifest commit that retires the originals — keep merge-on-read
-        # (documented edge; a later append makes the next purge succeed)
-        return dict(snapshot=None, run=None, n_rewritten=0, n_purged_rows=0,
-                    wall_s=time.perf_counter() - t_start,
-                    reason="all affected rows deleted; merge-on-read kept")
+        # nothing survives the rewrite: commit a deletes-only snapshot —
+        # tombstones for the affected chunks plus an EMPTY manifest for
+        # the writer run. Manifest rows ARE the commit carrier
+        # (_visible_ok_keys treats a tombstone run as visible iff its
+        # manifest run committed), so the zero-row manifest write is
+        # exactly what makes the tombstones visible: Iceberg's rewrite
+        # that adds zero files and deletes N. The old behavior kept
+        # merge-on-read forever here, and the suite's 'purged' pin only
+        # passed when key-bloom false positives happened to drag
+        # surviving rows into the rewrite — caught by the second-seed
+        # differential sweep (a whole per-source chunk deleted by a
+        # source-equality delete).
+        run_id = _new_run_id()
+        affected.withColumnRenamed("run", "target_run").coalesce(1) \
+            .write.mode("error") \
+            .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
+        man.select(*MANIFEST_COLUMNS, "plan_id").limit(0) \
+            .write.mode("error") \
+            .parquet(f"{_manifest_path(output_dir)}/run={run_id}")
+        snap = snapshots.commit(output_dir, run_id, "purge",
+                                purged_deletes=sorted(vis["deletes"]),
+                                n_retired=n_affected)
+        return dict(snapshot=snap, run=run_id, n_rewritten=n_affected,
+                    n_new_chunks=0, n_purged_rows=n_before,
+                    wall_s=time.perf_counter() - t_start)
     plan = layout.plan_chunks(keep, target_tokens, spec=spec)
     run_id = _new_run_id()
     enc_dir = f"{_encoded_path(output_dir)}/run={run_id}"
@@ -1931,12 +1950,16 @@ def read_encoded(spark: SparkSession, output_dir: str,
                else snapshots.current(output_dir))
         if vis is not None:
             _check_reconstructable(spark, output_dir, man, vis)
-    keys = _visible_ok_keys(spark, output_dir, man)
+    keys = _visible_ok_keys(
+        spark, output_dir, man,
+        vis_runs=(vis["runs"] if ("://" not in output_dir
+                                  and vis is not None) else None))
     return enc.join(F.broadcast(keys), ["run", "partition_id", "chunk_id"], "left_semi")
 
 
 def _visible_ok_keys(spark: SparkSession, output_dir: str,
-                     man: DataFrame) -> DataFrame:
+                     man: DataFrame,
+                     vis_runs: set[str] | None = None) -> DataFrame:
     """Distinct (run, partition_id, chunk_id) of live committed chunks.
 
     Committed = an ok manifest row exists; live = not retired by a
@@ -1951,6 +1974,20 @@ def _visible_ok_keys(spark: SparkSession, output_dir: str,
     ts = _read_tombstones(spark, output_dir)
     if ts is not None:
         committed_runs = man.select("run").distinct()
+        if vis_runs is None and "://" not in output_dir:
+            cur = snapshots.current(output_dir)
+            vis_runs = cur["runs"] if cur is not None else None
+        if vis_runs:
+            # a deletes-only rewrite (purge with zero survivors) commits
+            # an EMPTY manifest: the run dir + snapshot-log entry exist
+            # but contribute no manifest rows, so the log is the commit
+            # truth for its tombstones — union the SNAPSHOT-VISIBLE run
+            # set (the caller's as_of-resolved set when time traveling,
+            # so a pre-purge read never sees the purge's tombstones)
+            committed_runs = committed_runs.union(
+                spark.createDataFrame(
+                    [(r,) for r in sorted(vis_runs)], "run string")
+            ).distinct()
         vis = ts.withColumnRenamed("run", "writer_run").join(
             committed_runs.withColumnRenamed("run", "writer_run"),
             "writer_run", "left_semi",

@@ -157,3 +157,53 @@ def test_purge_noop_without_deletes(spark, frozen):
     _, out = frozen
     p = purge_deletes(spark, out)
     assert p["run"] is None and p["snapshot"] is None
+
+
+def test_purge_whole_chunk_deleted(spark, tmp_path):
+    """A delete that empties ENTIRE chunks must still purge physically.
+
+    Regression (caught by the second-seed differential sweep): chunks
+    are per-source, so delete_where(source=X) deletes every row of X's
+    chunks; the old purge refused the empty rewrite ("an empty run
+    cannot carry the commit") and kept merge-on-read forever — and the
+    suite's 'purged' pin only passed when key-bloom false positives
+    dragged surviving rows into the rewrite. The fix commits a
+    deletes-only snapshot: tombstones + an EMPTY manifest for the
+    writer run (the commit carrier), Iceberg's add-zero-delete-N
+    rewrite.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from cryo_spark import engine
+
+    n = 300
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "doc_id": [f"doc-{i:09d}" for i in range(n)],
+        "tokens": [np.arange(20, dtype=np.int32) for _ in range(n)],
+        "n_tok": np.full(n, 20, dtype=np.int32),
+        "source": [("solo" if i % 10 == 0 else "bulk") for i in range(n)],
+    })
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(pdf, engine.SEQUENCES_DDL) \
+        .write.parquet(src)
+    out = str(tmp_path / "out")
+    s = freeze(spark, src, out, target_tokens=100_000)
+    assert s["n_failed"] == 0
+    d = delete_where(spark, out, filters=[("source", "=", "solo")])
+    assert d["n_deleted"] == 30
+    p = purge_deletes(spark, out, target_tokens=100_000)
+    # the rewrite is empty (solo rows fill their per-source chunk) but
+    # the purge must still commit and retire the chunk
+    assert p["snapshot"] is not None and p["n_purged_rows"] == 30
+    assert p["n_new_chunks"] == 0
+    want = sorted(f"doc-{i:09d}" for i in range(n) if i % 10 != 0)
+    assert _ids(decode_frozen(spark, out)) == want          # file kernel
+    assert _ids(decode(read_encoded(spark, out))) == want   # relational
+    cur = snapshots.current(out)
+    assert cur is not None and cur["deletes"] == set()
+    # time travel: pre-purge snapshots still see the rows
+    assert len(_ids(decode_frozen(spark, out, as_of=1))) == n
+    assert len(_ids(decode(read_encoded(spark, out, as_of=1)))) == n
+    assert _ids(decode_frozen(spark, out, as_of=2)) == want  # merge-on-read
