@@ -122,19 +122,29 @@ def write_sequences(path: str, n: int, seed: int = 42, shards: int = 1) -> str:
 
 def generate_sequences_skewed(n: int, seed: int = 42, alpha: float = 1.5,
                               heavy_share: float = 0.8,
-                              heavy_source: str = "web") -> pa.Table:
+                              heavy_source: str = "web",
+                              lengths_model: str = "zipf",
+                              id_offset: int = 0) -> pa.Table:
     """Adversarial-skew variant (r3 verdict item 6): one source holds
-    ``heavy_share`` of the TOKEN MASS and doc lengths are Zipf-``alpha``.
+    ``heavy_share`` of the TOKEN MASS and doc lengths are Zipf-``alpha``
+    (or the main fixture's lognormal with ``lengths_model='lognormal'``
+    — the shape used for the SCALING run on skewed input, where the
+    corpus must still reach ~2B tokens at 6.4M docs).
 
     Same schema/id format as generate_sequences so it drops into every
-    layout/freeze path. Construction: zipf-alpha lengths clipped to
-    [1, 4096], source draw per SOURCE_PROBS, then the heavy source's
-    lengths are scaled so its token share hits ~heavy_share (re-clipped,
-    so the achieved share is asserted by the tests, not assumed).
-    Deterministic for (n, seed, alpha, heavy_share).
+    layout/freeze path. Construction: lengths clipped to [1, 4096],
+    source draw per SOURCE_PROBS, then the heavy source's lengths are
+    scaled so its token share hits ~heavy_share (re-clipped, so the
+    achieved share is asserted by the tests, not assumed).
+    Deterministic for (n, seed, alpha, heavy_share, id_offset).
     """
     rng = np.random.default_rng(seed)
-    lengths = np.clip(rng.zipf(alpha, n).astype(np.int64), 1, 4096)
+    if lengths_model == "lognormal":
+        lengths = np.clip(
+            rng.lognormal(mean=np.log(200), sigma=1.0, size=n)
+            .astype(np.int64), 1, 4096)
+    else:
+        lengths = np.clip(rng.zipf(alpha, n).astype(np.int64), 1, 4096)
     source_idx = rng.choice(len(SOURCES), size=n, p=SOURCE_PROBS)
     heavy = source_idx == SOURCES.index(heavy_source)
     # iterate: the 4096 clip truncates the scaled tail, so one scaling
@@ -150,7 +160,9 @@ def generate_sequences_skewed(n: int, seed: int = 42, alpha: float = 1.5,
             (lengths[heavy] * (want / h_sum)).astype(np.int64), 1, 4096)
     total = int(lengths.sum())
     flat = (rng.zipf(1.2, total) % VOCAB).astype(np.int32)
-    doc_ids = pa.array([f"doc-{i:012d}" for i in range(n)], type=pa.string())
+    doc_ids = pa.array(
+        [f"doc-{i:012d}" for i in range(id_offset, id_offset + n)],
+        type=pa.string())
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     tokens = pa.LargeListArray.from_arrays(
@@ -186,15 +198,21 @@ def write_sequences_skewed(path: str, n: int, seed: int = 42,
 
 
 def _write_big_shard(args: tuple) -> int:
-    path, i, n_i, seed, id_offset = args
-    part = generate_sequences(n_i, seed=seed + i, id_offset=id_offset)
+    path, i, n_i, seed, id_offset, variant = args
+    if variant == "skewed":
+        part = generate_sequences_skewed(
+            n_i, seed=seed + i, lengths_model="lognormal",
+            id_offset=id_offset)
+    else:
+        part = generate_sequences(n_i, seed=seed + i, id_offset=id_offset)
     pq.write_table(part, f"{path}/part-{i:05d}.parquet",
                    compression="snappy", row_group_size=8192)
     return int(part.column("n_tok").to_numpy().sum())
 
 
 def write_sequences_big(path: str, n: int, seed: int = 42,
-                        shards: int = 64, processes: int = 16) -> int:
+                        shards: int = 64, processes: int = 16,
+                        variant: str = "standard") -> int:
     """Multi-process sharded generator for inputs too big for one table.
 
     Composes ``shards`` independently seeded shards (seed+i, disjoint
@@ -213,7 +231,7 @@ def write_sequences_big(path: str, n: int, seed: int = 42,
     for i in range(shards):
         n_i = min(step, n - i * step)
         if n_i > 0:
-            jobs.append((path, i, n_i, seed, i * step))
+            jobs.append((path, i, n_i, seed, i * step, variant))
     with mp.get_context("spawn").Pool(processes) as pool:
         totals = pool.map(_write_big_shard, jobs)
     return int(sum(totals))
