@@ -133,6 +133,21 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+# Iceberg encodes int-keyed maps in Avro as arrays of key/value records
+# (Avro maps require string keys); key/value field-ids per the spec's
+# data_file table.
+def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> dict:
+    return {
+        "type": "array", "logicalType": "map",
+        "items": {
+            "type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid},
+            ],
+        },
+    }
+
+
 _DATA_FILE_SCHEMA = {
     "type": "record", "name": "r2", "fields": [
         {"name": "content", "type": "int", "field-id": 134},
@@ -144,8 +159,116 @@ _DATA_FILE_SCHEMA = {
          "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "value_counts",
+         "type": ["null", _kv_map_schema("k119_v120", 119, 120, "long")],
+         "field-id": 109, "default": None},
+        {"name": "null_value_counts",
+         "type": ["null", _kv_map_schema("k121_v122", 121, 122, "long")],
+         "field-id": 110, "default": None},
+        {"name": "lower_bounds",
+         "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")],
+         "field-id": 125, "default": None},
+        {"name": "upper_bounds",
+         "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")],
+         "field-id": 128, "default": None},
     ],
 }
+
+
+# spec "binary single-value serialization" for bounds values
+def _bound_bytes(value, ice_type: str) -> bytes | None:
+    import struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "string":
+        v = value.decode("utf-8", "replace") if isinstance(
+            value, (bytes, bytearray)) else str(value)
+        return v.encode("utf-8")
+    if ice_type == "binary":
+        return bytes(value)
+    return None
+
+
+def _bound_value(raw: bytes, ice_type: str):
+    import struct
+
+    if ice_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    return raw
+
+
+def file_column_stats(path: str, schema_json: dict) -> dict:
+    """Per-field stats from the parquet footer, in spec encoding.
+
+    Returns {value_counts, null_value_counts, lower_bounds,
+    upper_bounds} as the int-keyed k/v lists the manifest schema wants.
+    Only top-level primitive fields carry bounds (list columns get
+    value counts only) — the slice external pruners actually use.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    counts: dict[int, int] = {}
+    nulls: dict[int, int] = {}
+    lo: dict[int, bytes] = {}
+    hi: dict[int, bytes] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            f = by_name.get(name)
+            if f is None:
+                continue
+            fid = f["id"]
+            counts[fid] = counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            t = f["type"]
+            if not isinstance(t, str):  # nested: no scalar bounds
+                continue
+            if st.has_min_max:
+                mn = _bound_bytes(st.min, t)
+                mx = _bound_bytes(st.max, t)
+                if mn is not None:
+                    cur = lo.get(fid)
+                    if cur is None or _bound_value(mn, t) < _bound_value(cur, t):
+                        lo[fid] = mn
+                if mx is not None:
+                    cur = hi.get(fid)
+                    if cur is None or _bound_value(mx, t) > _bound_value(cur, t):
+                        hi[fid] = mx
+
+    def kv(d: dict) -> list[dict]:
+        return [{"key": k, "value": v} for k, v in sorted(d.items())]
+
+    return {
+        "value_counts": kv(counts),
+        "null_value_counts": kv(nulls),
+        "lower_bounds": kv(lo),
+        "upper_bounds": kv(hi),
+    }
 
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
@@ -204,6 +327,9 @@ def commit_append(location: str, data_files: list[dict], spark_schema,
                 "partition": {},
                 "record_count": int(f["record_count"]),
                 "file_size_in_bytes": int(f["file_size"]),
+                **{k: (f.get("stats") or {}).get(k)
+                   for k in ("value_counts", "null_value_counts",
+                             "lower_bounds", "upper_bounds")},
             },
         }
         for f in data_files
@@ -372,12 +498,52 @@ def scan_table(location: str, snapshot_id: int | None = None) -> dict:
                 "path": df["file_path"],
                 "record_count": df["record_count"],
                 "file_size": df["file_size_in_bytes"],
+                "lower_bounds": df.get("lower_bounds"),
+                "upper_bounds": df.get("upper_bounds"),
             })
     return {
         "files": files,
         "schema": md["schemas"][md["current-schema-id"]],
         "snapshot_id": snap_id,
     }
+
+
+def prune_files(plan: dict, column: str, lo=None, hi=None) -> list[dict]:
+    """File-level pruning from the manifest bounds — no footer reads.
+
+    Keep files whose [lower, upper] for ``column`` can overlap
+    [lo, hi] (either side may be None/unbounded); files carrying no
+    bounds for the column are kept (cannot be proven disjoint). This is
+    the scan-planning primitive an external Iceberg reader derives from
+    fields 125/128; exposed here so the pruning contract is testable
+    without one.
+    """
+    f_schema = next((f for f in plan["schema"]["fields"]
+                     if f["name"] == column), None)
+    if f_schema is None:
+        raise KeyError(f"no column {column!r} in the table schema")
+    fid, t = f_schema["id"], f_schema["type"]
+    if not isinstance(t, str):
+        raise TypeError(f"column {column!r} is nested; no scalar bounds")
+
+    def get(bounds, default):
+        if not bounds:
+            return default
+        for kv in bounds:
+            if kv["key"] == fid:
+                return _bound_value(kv["value"], t)
+        return default
+
+    out = []
+    for f in plan["files"]:
+        f_lo = get(f.get("lower_bounds"), None)
+        f_hi = get(f.get("upper_bounds"), None)
+        if lo is not None and f_hi is not None and f_hi < lo:
+            continue
+        if hi is not None and f_lo is not None and f_lo > hi:
+            continue
+        out.append(f)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +568,8 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
     loc = table_location or os.path.join(out_dir, "iceberg")
     enc = engine.read_encoded(spark, out_dir)
     runs = sorted({r.run for r in enc.select("run").distinct().collect()})
+    schema = enc.drop("run").schema
+    schema_json = schema_from_spark(schema)
     files = []
     for run in runs:
         run_dir = os.path.join(out_dir, "encoded", f"run={run}")
@@ -413,8 +581,11 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
                 "path": p,
                 "record_count": pq.ParquetFile(p).metadata.num_rows,
                 "file_size": os.path.getsize(p),
+                # footer-derived per-field stats (value counts + scalar
+                # bounds, spec fields 109/110/125/128) so external
+                # planners can prune without opening the files
+                "stats": file_column_stats(p, schema_json),
             })
-    schema = enc.drop("run").schema
     return commit_append(loc, files, schema, now_ms=now_ms)
 
 
