@@ -344,11 +344,13 @@ def main() -> None:
                 call()
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
-                break
+                # error wins: a query that fails on ANY rep must not
+                # also report a valid-looking wall (the old single-shot
+                # contract — one of timing XOR error per query)
+                return
             runs.append(round(time.perf_counter() - t0, 3))
-        if runs:
-            queries[name] = min(runs)
-            queries_runs[name] = runs
+        queries[name] = min(runs)
+        queries_runs[name] = runs
 
     out_dir = enc_stats.get("out_dir") if enc_stats else None
     if out_dir and os.path.exists(out_dir):

@@ -365,8 +365,14 @@ def main(argv: list[str] | None = None) -> int:
         # pure metadata: the whole point is planning WITHOUT an engine
         from cryo_spark import iceberg
 
+        # bounds values are spec binary single-value serializations —
+        # hex them for the JSON surface
         print(json.dumps(iceberg.scan_table(args.location,
-                                            snapshot_id=args.snapshot)))
+                                            snapshot_id=args.snapshot),
+                         default=lambda o: (o.hex()
+                                            if isinstance(o, (bytes,
+                                                              bytearray))
+                                            else str(o))))
         return 0
 
     if args.cmd == "rollback":

@@ -1318,10 +1318,17 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
     man_runs = {r["run"] for r in man.select("run").distinct().collect()}
     removed = {r for e in entries if e["kind"] == "vacuum"
                for r in e.get("removed_runs", [])}
+    # a zero-survivor purge commits an EMPTY manifest (no rows, but the
+    # run dir + _SUCCESS exist) — count run DIRS too, else a healthy
+    # deletes-only snapshot reads as corrupt
+    man_base = _manifest_path(output_dir)
+    man_dirs = ({d[len("run="):] for d in os.listdir(man_base)
+                 if d.startswith("run=")}
+                if os.path.isdir(man_base) else set())
     report["missing_runs"] = sorted(
         e["run"] for e in entries
         if e["kind"] in ("append", "rewrite", "purge") and e["run"]
-        and e["run"] not in man_runs
+        and e["run"] not in man_runs and e["run"] not in man_dirs
     )
     report["missing_delete_runs"] = sorted(
         e["run"] for e in entries
@@ -1916,7 +1923,12 @@ def _check_reconstructable(spark: SparkSession, output_dir: str,
     missing = vis["runs"] - present
     if not missing:
         return
-    live = _visible_ok_keys(spark, output_dir, man_vis).filter(
+    # pass the SNAPSHOT's run set: without it _visible_ok_keys falls
+    # back to snapshots.current for tombstone-writer visibility, so a
+    # LATER deletes-only purge would retire this snapshot's chunks and
+    # silently suppress the reconstructability error on an as_of read
+    live = _visible_ok_keys(spark, output_dir, man_vis,
+                            vis_runs=vis["runs"]).filter(
         F.col("run").isin(sorted(missing)))
     if live.limit(1).count():
         raise ValueError(

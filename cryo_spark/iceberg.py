@@ -239,6 +239,13 @@ def file_column_stats(path: str, schema_json: dict) -> dict:
             if f is None:
                 continue
             fid = f["id"]
+            t_f = f["type"]
+            if isinstance(t_f, dict) and t_f.get("type") == "list":
+                # the parquet leaf is <name>.list.element: its num_values
+                # is the FLATTENED element count and belongs to the
+                # element-id, not the list field's id (spec value_counts
+                # are per leaf field)
+                fid = t_f["element-id"]
             counts[fid] = counts.get(fid, 0) + col.num_values
             st = col.statistics
             if st is None:
@@ -570,23 +577,41 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
     runs = sorted({r.run for r in enc.select("run").distinct().collect()})
     schema = enc.drop("run").schema
     schema_json = schema_from_spark(schema)
-    files = []
+    paths = []
     for run in runs:
         run_dir = os.path.join(out_dir, "encoded", f"run={run}")
         for name in sorted(os.listdir(run_dir)):
-            if not name.endswith(".parquet") or name.startswith("."):
-                continue
-            p = os.path.join(run_dir, name)
-            files.append({
-                "path": p,
-                "record_count": pq.ParquetFile(p).metadata.num_rows,
-                "file_size": os.path.getsize(p),
-                # footer-derived per-field stats (value counts + scalar
-                # bounds, spec fields 109/110/125/128) so external
-                # planners can prune without opening the files
-                "stats": file_column_stats(p, schema_json),
-            })
+            if name.endswith(".parquet") and not name.startswith("."):
+                paths.append(os.path.join(run_dir, name))
+    # File-granular export is only sound when the files hold EXACTLY the
+    # visible rows: a purge/compact retires chunks via tombstones while
+    # their run's files (also holding live chunks) stay on disk, and an
+    # exported file cannot carry a row filter. Detect by row count —
+    # read_encoded IS the live set — and fall back to materializing it
+    # as fresh data files (Iceberg's copy-on-write rewrite shape).
+    raw_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    if raw_rows != enc.count():
+        mat_dir = os.path.join(loc, "data",
+                               f"export-{len(_log_entries(loc)) + 1}")
+        enc.drop("run").write.mode("error").parquet(mat_dir)
+        paths = [os.path.join(mat_dir, n)
+                 for n in sorted(os.listdir(mat_dir))
+                 if n.endswith(".parquet") and not n.startswith(".")]
+    files = [{
+        "path": p,
+        "record_count": pq.ParquetFile(p).metadata.num_rows,
+        "file_size": os.path.getsize(p),
+        # footer-derived per-field stats (value counts + scalar bounds,
+        # spec fields 109/110/125/128) so external planners can prune
+        # without opening the files
+        "stats": file_column_stats(p, schema_json),
+    } for p in paths]
     return commit_append(loc, files, schema, now_ms=now_ms)
+
+
+def _log_entries(location: str) -> list:
+    md = _current_metadata(location)
+    return md["snapshots"] if md else []
 
 
 def read_exported(spark, location: str, snapshot_id: int | None = None):

@@ -347,3 +347,54 @@ def test_export_frozen_carries_bounds(spark, tmp_path):
     # only if chunks spread over files; at minimum nothing crashes and
     # the unbounded prune keeps everything
     assert len(iceberg.prune_files(plan, "chunk_id")) == len(plan["files"])
+
+
+def test_export_after_purge_excludes_retired_rows(spark, tmp_path):
+    """File-granular export must not leak retired/deleted chunk rows.
+
+    After delete+purge, the original runs' files still hold retired
+    chunks next to live ones; a file-level export would ship BOTH the
+    deleted rows and duplicates of the rewritten survivors. The export
+    detects the row-count mismatch and materializes the live relation
+    as fresh data files instead (copy-on-write export)."""
+    import cryo_spark
+    from cryo_spark import engine
+
+    src = str(tmp_path / "in.parquet")
+    cryo_spark.write_sequences(src, n=1_000, seed=31)
+    out = str(tmp_path / "out")
+    cryo_spark.freeze(spark, src, out, target_tokens=30_000)
+    cryo_spark.delete_where(spark, out, keys="0:200")
+    p = cryo_spark.purge_deletes(spark, out, target_tokens=30_000)
+    assert p["snapshot"] is not None
+    iceberg.export_frozen(spark, out, now_ms=1)
+    dec = engine.decode(iceberg.read_exported(spark, f"{out}/iceberg"))
+    ids = sorted(r.doc_id for r in dec.select("doc_id").collect())
+    assert ids == sorted(f"doc-{i:012d}" for i in range(200, 1000))
+
+
+def test_verify_output_accepts_zero_survivor_purge(spark, tmp_path):
+    """A deletes-only purge snapshot (empty manifest run) is healthy."""
+    import numpy as np
+    import pandas as pd
+
+    import cryo_spark
+    from cryo_spark import engine
+
+    n = 200
+    pdf = pd.DataFrame({
+        "doc_id": [f"doc-{i:09d}" for i in range(n)],
+        "tokens": [np.arange(10, dtype=np.int32) for _ in range(n)],
+        "n_tok": np.full(n, 10, dtype=np.int32),
+        "source": [("solo" if i % 10 == 0 else "bulk") for i in range(n)],
+    })
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(pdf, engine.SEQUENCES_DDL).write.parquet(src)
+    out = str(tmp_path / "out")
+    cryo_spark.freeze(spark, src, out, target_tokens=100_000)
+    cryo_spark.delete_where(spark, out, filters=[("source", "=", "solo")])
+    p = cryo_spark.purge_deletes(spark, out, target_tokens=100_000)
+    assert p["n_new_chunks"] == 0 and p["snapshot"] is not None
+    rep = cryo_spark.verify_output(spark, out)
+    assert rep["missing_runs"] == [], rep
+    assert rep["status"] in ("ok", "warn"), rep

@@ -43,10 +43,14 @@ def main() -> int:
               "the bus recovers, or pass --force.")
         return 2
 
-    inp = bench.scaling_input()
     label = None
     if "--input" in sys.argv:
+        # resolve the override FIRST: bench.scaling_input() generates +
+        # validates the 2.1B-token default cache, minutes of wasted CPU
+        # when an alternate input is supplied
         inp = sys.argv[sys.argv.index("--input") + 1]
+    else:
+        inp = bench.scaling_input()
     if "--label" in sys.argv:
         label = sys.argv[sys.argv.index("--label") + 1]
     print("INPUT ready:", inp, flush=True)
