@@ -33,6 +33,11 @@ def _format_result(df: DataFrame, output_format: str) -> Any:
     if output_format == "pandas":
         return df.toPandas()
     if output_format == "arrow":
+        # spark-native Arrow collection preserves the Spark types
+        # (array<int> stays list<int32>; a pandas round-trip would
+        # re-infer list<int64> and drop nullability)
+        if hasattr(df, "toArrow"):
+            return df.toArrow()
         import pyarrow as pa
 
         return pa.Table.from_pandas(df.toPandas(),

@@ -1319,8 +1319,11 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
     removed = {r for e in entries if e["kind"] == "vacuum"
                for r in e.get("removed_runs", [])}
     # a zero-survivor purge commits an EMPTY manifest (no rows, but the
-    # run dir + _SUCCESS exist) — count run DIRS too, else a healthy
-    # deletes-only snapshot reads as corrupt
+    # run dir + _SUCCESS exist) — such entries record n_new_chunks=0 in
+    # the log, and ONLY those may satisfy the check via a bare run dir.
+    # An append/rewrite whose manifest parquet was lost (dir present,
+    # rows gone) must still read as corrupt, so the dir-based exemption
+    # is gated on the recorded chunk count, not on the entry kind.
     man_base = _manifest_path(output_dir)
     man_dirs = ({d[len("run="):] for d in os.listdir(man_base)
                  if d.startswith("run=")}
@@ -1328,7 +1331,8 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
     report["missing_runs"] = sorted(
         e["run"] for e in entries
         if e["kind"] in ("append", "rewrite", "purge") and e["run"]
-        and e["run"] not in man_runs and e["run"] not in man_dirs
+        and e["run"] not in man_runs
+        and not (e.get("n_new_chunks") == 0 and e["run"] in man_dirs)
     )
     report["missing_delete_runs"] = sorted(
         e["run"] for e in entries
@@ -1749,9 +1753,13 @@ def purge_deletes(
         man.select(*MANIFEST_COLUMNS, "plan_id").limit(0) \
             .write.mode("error") \
             .parquet(f"{_manifest_path(output_dir)}/run={run_id}")
+        # n_new_chunks=0 goes in the LOG entry too: verify_output's
+        # empty-manifest exemption is gated on it (only a recorded
+        # zero-chunk rewrite may pass the missing_runs check via a bare
+        # run dir; a lost append/rewrite manifest must stay corrupt)
         snap = snapshots.commit(output_dir, run_id, "purge",
                                 purged_deletes=sorted(vis["deletes"]),
-                                n_retired=n_affected)
+                                n_retired=n_affected, n_new_chunks=0)
         return dict(snapshot=snap, run=run_id, n_rewritten=n_affected,
                     n_new_chunks=0, n_purged_rows=n_before,
                     wall_s=time.perf_counter() - t_start)

@@ -508,9 +508,14 @@ def scan_table(location: str, snapshot_id: int | None = None) -> dict:
                 "lower_bounds": df.get("lower_bounds"),
                 "upper_bounds": df.get("upper_bounds"),
             })
+    # the requested snapshot's schema, not the table's current one —
+    # identical today (schema never evolves here), but time-travel must
+    # resolve field-ids against the schema the snapshot was written with
+    sid = snap.get("schema-id", md["current-schema-id"])
     return {
         "files": files,
-        "schema": md["schemas"][md["current-schema-id"]],
+        "schema": md["schemas"].get(sid,
+                                    md["schemas"][md["current-schema-id"]]),
         "snapshot_id": snap_id,
     }
 

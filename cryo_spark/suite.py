@@ -3751,6 +3751,15 @@ def ann_bucket_topk(spark, sf_dir):
 _IVF_K = 32          # codebook size: driver holds K x d, NEVER corpus-proportional
 _IVF_PROBES = 2
 _IVF_QSCALE = 1_000_000  # integer-exact centroid arithmetic (floor(x*S + 0.5))
+# Cosine sims are QUANTIZED (floor(sim*S + 0.5) as int64) before every
+# argmax / ORDER BY that picks a centroid or probe: numpy's normalized-dot
+# and DuckDB's list_cosine_similarity follow different FP paths, and a raw
+# float near-tie could round differently, flip one assignment, and break
+# centroid parity (r4 ADVICE). At 1e-6 granularity a cross-engine epsilon
+# (~1e-15 rel) only matters when sim*S sits within it of a .5 boundary —
+# ~1e-9 per comparison, vs ~certain for raw-float ties; residual risk is
+# documented and the two-seed differential sweep remains the guard.
+_IVF_SIMSCALE = 1_000_000
 
 # Shared codebook CTEs: init cell = vec_id % K (deterministic seeding), then
 # ONE spherical-Lloyd refinement (r3 verdict item 5): assign every vector to
@@ -3779,8 +3788,10 @@ _IVF_CODEBOOK_CTE = f"""
     asg0 AS (SELECT vec_id, cid FROM (
                SELECT e.vec_id, c0.cid,
                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        list_cosine_similarity(e.embedding::DOUBLE[],
-                                               c0.cemb) DESC, c0.cid) AS rn
+                        CAST(floor(list_cosine_similarity(
+                          e.embedding::DOUBLE[], c0.cemb)
+                          * {_IVF_SIMSCALE} + 0.5) AS BIGINT) DESC,
+                        c0.cid) AS rn
                FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
     cb1 AS (SELECT asg0.cid, dims.d, sum(dims.xq) AS sq, count(*) AS cnt
             FROM asg0 JOIN dims USING (vec_id) GROUP BY asg0.cid, dims.d),
@@ -3818,13 +3829,13 @@ def _ivf_codebook(e):
     import numpy as np
     import pyarrow as pa  # noqa: F401  (kernel import sanity on driver)
 
-    K, S = _IVF_K, _IVF_QSCALE
+    K, S, SIMS = _IVF_K, _IVF_QSCALE, _IVF_SIMSCALE
 
     def make_partials(cids0=None, C0n=None):
         # cids0/C0n None -> init pass, cell = vec_id % K;
-        # else refinement pass, cell = max-cosine centroid (argmax takes
-        # the FIRST max and cids0 is ascending, so ties go to the lowest
-        # cid — the oracle's ORDER BY sim DESC, cid)
+        # else refinement pass, cell = max-QUANTIZED-cosine centroid
+        # (argmax takes the FIRST max and cids0 is ascending, so ties go
+        # to the lowest cid — the oracle's ORDER BY simq DESC, cid)
         def partials(batches):
             import numpy as np
             import pyarrow as pa
@@ -3846,7 +3857,9 @@ def _ivf_codebook(e):
                 else:
                     Xn = X / np.maximum(
                         np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-                    cells = cids0[(Xn @ C0n.T).argmax(axis=1)]
+                    simq = np.floor((Xn @ C0n.T) * SIMS
+                                    + 0.5).astype(np.int64)
+                    cells = cids0[simq.argmax(axis=1)]
                 sums = np.zeros((K, d), dtype=np.int64)
                 cnts = np.zeros(K, dtype=np.int64)
                 np.add.at(sums, cells, Xq)
@@ -3914,10 +3927,12 @@ def _ivf_codebook(e):
              FROM embeddings e CROSS JOIN c),
     asg AS (SELECT vec_id, label, embedding, cid FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY sim DESC, cid) AS rn
+                ORDER BY CAST(floor(sim * {_IVF_SIMSCALE} + 0.5) AS BIGINT)
+                         DESC, cid) AS rn
               FROM sims) WHERE rn = 1),
     qp AS (SELECT c.cid FROM c CROSS JOIN q
-           ORDER BY list_cosine_similarity(c.cemb, q.qe) DESC, c.cid
+           ORDER BY CAST(floor(list_cosine_similarity(c.cemb, q.qe)
+                         * {_IVF_SIMSCALE} + 0.5) AS BIGINT) DESC, c.cid
            LIMIT {_IVF_PROBES})
     SELECT vec_id, CAST(label AS INT) AS label, CAST(cid AS BIGINT) AS cid
     FROM (
@@ -3950,6 +3965,7 @@ def ann_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cids, C = _ivf_codebook(e)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    SIMS = _IVF_SIMSCALE
 
     def assign(batches):
         import numpy as np
@@ -3965,10 +3981,12 @@ def ann_ivf_topk(spark, sf_dir):
             X = fixed_list_matrix(t, "embedding")
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            # argmax takes the FIRST max: cids are sorted ascending, so
-            # ties resolve to the lowest centroid id — the oracle's
-            # ORDER BY sim DESC, cid
-            best = (Xn @ Cn.T).argmax(axis=1)
+            # sims quantized before the argmax (cross-engine FP-tie
+            # guard); argmax takes the FIRST max: cids are sorted
+            # ascending, so ties resolve to the lowest centroid id —
+            # the oracle's ORDER BY simq DESC, cid
+            best = np.floor((Xn @ Cn.T) * SIMS
+                            + 0.5).astype(np.int64).argmax(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
                     t.column("vec_id").combine_chunks().cast(pa.int64()),
@@ -3983,7 +4001,10 @@ def ann_ivf_topk(spark, sf_dir):
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qv = np.asarray(qrow.embedding, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-300)
-    order = np.argsort(-(Cn @ qn), kind="stable")[:_IVF_PROBES]
+    # stable sort on -simq: equal quantized sims keep ascending index =
+    # ascending cid, the oracle's ORDER BY simq DESC, cid
+    order = np.argsort(-np.floor((Cn @ qn) * SIMS + 0.5).astype(np.int64),
+                       kind="stable")[:_IVF_PROBES]
     probes = [int(c) for c in cids[order]]
     query = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("b"))
     return (
@@ -6103,7 +6124,8 @@ _SEMD_SQL = f"""
              FROM embeddings e CROSS JOIN c),
     asg AS (SELECT vec_id, embedding, cid FROM (
               SELECT *, row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY sim DESC, cid) AS rn
+                ORDER BY CAST(floor(sim * {_IVF_SIMSCALE} + 0.5) AS BIGINT)
+                         DESC, cid) AS rn
               FROM sims) WHERE rn = 1),
     qz AS (SELECT vec_id, cid,
              CASE WHEN list_max(list_transform(embedding,
@@ -6160,6 +6182,7 @@ def semantic_dedup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     cids, C = _ivf_codebook(e)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    SIMS = _IVF_SIMSCALE
 
     def assign_quant(batches):
         import numpy as np
@@ -6176,7 +6199,9 @@ def semantic_dedup(spark, sf_dir):
             d = X.shape[1]
             Xn = X / np.maximum(
                 np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            best = (Xn @ Cn.T).argmax(axis=1)
+            # quantized-sim argmax: the cross-engine FP-tie guard
+            best = np.floor((Xn @ Cn.T) * SIMS
+                            + 0.5).astype(np.int64).argmax(axis=1)
             sc = np.max(np.abs(X), axis=1, keepdims=True) / 127.0
             Q = np.where(sc > 0.0,
                          np.floor(X / np.where(sc == 0.0, 1.0, sc) + 0.5),
