@@ -285,6 +285,14 @@ def main(argv: list[str] | None = None) -> int:
     ie.add_argument("--output", required=True, help="frozen output dir")
     ie.add_argument("--location", default=None,
                     help="table location (default <output>/iceberg)")
+    ie.add_argument("--partitioned", action="store_true",
+                    help="carry the engine partitioning into the table: "
+                         "copy-on-write one-partition-per-file data files "
+                         "with real manifest partition tuples")
+    ie.add_argument("--materialize", action="store_true",
+                    help="rewrite visible rows into <location>/data so "
+                         "the table owns its files (default export is "
+                         "point-in-time over the engine's files)")
     ie.add_argument("--master", default=None)
 
     isc = sub.add_parser("iceberg-scan",
@@ -447,7 +455,9 @@ def main(argv: list[str] | None = None) -> int:
             from cryo_spark import iceberg
 
             md_path = iceberg.export_frozen(spark, args.output,
-                                            table_location=args.location)
+                                            table_location=args.location,
+                                            partitioned=args.partitioned,
+                                            materialize=args.materialize)
             print(json.dumps({"metadata": md_path}))
             return 0
 

@@ -31,8 +31,13 @@ is installable here to cross-check):
 - Data files carry no parquet field-ids, so the table property
   ``schema.name-mapping.default`` is written (spec's name-mapping
   fallback for id-less files).
-- Unpartitioned only: partition-spec 0 with no fields,
-  last-partition-id pinned at 999 (the spec's reserved floor).
+- Default export is unpartitioned (partition-spec 0 with no fields,
+  last-partition-id at the spec's 999 reserved floor) and POINT-IN-TIME
+  over the engine's own files; ``partitioned=True`` rewrites the
+  visible rows copy-on-write into one-partition-per-file data files
+  with an identity spec over the derived ``part`` column and real
+  per-file partition tuples (field 102), and ``materialize=True``
+  gives table-owned files without partitioning.
 
 Reference parity: cryo writes its report/manifest contract per run
 (crates/freeze/src/types/files.rs:63-105); `export_frozen` maps one
@@ -148,31 +153,76 @@ def _kv_map_schema(name: str, kid: int, vid: int, vtype: str) -> dict:
     }
 
 
-_DATA_FILE_SCHEMA = {
-    "type": "record", "name": "r2", "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        # unpartitioned: empty partition struct (record name per spec)
-        {"name": "partition",
-         "type": {"type": "record", "name": "r102", "fields": []},
-         "field-id": 102},
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {"name": "value_counts",
-         "type": ["null", _kv_map_schema("k119_v120", 119, 120, "long")],
-         "field-id": 109, "default": None},
-        {"name": "null_value_counts",
-         "type": ["null", _kv_map_schema("k121_v122", 121, 122, "long")],
-         "field-id": 110, "default": None},
-        {"name": "lower_bounds",
-         "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")],
-         "field-id": 125, "default": None},
-        {"name": "upper_bounds",
-         "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")],
-         "field-id": 128, "default": None},
-    ],
-}
+# Iceberg partition-spec field -> Avro type for the r102 partition
+# record. Partition values are nullable per spec (null source rows).
+_ICE_TO_AVRO = {"int": "int", "long": "long", "string": "string",
+                "date": "int", "boolean": "boolean", "double": "double",
+                "float": "float", "binary": "bytes"}
+
+
+def _partition_record_schema(part_fields: list[dict],
+                             schema_json: dict) -> dict:
+    """r102 partition struct for a spec's fields (empty when spec-less).
+
+    Field result types: identity keeps the source field's type;
+    bucket/truncate-width transforms over strings stay int/string per
+    the spec's transform result-type table (only the slices used here).
+    """
+    by_id = {f["id"]: f["type"] for f in schema_json["fields"]}
+    fields = []
+    for pf in part_fields:
+        src_t = by_id.get(pf["source-id"], "string")
+        t = pf["transform"]
+        if t == "identity":
+            ice = src_t if isinstance(src_t, str) else "string"
+        elif t.startswith("bucket["):
+            ice = "int"
+        elif t.startswith("truncate["):
+            ice = src_t if isinstance(src_t, str) else "string"
+        elif t in ("year", "month", "day", "hour"):
+            ice = "int"
+        else:
+            ice = "string"
+        fields.append({
+            "name": pf["name"],
+            "type": ["null", _ICE_TO_AVRO.get(ice, "string")],
+            "field-id": pf["field-id"], "default": None,
+        })
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _data_file_schema(part_fields: list[dict] | None = None,
+                      schema_json: dict | None = None) -> dict:
+    return {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            # partition struct (record name r102 per spec); empty when
+            # the table is unpartitioned
+            {"name": "partition",
+             "type": _partition_record_schema(part_fields or [],
+                                              schema_json or {"fields": []}),
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "value_counts",
+             "type": ["null", _kv_map_schema("k119_v120", 119, 120, "long")],
+             "field-id": 109, "default": None},
+            {"name": "null_value_counts",
+             "type": ["null", _kv_map_schema("k121_v122", 121, 122, "long")],
+             "field-id": 110, "default": None},
+            {"name": "lower_bounds",
+             "type": ["null", _kv_map_schema("k126_v127", 126, 127, "bytes")],
+             "field-id": 125, "default": None},
+            {"name": "upper_bounds",
+             "type": ["null", _kv_map_schema("k129_v130", 129, 130, "bytes")],
+             "field-id": 128, "default": None},
+        ],
+    }
+
+
+_DATA_FILE_SCHEMA = _data_file_schema()
 
 
 # spec "binary single-value serialization" for bounds values
@@ -277,18 +327,105 @@ def file_column_stats(path: str, schema_json: dict) -> dict:
         "upper_bounds": kv(hi),
     }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"],
-         "field-id": 1, "default": None},
-        {"name": "sequence_number", "type": ["null", "long"],
-         "field-id": 3, "default": None},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "field-id": 4, "default": None},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+def collect_file_infos(spark, paths: list[str], schema_json: dict,
+                       parts: dict[str, dict] | None = None) -> list[dict]:
+    """Per-file record counts + footer stats via ONE distributed pass.
+
+    The r4 verdict's scale-killer: per-file ``pq.ParquetFile`` footer
+    reads ran twice, serially, on the driver — hours of driver I/O at
+    10^5-10^6 files. Here the path list fans out through mapInArrow
+    (footer reads executor-side, parallel, single pass) and only the
+    BOUNDED stats rows come back: one small row per file, the same
+    magnitude as the manifest entries the driver must assemble anyway.
+    Commit assembly stays driver-side — exactly how Iceberg treats
+    manifest construction as distributed work feeding one commit.
+
+    ``parts`` optionally maps path -> partition tuple to attach.
+    Returns [{"path", "record_count", "file_size", "stats"}...] in
+    ``paths`` order.
+    """
+    import base64
+
+    from .arrowutil import amap
+
+    if not paths:
+        return []
+    n_slices = min(len(paths), spark.sparkContext.defaultParallelism)
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(n_slices)
+
+    def footer_kernel(batches):
+        import base64
+        import json as _json
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for b in batches:
+            rows = []
+            for p in b.column(0).to_pylist():
+                st = file_column_stats(p, schema_json)
+                enc = {
+                    k: [{"key": kv["key"],
+                         "value": base64.b64encode(kv["value"]).decode()
+                         if isinstance(kv["value"], (bytes, bytearray))
+                         else kv["value"]} for kv in v]
+                    for k, v in st.items()
+                }
+                rows.append((
+                    p,
+                    _pq.ParquetFile(p).metadata.num_rows,
+                    _os.path.getsize(p),
+                    _json.dumps(enc),
+                ))
+            if rows:
+                yield _pa.RecordBatch.from_arrays(
+                    [_pa.array([r[i] for r in rows]) for i in range(4)],
+                    names=["path", "record_count", "file_size", "stats"],
+                )
+
+    got = {}
+    for r in amap(pdf, footer_kernel,
+                  "path string, record_count long, file_size long, "
+                  "stats string").collect():
+        st = json.loads(r.stats)
+        for k in ("lower_bounds", "upper_bounds"):
+            st[k] = [{"key": kv["key"],
+                      "value": base64.b64decode(kv["value"])}
+                     for kv in st[k]]
+        got[r.path] = dict(path=r.path, record_count=int(r.record_count),
+                           file_size=int(r.file_size), stats=st)
+    missing = [p for p in paths if p not in got]
+    if missing:
+        raise FileNotFoundError(f"footer pass returned no row for "
+                                f"{missing[:3]}{'...' if len(missing) > 3 else ''}")
+    out = [got[p] for p in paths]
+    if parts:
+        for f in out:
+            f["partition"] = parts.get(f["path"], {})
+    return out
+
+
+def _manifest_entry_schema(part_fields: list[dict] | None = None,
+                           schema_json: dict | None = None) -> dict:
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "field-id": 1, "default": None},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "field-id": 3, "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "field-id": 4, "default": None},
+            {"name": "data_file",
+             "type": _data_file_schema(part_fields, schema_json),
+             "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema()
 
 
 def _deterministic_uuid(*parts: str) -> str:
@@ -300,13 +437,19 @@ def _deterministic_uuid(*parts: str) -> str:
 
 def commit_append(location: str, data_files: list[dict], spark_schema,
                   properties: dict[str, str] | None = None,
-                  now_ms: int | None = None) -> str:
+                  now_ms: int | None = None,
+                  partition_fields: list[dict] | None = None) -> str:
     """Commit one append snapshot of ``data_files`` as an Iceberg v2 table.
 
-    data_files: [{"path": ..., "record_count": int, "file_size": int}].
-    Creates or advances <location>/metadata; returns the metadata.json
-    path. Single-writer discipline (like the engine's output dirs): the
-    version-hint publish is the atomic commit point.
+    data_files: [{"path": ..., "record_count": int, "file_size": int,
+    "partition": {name: value} when the table is partitioned}].
+    ``partition_fields`` (first commit only; later appends inherit the
+    table's spec) is the Iceberg partition-spec field list —
+    [{"name", "transform", "source-id", "field-id"}] with field-ids
+    from 1000 per the spec. Creates or advances <location>/metadata;
+    returns the metadata.json path. Single-writer discipline (like the
+    engine's output dirs): the version-hint publish is the atomic
+    commit point.
     """
     meta_dir = os.path.join(location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -317,6 +460,16 @@ def commit_append(location: str, data_files: list[dict], spark_schema,
     snap_id = seq  # deterministic, monotone; spec only asks for unique
     schema_json = (prev["schemas"][prev["current-schema-id"]]
                    if prev else schema_from_spark(spark_schema))
+    if prev:
+        spec_id = prev["default-spec-id"]
+        part_fields = next(s for s in prev["partition-specs"]
+                           if s["spec-id"] == spec_id)["fields"]
+        if partition_fields is not None and partition_fields != part_fields:
+            raise ValueError(
+                "appending with a different partition spec than the "
+                "table's; partition-spec evolution is not supported")
+    else:
+        part_fields = partition_fields or []
 
     # manifest file
     man_uuid = _deterministic_uuid(location, "manifest", str(seq))
@@ -331,7 +484,8 @@ def commit_append(location: str, data_files: list[dict], spark_schema,
                 "content": 0,
                 "file_path": os.path.abspath(f["path"]),
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": {pf["name"]: f.get("partition", {}).get(
+                    pf["name"]) for pf in part_fields},
                 "record_count": int(f["record_count"]),
                 "file_size_in_bytes": int(f["file_size"]),
                 **{k: (f.get("stats") or {}).get(k)
@@ -342,11 +496,11 @@ def commit_append(location: str, data_files: list[dict], spark_schema,
         for f in data_files
     ]
     man_len = avroio.write_container(
-        man_path, _MANIFEST_ENTRY_SCHEMA, entries,
+        man_path, _manifest_entry_schema(part_fields, schema_json), entries,
         metadata={
             "schema": json.dumps(schema_json).encode(),
             "schema-id": b"0",
-            "partition-spec": b"[]",
+            "partition-spec": json.dumps(part_fields).encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data",
@@ -415,9 +569,11 @@ def commit_append(location: str, data_files: list[dict], spark_schema,
         "last-column-id": _last_column_id(schema_json),
         "schemas": [schema_json],
         "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields": part_fields}],
         "default-spec-id": 0,
-        "last-partition-id": 999,  # spec: partition ids start at 1000
+        # spec: partition field ids start at 1000; 999 floor when none
+        "last-partition-id": max(
+            [999] + [pf["field-id"] for pf in part_fields]),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": props,
@@ -505,6 +661,7 @@ def scan_table(location: str, snapshot_id: int | None = None) -> dict:
                 "path": df["file_path"],
                 "record_count": df["record_count"],
                 "file_size": df["file_size_in_bytes"],
+                "partition": df.get("partition") or {},
                 "lower_bounds": df.get("lower_bounds"),
                 "upper_bounds": df.get("upper_bounds"),
             })
@@ -512,12 +669,35 @@ def scan_table(location: str, snapshot_id: int | None = None) -> dict:
     # identical today (schema never evolves here), but time-travel must
     # resolve field-ids against the schema the snapshot was written with
     sid = snap.get("schema-id", md["current-schema-id"])
+    spec_id = md["default-spec-id"]
     return {
         "files": files,
         "schema": md["schemas"].get(sid,
                                     md["schemas"][md["current-schema-id"]]),
+        "partition_spec": next(
+            (s["fields"] for s in md["partition-specs"]
+             if s["spec-id"] == spec_id), []),
+        "properties": md.get("properties", {}),
         "snapshot_id": snap_id,
     }
+
+
+def prune_partitions(plan: dict, **values) -> list[dict]:
+    """Keep files whose manifest partition tuple matches ``values``.
+
+    The partition-pruning primitive an external planner derives from
+    the manifest ``partition`` field (102): metadata-only, no data or
+    footer reads. Unknown partition-field names raise; files keep only
+    when EVERY named field equals the given value.
+    """
+    names = {pf["name"] for pf in plan.get("partition_spec", [])}
+    unknown = set(values) - names
+    if unknown:
+        raise KeyError(f"not partition fields of this table: "
+                       f"{sorted(unknown)} (spec has {sorted(names)})")
+    return [f for f in plan["files"]
+            if all(f.get("partition", {}).get(k) == v
+                   for k, v in values.items())]
 
 
 def prune_files(plan: dict, column: str, lo=None, hi=None) -> list[dict]:
@@ -563,8 +743,41 @@ def prune_files(plan: dict, column: str, lo=None, hi=None) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _partition_value_map(spark, out_dir: str) -> list[tuple[str, int, str]]:
+    """(run, partition_id, partition value) for every committed run.
+
+    partition_ids are RUN-scoped (each freeze numbers its sorted
+    partition values from 0, so an append that introduces a new source
+    renumbers), so the inverse map is resolved per run via the
+    manifest's plan_id -> persisted chunk plan -> partition_of_source.
+    Bounded: one row per (run, partition), never per chunk or per row.
+    """
+    from . import engine
+
+    man = engine.read_manifest(spark, out_dir, raw=True)
+    if man is None:
+        return []
+    from pyspark.sql import functions as F
+
+    pairs = (man.filter(F.col("status") == "ok")
+             .select("run", "plan_id").distinct().collect())
+    out = []
+    for r in pairs:
+        plan = engine.load_output_plan(out_dir, r.plan_id)
+        if plan is None:
+            raise ValueError(
+                f"partitioned export needs the persisted chunk plan for "
+                f"plan_id={r.plan_id!r} under {out_dir}/plan (output "
+                "predates plan persistence?)")
+        for src, pid in plan.partition_of_source.items():
+            out.append((r.run, int(pid),
+                        "__null__" if src is None else str(src)))
+    return out
+
+
 def export_frozen(spark, out_dir: str, table_location: str | None = None,
-                  now_ms: int | None = None) -> str:
+                  now_ms: int | None = None, partitioned: bool = False,
+                  materialize: bool = False) -> str:
     """Export a committed frozen output as an Iceberg v2 table.
 
     The data files are the output's committed encoded parquet files
@@ -572,13 +785,88 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
     dirs are NOT exported, same invisibility rule); the Iceberg table
     location defaults to ``<out_dir>/iceberg``. Returns the
     metadata.json path.
-    """
-    import pyarrow.parquet as pq
 
+    The default (file-granular) export is POINT-IN-TIME: it registers
+    the engine's own encoded files, so a later compact/purge_deletes/
+    vacuum on the engine output retires or deletes bytes the exported
+    snapshots still point at. Pass ``materialize=True`` for an export
+    the Iceberg table OWNS — the visible rows are rewritten into
+    ``<location>/data`` (copy-on-write), immune to engine maintenance.
+
+    ``partitioned=True`` (implies materialize) carries the engine's
+    partitioning into the Iceberg table: rows gain a ``part`` column
+    (the engine partition VALUE — the hidden-transform result string,
+    e.g. the epoch-day of ``day(ts)``), data files are written one-
+    partition-per-file, manifest entries carry real partition tuples
+    (field 102), and the table gets an identity partition spec over
+    ``part`` (field-id 1000) — so any planner prunes by partition from
+    metadata alone (:func:`prune_partitions`). The engine transform is
+    recorded in table properties (``cryo.partition-transform``).
+    """
     from . import engine
 
     loc = table_location or os.path.join(out_dir, "iceberg")
     enc = engine.read_encoded(spark, out_dir)
+
+    if partitioned:
+        from pyspark.sql import functions as F
+
+        rows = _partition_value_map(spark, out_dir)
+        if not rows:
+            raise ValueError(f"{out_dir}: nothing committed to export")
+        map_df = spark.createDataFrame(
+            rows, "run string, partition_id int, part string")
+        enc2 = (enc.join(F.broadcast(map_df), ["run", "partition_id"])
+                .drop("run").withColumn("_part", F.col("part")))
+        mat_dir = os.path.join(loc, "data",
+                               f"export-{len(_log_entries(loc)) + 1}")
+        # one-partition-per-file: cluster by (part, chunk_id) so each
+        # task writes its partitions' chunks into that partition's dir;
+        # `part` stays a REAL data column (identity-partition source
+        # columns live in the files, per normal Iceberg writers) while
+        # the `_part` copy only names the directories
+        (enc2.repartition("part", "chunk_id")
+         .write.mode("error").partitionBy("_part").parquet(mat_dir))
+        import urllib.parse
+
+        paths, parts = [], {}
+        for d in sorted(os.listdir(mat_dir)):
+            if not d.startswith("_part="):
+                continue
+            val = urllib.parse.unquote(d[len("_part="):])
+            for name in sorted(os.listdir(os.path.join(mat_dir, d))):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    p = os.path.join(mat_dir, d, name)
+                    paths.append(p)
+                    parts[p] = {"part": val}
+        schema = enc2.drop("_part").schema
+        schema_json = schema_from_spark(schema)
+        part_src_id = next(f["id"] for f in schema_json["fields"]
+                           if f["name"] == "part")
+        part_fields = [{"name": "part", "transform": "identity",
+                        "source-id": part_src_id, "field-id": 1000}]
+        infos = collect_file_infos(spark, paths, schema_json, parts=parts)
+        if sum(f["record_count"] for f in infos) != enc.count():
+            raise RuntimeError(
+                "partitioned export row-count mismatch: some encoded "
+                "rows have no (run, partition_id) entry in the persisted "
+                "chunk plans")
+        props = {}
+        out_spec = engine.load_output_spec(out_dir)
+        if out_spec is not None:
+            if out_spec.partition_transform:
+                # how `part` was DERIVED (the hidden transform) — a
+                # reader mapping part values back to source-column
+                # predicates needs this provenance
+                props["cryo.partition-transform"] = \
+                    out_spec.partition_transform
+            elif out_spec.partition_col:
+                props["cryo.partition-transform"] = \
+                    f"identity({out_spec.partition_col})"
+        return commit_append(loc, infos, schema, now_ms=now_ms,
+                             partition_fields=part_fields,
+                             properties=props)
+
     runs = sorted({r.run for r in enc.select("run").distinct().collect()})
     schema = enc.drop("run").schema
     schema_json = schema_from_spark(schema)
@@ -594,24 +882,20 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
     # exported file cannot carry a row filter. Detect by row count —
     # read_encoded IS the live set — and fall back to materializing it
     # as fresh data files (Iceberg's copy-on-write rewrite shape).
-    raw_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-    if raw_rows != enc.count():
+    infos = collect_file_infos(spark, paths, schema_json)
+    raw_rows = sum(f["record_count"] for f in infos)
+    if materialize or raw_rows != enc.count():
         mat_dir = os.path.join(loc, "data",
                                f"export-{len(_log_entries(loc)) + 1}")
         enc.drop("run").write.mode("error").parquet(mat_dir)
         paths = [os.path.join(mat_dir, n)
                  for n in sorted(os.listdir(mat_dir))
                  if n.endswith(".parquet") and not n.startswith(".")]
-    files = [{
-        "path": p,
-        "record_count": pq.ParquetFile(p).metadata.num_rows,
-        "file_size": os.path.getsize(p),
-        # footer-derived per-field stats (value counts + scalar bounds,
-        # spec fields 109/110/125/128) so external planners can prune
-        # without opening the files
-        "stats": file_column_stats(p, schema_json),
-    } for p in paths]
-    return commit_append(loc, files, schema, now_ms=now_ms)
+        infos = collect_file_infos(spark, paths, schema_json)
+    # footer-derived per-field stats (value counts + scalar bounds,
+    # spec fields 109/110/125/128) ride each entry so external planners
+    # can prune without opening the files
+    return commit_append(loc, infos, schema, now_ms=now_ms)
 
 
 def _log_entries(location: str) -> list:

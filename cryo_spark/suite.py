@@ -8636,3 +8636,67 @@ def enc_iceberg_export(spark, sf_dir):
         )
         .withColumn("from_metadata_chain", F.lit(bool(ok)))
     )
+
+
+@q(
+    "enc_iceberg_partitioned",
+    """
+    WITH d AS (SELECT *, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+               FROM events),
+         m AS (SELECT min(day) AS d0 FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS pruned_from_metadata
+    FROM d, m WHERE d.day = m.d0
+    GROUP BY event_type
+    """,
+)
+def enc_iceberg_partitioned(spark, sf_dir):
+    """Partitioned Iceberg export: day(ts) freeze -> partition-pruned scan.
+
+    r4 verdict item 2: the engine's hidden partitioning
+    (``partition_transform='day(ts)'``) is carried INTO the exported
+    Iceberg table — data files are rewritten one-partition-per-file
+    (copy-on-write, so the table owns its files), each manifest entry
+    carries a real partition tuple (field 102), and the table metadata
+    holds an identity partition spec over the derived ``part`` column
+    (field-id 1000) with the source transform recorded in
+    ``cryo.partition-transform``. The scan plans the EARLIEST day's
+    files purely from manifest partition tuples (prune_partitions — no
+    data or footer reads), decodes only those files, and must reproduce
+    that day's source rows exactly. ``pruned_from_metadata`` pins that
+    the pruned plan is a strict subset of the table's files and its
+    manifest record counts equal the decoded row count. Reference
+    analog: per-dir partitioned outputs,
+    crates/freeze/src/types/partitions.rs:290-337.
+    """
+    import dataclasses
+
+    from . import engine, iceberg
+    from .tablespec import EVENTS
+
+    spec = dataclasses.replace(EVENTS, partition_col=None,
+                               partition_transform="day(ts)")
+    base = _scratch("icepart", sf_dir)
+    src = _t(spark, sf_dir, "events")
+    s = engine.freeze(spark, src, f"{base}/out", target_tokens=50_000,
+                      spec=spec)
+    assert s["n_failed"] == 0
+    iceberg.export_frozen(spark, f"{base}/out",
+                          table_location=f"{base}/ptab", partitioned=True)
+    plan = iceberg.scan_table(f"{base}/ptab")
+    day0 = min(int(f["partition"]["part"]) for f in plan["files"])
+    sel = iceberg.prune_partitions(plan, part=str(day0))
+    sub = spark.read.parquet(*[f["path"] for f in sel])
+    dec = engine.decode(sub.drop("part"), spec=spec)
+    ok = (0 < len(sel) < len(plan["files"])
+          and sum(f["record_count"] for f in sel) == sub.count())
+    return (
+        dec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .withColumn("pruned_from_metadata", F.lit(bool(ok)))
+    )

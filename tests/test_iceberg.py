@@ -398,3 +398,92 @@ def test_verify_output_accepts_zero_survivor_purge(spark, tmp_path):
     rep = cryo_spark.verify_output(spark, out)
     assert rep["missing_runs"] == [], rep
     assert rep["status"] in ("ok", "warn"), rep
+
+
+def test_partitioned_export_prunes_and_decodes(spark, tmp_path):
+    """day(ts) freeze -> partitioned export -> tuple-pruned exact read."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from cryo_spark import engine
+    from cryo_spark.tablespec import EVENTS
+
+    spec = dataclasses.replace(EVENTS, partition_col=None,
+                               partition_transform="day(ts)")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "out")
+    s = engine.freeze(spark, src, out, target_tokens=50_000, spec=spec)
+    assert s["n_failed"] == 0
+    iceberg.export_frozen(spark, out, table_location=str(tmp_path / "pt"),
+                          partitioned=True, now_ms=1)
+    plan = iceberg.scan_table(str(tmp_path / "pt"))
+    # metadata carries the identity spec over `part` + the transform
+    assert plan["partition_spec"] == [
+        {"name": "part", "transform": "identity",
+         "source-id": plan["partition_spec"][0]["source-id"],
+         "field-id": 1000}]
+    assert plan["properties"]["cryo.partition-transform"] == "day(ts)"
+    # every file carries a partition tuple; one-partition-per-file
+    assert all(f["partition"].get("part") is not None
+               for f in plan["files"])
+    days = sorted({f["partition"]["part"] for f in plan["files"]})
+    assert len(days) > 1
+    day = days[0]
+    sel = iceberg.prune_partitions(plan, part=day)
+    assert 0 < len(sel) < len(plan["files"])
+    sub = spark.read.parquet(*[f["path"] for f in sel])
+    # pruned manifest record counts == scanned rows (metadata is truth)
+    assert sum(f["record_count"] for f in sel) == sub.count()
+    dec = engine.decode(sub.drop("part"), spec=spec)
+    got = sorted(r.event_id for r in dec.select("event_id").collect())
+    day_expr = ("CAST(floor(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 86400000000.0)"
+                f" AS BIGINT) = {day}")
+    want = sorted(r.event_id for r in
+                  src.filter(F.expr(day_expr)).select("event_id").collect())
+    assert got == want and len(got) > 0
+    # unknown partition-field name raises
+    with pytest.raises(KeyError):
+        iceberg.prune_partitions(plan, nope="1")
+
+
+def test_materialized_export_owns_files(spark, tmp_path):
+    """materialize=True: table data lives under <loc>/data, immune to
+    engine maintenance (vacuum of the engine run dirs)."""
+    import cryo_spark
+    from cryo_spark import engine
+
+    src = str(tmp_path / "in.parquet")
+    cryo_spark.write_sequences(src, n=500, seed=11)
+    out = str(tmp_path / "out")
+    cryo_spark.freeze(spark, src, out, target_tokens=30_000)
+    loc = str(tmp_path / "tab")
+    iceberg.export_frozen(spark, out, table_location=loc,
+                          materialize=True, now_ms=1)
+    plan = iceberg.scan_table(loc)
+    assert all(f["path"].startswith(os.path.abspath(loc))
+               for f in plan["files"])
+    dec = engine.decode(iceberg.read_exported(spark, loc))
+    assert dec.count() == 500
+
+
+def test_collect_file_infos_matches_driver_loop(spark, tmp_path):
+    """The distributed footer pass returns exactly the per-file stats
+    the old serial driver loop computed."""
+    import cryo_spark
+
+    src = str(tmp_path / "in.parquet")
+    cryo_spark.write_sequences(src, n=400, seed=5)
+    out = str(tmp_path / "out")
+    cryo_spark.freeze(spark, src, out, target_tokens=20_000)
+    iceberg.export_frozen(spark, out, now_ms=1)
+    plan = iceberg.scan_table(f"{out}/iceberg")
+    schema_json = plan["schema"]
+    paths = [f["path"] for f in plan["files"]]
+    infos = iceberg.collect_file_infos(spark, paths, schema_json)
+    assert [f["path"] for f in infos] == paths
+    for f in infos:
+        assert f["record_count"] == pq.ParquetFile(f["path"]).metadata.num_rows
+        assert f["file_size"] == os.path.getsize(f["path"])
+        assert f["stats"] == iceberg.file_column_stats(f["path"], schema_json)
