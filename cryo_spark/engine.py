@@ -47,6 +47,26 @@ MANIFEST_COLUMNS = [
     "raw_bytes", "enc_bytes", "min_doc_id", "max_doc_id", "min_value",
     "max_value", "key_bloom", "wall_ms", "status",
 ]
+
+
+def _manifest_proj(manifest_blooms: bool) -> list:
+    """Manifest projection; by default the bloom BYTES stay side-located.
+
+    The blooms dominated manifest size (~130 KB/chunk — ~6 TB of
+    metadata ride-along at a 100 TB corpus, r4 verdict) yet only the
+    point-lookup / contains / purge paths ever read them. The encoded
+    files already carry every bloom (per-chunk metadata riding the
+    data, authoritative copy), so the manifest keeps the SLOT (schema
+    unchanged, legacy manifests still read) but writes NULL bytes;
+    pruning paths load blooms via a column-pruned projection of the
+    encoded files (:func:`read_bloom_stats`) — fetched only when a
+    point lookup actually runs. ``manifest_blooms=True`` restores the
+    inline copy for manifests that must be self-contained off-cluster.
+    """
+    if manifest_blooms:
+        return list(MANIFEST_COLUMNS)
+    return [F.lit(None).cast("binary").alias(c) if c == "key_bloom"
+            else c for c in MANIFEST_COLUMNS]
 SEQUENCES_DDL = SEQUENCES.spark_ddl()  # "doc_id string, tokens array<int>, ..."
 
 
@@ -1624,7 +1644,7 @@ def upsert(
             .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
     written = spark.read.parquet(enc_dir)
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
-    written.select(*MANIFEST_COLUMNS).withColumn(
+    written.select(*_manifest_proj(False)).withColumn(
         "plan_id", F.lit(_plan_fingerprint(plan))
     ).write.mode("error").parquet(man_dir)
     snap = snapshots.commit(output_dir, run_id, "rewrite",
@@ -1676,7 +1696,8 @@ def _affected_chunks(spark: SparkSession, output_dir: str, man: DataFrame,
     )
     probe = keys_df.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
     if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
-        bk = _bloom_chunk_keys(man, [str(r[0]) for r in probe], spec)
+        bk = _bloom_chunk_keys(read_bloom_stats(spark, output_dir, man),
+                               [str(r[0]) for r in probe], spec)
         if bk is not None:
             affected = affected.join(bk, ["run", "partition_id", "chunk_id"],
                                      "left_semi")
@@ -1773,7 +1794,7 @@ def purge_deletes(
         .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
     written = spark.read.parquet(enc_dir)
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
-    written.select(*MANIFEST_COLUMNS).withColumn(
+    written.select(*_manifest_proj(False)).withColumn(
         "plan_id", F.lit(_plan_fingerprint(plan))
     ).write.mode("error").parquet(man_dir)
     snap = snapshots.commit(output_dir, run_id, "purge",
@@ -2078,6 +2099,7 @@ def freeze(
     chunk_by: str = "hash",
     branch: str | None = None,
     align_with: str | None = None,
+    manifest_blooms: bool = False,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
 
@@ -2304,7 +2326,7 @@ def freeze(
     # the first list column (flattened element count), else the key
     # column (row count)
     payload_col = spec.list_column or spec.key
-    written.select(*MANIFEST_COLUMNS).withColumn(
+    written.select(*_manifest_proj(manifest_blooms)).withColumn(
         "plan_id", F.lit(plan_fp)
     ).observe(
         obs,
@@ -2435,7 +2457,7 @@ def compact(
         .parquet(f"{_tombstones_path(output_dir)}/run={run_id}")
     written = spark.read.parquet(enc_dir)
     man_dir = f"{_manifest_path(output_dir)}/run={run_id}"
-    written.select(*MANIFEST_COLUMNS).withColumn(
+    written.select(*_manifest_proj(False)).withColumn(
         "plan_id", F.lit(_plan_fingerprint(plan))
     ).write.mode("error").parquet(man_dir)
     snap = snapshots.commit(output_dir, run_id, "rewrite",
@@ -2867,6 +2889,32 @@ def _key_str_forms(numbers, spec: TableSpec) -> list[str] | None:
     return None
 
 
+def read_bloom_stats(spark: SparkSession, output_dir: str,
+                     man: DataFrame | None = None) -> DataFrame | None:
+    """Bloom rows for pruning — the side-located copy in the encoded files.
+
+    The manifest no longer duplicates the bloom BYTES (its key_bloom
+    slot is NULL by default, :func:`_manifest_proj`); the authoritative
+    copy rides each chunk's row in the encoded files, and this
+    projection reads ONLY (run, partition_id, chunk_id, column, status,
+    key_bloom) — column-clustered row groups mean the payload bytes are
+    never touched. Loaded exclusively by the point-lookup / contains /
+    purge paths, so at a 100 TB corpus the manifest scan every read
+    pays shrinks by the bloom bytes while lookups keep their pruning.
+    ``man`` is the legacy fallback: outputs whose manifests still carry
+    inline blooms (or whose encoded files predate blooms) prune from it
+    unchanged.
+    """
+    try:
+        enc = _read_run_partitioned(spark, _encoded_path(output_dir))
+    except Exception:
+        return man
+    if "key_bloom" not in enc.columns:
+        return man
+    return enc.select("run", "partition_id", "chunk_id", "column",
+                      "status", "key_bloom")
+
+
 def _bloom_chunk_keys(man: DataFrame, key_strs: list[str],
                       spec: TableSpec) -> DataFrame | None:
     """Chunks whose key bloom possibly contains ANY requested key.
@@ -2878,7 +2926,7 @@ def _bloom_chunk_keys(man: DataFrame, key_strs: list[str],
     A key row with a NULL bloom (legacy output) is conservatively kept.
     Returns None when the manifest predates blooms entirely.
     """
-    if "key_bloom" not in man.columns or not key_strs:
+    if man is None or "key_bloom" not in man.columns or not key_strs:
         return None
     h = hashing.hash_utf8(pa.array(key_strs, pa.string()))
     hb = h.tobytes()
@@ -3007,7 +3055,8 @@ def _normalize_filters(filters, spec: TableSpec):
 
 
 def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
-                    man: DataFrame | None = None) -> DataFrame:
+                    man: DataFrame | None = None,
+                    bloom_src: DataFrame | None = None) -> DataFrame:
     """Prune whole chunks via the manifest's per-column zone maps.
 
     Every chunk x column row carries its value min/max (min_value /
@@ -3060,8 +3109,11 @@ def _zone_map_prune(enc: DataFrame, filters, spec: TableSpec,
         # refine with the per-chunk content bloom: min/max alone keeps
         # every chunk whose element RANGE spans the value (nearly all of
         # them for a dense vocabulary); the bloom keeps only chunks that
-        # plausibly contain it
-        bk = _bloom_chunk_values(stats_src, name, [int(val)])
+        # plausibly contain it. Bloom bytes are side-located in the
+        # encoded files (read_bloom_stats) — manifests carry NULL slots
+        bk = _bloom_chunk_values(
+            bloom_src if bloom_src is not None else stats_src,
+            name, [int(val)])
         if bk is not None:
             keys = bk if keys is None else keys.join(
                 bk, ["run", "partition_id", "chunk_id"], "left_semi")
@@ -3230,15 +3282,17 @@ def collect(
                 nums = _point_numbers(key_chunks)
                 strs = None if nums is None else _key_str_forms(nums, spec)
                 bk = (None if strs is None
-                      else _bloom_chunk_keys(man, strs, spec))
+                      else _bloom_chunk_keys(
+                          read_bloom_stats(spark, source, man), strs, spec))
                 if bk is not None:
                     enc = enc.join(F.broadcast(bk),
                                    ["run", "partition_id", "chunk_id"],
                                    "left_semi")
             if filters:
+                man_f = read_manifest(spark, source, as_of=as_of)
                 enc = _zone_map_prune(
-                    enc, filters, spec,
-                    man=read_manifest(spark, source, as_of=as_of))
+                    enc, filters, spec, man=man_f,
+                    bloom_src=read_bloom_stats(spark, source, man_f))
             extra = [] if key_chunks is None or spec.key in used else [spec.key]
             extra += [n for n, _, _ in (filters or ())
                       if n not in used and n not in extra]

@@ -953,8 +953,11 @@ def scan_point_lookup(spark, sf_dir):
     man = engine.read_manifest(spark, out)
     total = man.filter(
         (F.col("status") == "ok") & (F.col("column") == "doc_id")).count()
+    # bloom bytes are side-located in the encoded files (manifest slots
+    # are NULL); the lookup path loads them via read_bloom_stats
     kept = engine._bloom_chunk_keys(
-        man, [f"doc-{n:012d}" for n in (3, 141, 442)], SEQUENCES).count()
+        engine.read_bloom_stats(spark, out, man),
+        [f"doc-{n:012d}" for n in (3, 141, 442)], SEQUENCES).count()
     return engine.collect(
         spark, out, keys="3 141 442", columns=["doc_id", "n_tok", "source"]
     ).select(
@@ -6517,7 +6520,8 @@ def scan_token_contains(spark, sf_dir):
     total = enc.select(*ck).distinct().count()
     kept = (
         _zone_map_prune(enc, [("tokens", "contains", _CONTAINS_TOK)],
-                        SEQUENCES, man=man)
+                        SEQUENCES, man=man,
+                        bloom_src=engine.read_bloom_stats(spark, out, man))
         .select(*ck).distinct().count()
     )
     return engine.collect(

@@ -15,8 +15,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from cryo_spark import collect, delete_where, freeze, purge_deletes, hashing
-from cryo_spark.engine import (_bloom_chunk_keys, read_encoded,
-                               read_manifest)
+from cryo_spark.engine import (_bloom_chunk_keys, read_bloom_stats,
+                               read_encoded, read_manifest)
 from cryo_spark.tablespec import SEQUENCES
 
 
@@ -45,21 +45,44 @@ def frozen(spark, sequences_path, tmp_path_factory):
     return out
 
 
-def test_manifest_carries_key_blooms(spark, frozen):
-    man = read_manifest(spark, frozen).filter(F.col("status") == "ok")
-    key_rows = man.filter(F.col("column") == "doc_id")
+def test_blooms_side_located_not_in_manifest(spark, frozen):
+    # the authoritative bloom copy rides the encoded files; the lookup
+    # paths load it via read_bloom_stats. The manifest keeps the SLOT
+    # (schema stable, legacy manifests still read) but NULL bytes —
+    # ~130 KB/chunk of ride-along metadata gone at scale (r4 verdict)
+    bs = read_bloom_stats(spark, frozen).filter(F.col("status") == "ok")
+    key_rows = bs.filter(F.col("column") == "doc_id")
     assert key_rows.filter(F.col("key_bloom").isNull()).count() == 0
     # int-list columns carry a content bloom (test_token_bloom.py);
     # every OTHER column's bloom slot stays null
-    assert man.filter(~F.col("column").isin("doc_id", "tokens"))\
+    assert bs.filter(~F.col("column").isin("doc_id", "tokens"))\
         .filter(F.col("key_bloom").isNotNull()).count() == 0
+    man = read_manifest(spark, frozen).filter(F.col("status") == "ok")
+    assert man.filter(F.col("key_bloom").isNotNull()).count() == 0
+
+
+def test_manifest_blooms_opt_in(spark, sequences_path, tmp_path):
+    # manifest_blooms=True restores the inline copy for manifests that
+    # must be self-contained off-cluster
+    out = str(tmp_path / "inline")
+    freeze(spark, sequences_path, out, target_tokens=200_000,
+           manifest_blooms=True)
+    man = read_manifest(spark, out).filter(
+        (F.col("status") == "ok") & (F.col("column") == "doc_id"))
+    assert man.filter(F.col("key_bloom").isNull()).count() == 0
+    # and the manifest copy prunes directly (legacy-style source)
+    bk = _bloom_chunk_keys(read_manifest(spark, out),
+                           ["doc-000000000123"], SEQUENCES)
+    total = man.count()
+    assert 1 <= bk.count() <= max(2, total // 4) if total > 1 else True
 
 
 def test_bloom_prunes_point_lookup(spark, frozen):
     man = read_manifest(spark, frozen)
     total = man.filter(
         (F.col("status") == "ok") & (F.col("column") == "doc_id")).count()
-    bk = _bloom_chunk_keys(man, ["doc-000000000123"], SEQUENCES)
+    bk = _bloom_chunk_keys(read_bloom_stats(spark, frozen, man),
+                           ["doc-000000000123"], SEQUENCES)
     kept = bk.count()
     # one key lives in exactly one chunk; FP noise stays tiny
     assert 1 <= kept <= max(2, total // 4)

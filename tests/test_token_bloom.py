@@ -38,10 +38,17 @@ def frozen(spark, sequences_path, tmp_path_factory):
 
 
 def test_token_blooms_written_for_list_column(spark, frozen):
+    # bloom BYTES are side-located in the encoded files; the manifest
+    # keeps a NULL slot (schema stable, ~130 KB/chunk of ride-along gone)
+    from cryo_spark.engine import read_bloom_stats
+
+    bs = read_bloom_stats(spark, frozen).filter(
+        (F.col("status") == "ok") & (F.col("column") == "tokens"))
+    rows = bs.select("key_bloom").collect()
+    assert rows and all(r.key_bloom is not None for r in rows)
     man = read_manifest(spark, frozen).filter(
         (F.col("status") == "ok") & (F.col("column") == "tokens"))
-    rows = man.select("key_bloom").collect()
-    assert rows and all(r.key_bloom is not None for r in rows)
+    assert man.filter(F.col("key_bloom").isNotNull()).count() == 0
 
 
 def test_contains_prunes_chunks_and_matches_full_scan(spark, sequences_path,
@@ -52,12 +59,15 @@ def test_contains_prunes_chunks_and_matches_full_scan(spark, sequences_path,
         src.select(F.explode("tokens").alias("t"))
         .groupBy("t").count().orderBy("count", "t").first()["t"]
     )
+    from cryo_spark.engine import read_bloom_stats
+
     enc = read_encoded(spark, frozen)
     man = read_manifest(spark, frozen)
     total = enc.select("run", "partition_id", "chunk_id").distinct().count()
     kept = (
         _zone_map_prune(enc, [("tokens", "contains", int(tok))], SEQUENCES,
-                        man=man)
+                        man=man,
+                        bloom_src=read_bloom_stats(spark, frozen, man))
         .select("run", "partition_id", "chunk_id").distinct().count()
     )
     assert 0 < kept < total  # the bloom actually pruned
