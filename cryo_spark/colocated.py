@@ -113,6 +113,103 @@ def _single_plan_id(spark: SparkSession, output_dir: str) -> str | None:
     return ids[0] if len(ids) == 1 else None
 
 
+def _run_of(path: str) -> str:
+    """run id of an encoded file path (…/encoded/run=<id>/file.parquet)."""
+    return os.path.basename(os.path.dirname(path))[len("run="):]
+
+
+def _run_plans(spark: SparkSession, output_dir: str) -> dict[str, str] | None:
+    """run -> plan fingerprint for every ok-committed run, or None when
+    unavailable / malformed (a run spanning two plans)."""
+    man = engine.read_manifest(spark, output_dir)
+    if man is None or "plan_id" not in man.columns:
+        return None
+    rows = man.filter(F.col("status") == "ok") \
+        .select("run", "plan_id").distinct().collect()
+    out = {r.run: r.plan_id for r in rows}
+    if len(out) != len(rows):
+        return None
+    return out
+
+
+def _plan_key_intervals(spark: SparkSession, output_dir: str,
+                        spec: TableSpec) -> dict[str, tuple] | None:
+    """Per-plan [min, max] key interval from manifest zone maps
+    (metadata-only agg); None when the key has no numeric manifest form."""
+    man = engine.read_manifest(spark, output_dir)
+    if man is None or "plan_id" not in man.columns:
+        return None
+    try:
+        kmin = engine._manifest_key_num("min_doc_id", spec)
+        kmax = engine._manifest_key_num("max_doc_id", spec)
+    except ValueError:
+        return None
+    rows = (man.filter((F.col("status") == "ok")
+                       & (F.col("column") == spec.key))
+            .groupBy("plan_id")
+            .agg(F.min(kmin).alias("lo"), F.max(kmax).alias("hi"))
+            .collect())
+    if any(r.lo is None or r.hi is None for r in rows):
+        return None
+    return {r.plan_id: (r.lo, r.hi) for r in rows}
+
+
+def _multi_plan_tasks(
+    spark: SparkSession, dir_a: str, dir_b: str,
+    files_a: list[str], files_b: list[str], spec: TableSpec,
+    how: str, parallelism: int, target_bytes: int,
+) -> list[tuple[list[str], list[str]]] | None:
+    """Task list for the per-plan-generation fast path, or None.
+
+    After spec/layout evolution an output holds runs of SEVERAL plans;
+    chunk ids are PLAN-relative, so pairing must happen within a plan
+    generation. Sound iff a key can only meet its own plan's chunks on
+    both sides, which the manifests prove cheaply: (a) both sides'
+    visible plan sets are equal, and (b) every pair of DIFFERENT plans
+    has disjoint [min, max] key intervals — within each side AND across
+    sides (a key under plan P on side A and plan Q != P on side B would
+    put it inside both I_A(P) and I_B(Q), which disjointness forbids).
+    Tasks are packed per plan so a task's chunk-id space never mixes
+    generations.
+    """
+    rp_a = _run_plans(spark, dir_a)
+    rp_b = _run_plans(spark, dir_b)
+    if rp_a is None or rp_b is None:
+        return None
+    pids = set(rp_a.values())
+    if not pids or pids != set(rp_b.values()):
+        return None
+    for pid in sorted(pids):
+        plan = (engine.load_output_plan(dir_a, pid)
+                or engine.load_output_plan(dir_b, pid))
+        if plan is None or plan.layout == "zorder":
+            return None
+    iv_a = _plan_key_intervals(spark, dir_a, spec)
+    iv_b = _plan_key_intervals(spark, dir_b, spec)
+    if iv_a is None or iv_b is None:
+        return None
+    ivs = ([(p, iv) for p, iv in iv_a.items()]
+           + [(p, iv) for p, iv in iv_b.items()])
+    for i in range(len(ivs)):
+        for j in range(i + 1, len(ivs)):
+            (p1, (lo1, hi1)), (p2, (lo2, hi2)) = ivs[i], ivs[j]
+            if p1 != p2 and not (hi1 < lo2 or hi2 < lo1):
+                return None
+    tasks: list[tuple[list[str], list[str]]] = []
+    for pid in sorted(pids):
+        fa = [f for f in files_a if rp_a.get(_run_of(f)) == pid]
+        fb = [f for f in files_b if rp_b.get(_run_of(f)) == pid]
+        ma = _chunk_file_map(fa)
+        mb = _chunk_file_map(fb)
+        if ma is None or mb is None:
+            return None
+        groups = _file_groups(ma, mb)
+        groups = [(a, b) for a, b in groups
+                  if a and (b or how != "inner")]
+        tasks.extend(_pack_groups(groups, parallelism, target_bytes))
+    return tasks
+
+
 def _chunk_file_map(files: list[str]) -> dict[int, str] | None:
     """chunk_id -> encoded file, from each file's tiny chunk_id/status
     columns (one row per chunk x column — metadata-scale).  None if a
@@ -364,28 +461,35 @@ def join_frozen(
         if pid_a is None and files_a:
             return fallback()
         return spark.createDataFrame([], ddl)
+    par = max(1, spark.sparkContext.defaultParallelism)
     if pid_a is None or pid_a != pid_b:
-        return fallback()
-    plan = engine.load_output_plan(dir_a, pid_a)
-    if plan is None or plan.layout == "zorder":
-        # zorder assignment depends on each row's weight VALUE, so an
-        # equal fingerprint does not prove equal key placement
-        return fallback()
-    map_a = _chunk_file_map(files_a)
-    map_b = _chunk_file_map(files_b)
-    if map_a is None or map_b is None:
-        return fallback()
-    groups = _file_groups(map_a, map_b)
-    if how == "inner":
-        # A-only components can't produce rows: drop before packing
-        groups = [(a, b) for a, b in groups if a and b]
+        # several plan generations (spec/layout evolution): pair files
+        # within each generation when the manifests prove it sound
+        tasks = _multi_plan_tasks(spark, dir_a, dir_b, files_a, files_b,
+                                  spec_a, how, par, target_bytes)
+        if tasks is None:
+            return fallback()
+        if not tasks:
+            return spark.createDataFrame([], ddl)
     else:
-        groups = [(a, b) for a, b in groups if a]
-    if not groups:
-        return spark.createDataFrame([], ddl)
-    tasks = _pack_groups(groups,
-                         max(1, spark.sparkContext.defaultParallelism),
-                         target_bytes)
+        plan = engine.load_output_plan(dir_a, pid_a)
+        if plan is None or plan.layout == "zorder":
+            # zorder assignment depends on each row's weight VALUE, so
+            # an equal fingerprint does not prove equal key placement
+            return fallback()
+        map_a = _chunk_file_map(files_a)
+        map_b = _chunk_file_map(files_b)
+        if map_a is None or map_b is None:
+            return fallback()
+        groups = _file_groups(map_a, map_b)
+        if how == "inner":
+            # A-only components can't produce rows: drop before packing
+            groups = [(a, b) for a, b in groups if a and b]
+        else:
+            groups = [(a, b) for a, b in groups if a]
+        if not groups:
+            return spark.createDataFrame([], ddl)
+        tasks = _pack_groups(groups, par, target_bytes)
     tdf = spark.createDataFrame(
         [(a, b) for a, b in tasks],
         "paths_a array<string>, paths_b array<string>",

@@ -2099,6 +2099,7 @@ def freeze(
     chunk_by: str = "hash",
     branch: str | None = None,
     align_with: str | None = None,
+    align_plan: str | None = None,
     manifest_blooms: bool = False,
 ) -> dict:
     """Run the full encode job with skip-existing resume.
@@ -2185,11 +2186,12 @@ def freeze(
             raise ValueError(
                 "align_with reuses the other output's plan verbatim; "
                 "keys/n_chunks/chunk_by cannot be combined with it")
-        plan = load_output_plan(align_with)
+        plan = load_output_plan(align_with, plan_id=align_plan)
         if plan is None:
             raise ValueError(
                 f"align_with: no persisted chunk plan under {align_with!r} "
-                "(output predates plan persistence, or has multiple plans)")
+                "(output predates plan persistence, or has multiple "
+                "plans — pass align_plan=<plan_id> to pick one)")
         if plan.layout == "zorder":
             raise ValueError(
                 "align_with: z-order plans place rows by weight value, "

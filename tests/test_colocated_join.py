@@ -194,3 +194,85 @@ def test_pending_deletes_force_fallback(spark, frozen_pair, tmp_path):
     b = spark.read.parquet(sc_in).select("doc_id", "score") \
         .filter(F.col("score") >= 100)
     assert _rows(j) == _rows(a.join(b, "doc_id", "inner"))
+
+
+def _key_num():
+    return F.substring("doc_id", 5, 12).cast("long")
+
+
+def _split(spark, src, base, name, pred):
+    p = str(base / name)
+    spark.read.parquet(src).filter(pred).write.parquet(p)
+    return p
+
+
+def test_multi_plan_generations_fast_path(spark, tmp_path):
+    """Per-plan-generation SPJ: two plan generations (two ranged
+    batches with disjoint key ranges) on BOTH sides join on the fast
+    path — files paired within each generation, zero payload exchange."""
+    seq_in = str(tmp_path / "seq_in")
+    write_sequences(seq_in, n=4_000, seed=11)
+    sc_in = str(tmp_path / "sc_in")
+    _scores_from(spark, seq_in, sc_in, drop_mod=7)
+    k = _key_num()
+    a1 = _split(spark, seq_in, tmp_path, "a1", k < 2000)
+    a2 = _split(spark, seq_in, tmp_path, "a2", k >= 2000)
+    b1 = _split(spark, sc_in, tmp_path, "b1", k < 2000)
+    b2 = _split(spark, sc_in, tmp_path, "b2", k >= 2000)
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    s1 = engine.freeze(spark, a1, out_a, target_tokens=8_192)
+    # different target -> different plan generation (chunk_by='range'
+    # would too, but a range plan cannot align the string-keyed SCORES)
+    s2 = engine.freeze(spark, a2, out_a, target_tokens=4_096)
+    man = engine.read_manifest(spark, out_a)
+    pid_of_run = {r.run: r.plan_id
+                  for r in man.filter(F.col("status") == "ok")
+                  .select("run", "plan_id").distinct().collect()}
+    p1, p2 = pid_of_run[s1["run"]], pid_of_run[s2["run"]]
+    assert p1 != p2
+    assert engine.load_output_plan(out_a) is None  # two plans: ambiguous
+    engine.freeze(spark, b1, out_b, spec=SCORES, align_with=out_a,
+                  align_plan=p1)
+    engine.freeze(spark, b2, out_b, spec=SCORES, align_with=out_a,
+                  align_plan=p2)
+    for how in ("inner", "left"):
+        j = colocated.join_frozen(spark, out_a, out_b,
+                                  columns_a=["n_tok"],
+                                  columns_b=["score", "grade"], how=how,
+                                  require_colocated=True)
+        assert _rows(j) == _rows(_ref_join(spark, seq_in, sc_in, how))
+
+
+def test_multi_plan_overlapping_intervals_fall_back(spark, tmp_path):
+    """Interleaved key coverage (even/odd keys -> overlapping per-plan
+    intervals): the manifests cannot prove plan-pure key routing, so
+    the fast path refuses and the relational fallback stays exact."""
+    seq_in = str(tmp_path / "seq_in")
+    write_sequences(seq_in, n=2_000, seed=13)
+    sc_in = str(tmp_path / "sc_in")
+    _scores_from(spark, seq_in, sc_in, drop_mod=5)
+    k = _key_num()
+    a1 = _split(spark, seq_in, tmp_path, "a1", k % 2 == 0)
+    a2 = _split(spark, seq_in, tmp_path, "a2", k % 2 == 1)
+    b1 = _split(spark, sc_in, tmp_path, "b1", k % 2 == 0)
+    b2 = _split(spark, sc_in, tmp_path, "b2", k % 2 == 1)
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    s1 = engine.freeze(spark, a1, out_a, target_tokens=8_192)
+    s2 = engine.freeze(spark, a2, out_a, target_tokens=4_096)
+    man = engine.read_manifest(spark, out_a)
+    pid_of_run = {r.run: r.plan_id
+                  for r in man.filter(F.col("status") == "ok")
+                  .select("run", "plan_id").distinct().collect()}
+    engine.freeze(spark, b1, out_b, spec=SCORES, align_with=out_a,
+                  align_plan=pid_of_run[s1["run"]])
+    engine.freeze(spark, b2, out_b, spec=SCORES, align_with=out_a,
+                  align_plan=pid_of_run[s2["run"]])
+    with pytest.raises(ValueError, match="fast path unavailable"):
+        colocated.join_frozen(spark, out_a, out_b, columns_a=["n_tok"],
+                              columns_b=["score", "grade"],
+                              require_colocated=True)
+    j = colocated.join_frozen(spark, out_a, out_b, columns_a=["n_tok"],
+                              columns_b=["score", "grade"])
+    assert _rows(j) == _rows(_ref_join(spark, seq_in, sc_in, "inner"))
