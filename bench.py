@@ -109,6 +109,34 @@ def scaling_input() -> str:
     return _cached_input(SCALING_N_DOCS, shards=64)
 
 
+# Adversarial-skew scaling input (r3 verdict item 6 / r4 item 4): one
+# source holds 80% of the token mass, lognormal lengths, ~2.1B tokens at
+# 3.4M docs. Reconstructs the exact r4 fixture (64 shards, seed 42+i,
+# disjoint id ranges) so skew windows stay comparable across rounds.
+SKEW_N_DOCS = 3_400_000
+
+
+def skew_scaling_input() -> str:
+    from cryo_spark.fixtures import write_sequences_big
+
+    path = f"{BENCH_TMP}/sequences_skew_n{SKEW_N_DOCS}"
+    if _cache_valid(path, SKEW_N_DOCS):
+        return path
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_sequences_big(tmp, n=SKEW_N_DOCS, seed=42, shards=64,
+                        processes=16, variant="skewed")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not _cache_valid(path, SKEW_N_DOCS):
+        raise RuntimeError(f"skew input cache at {path} failed validation")
+    return path
+
+
 # Shuffle dirs and bench outputs live on tmpfs: the sandbox has ONE
 # virtio disk shared by every core, while a real cluster's shuffle and
 # scratch space (per-executor NVMe) scales with executor count. ~10 GB

@@ -803,14 +803,33 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
     metadata alone (:func:`prune_partitions`). The engine transform is
     recorded in table properties (``cryo.partition-transform``).
     """
+    from pyspark.sql import functions as F
+
     from . import engine
 
     loc = table_location or os.path.join(out_dir, "iceberg")
-    enc = engine.read_encoded(spark, out_dir)
+    # Visible run set + visible encoded-row count from the MANIFEST
+    # (bounded: rows ∝ chunks), not from scanning the encoded payload
+    # files — at 10^5-10^6 data files the two payload jobs the old path
+    # ran here (`enc.select("run").distinct()` and `enc.count()`) cost
+    # more than the distributed footer pass itself. Manifest rows mirror
+    # encoded rows 1:1 (same keys, minus payload), so the visible ok-row
+    # count IS the visible encoded-row count.
+    man = engine.read_manifest(spark, out_dir)
+    if man is None:
+        raise ValueError(f"{out_dir}: nothing committed to export")
+    vis_keys = engine._visible_ok_keys(spark, out_dir, man)
+    per_run = (man.filter(F.col("status") == "ok")
+               .join(F.broadcast(vis_keys),
+                     ["run", "partition_id", "chunk_id"], "left_semi")
+               .groupBy("run").count().collect())
+    if not per_run:
+        raise ValueError(f"{out_dir}: nothing committed to export")
+    runs = sorted(r["run"] for r in per_run)
+    visible_rows = sum(r["count"] for r in per_run)
 
     if partitioned:
-        from pyspark.sql import functions as F
-
+        enc = engine.read_encoded(spark, out_dir)
         rows = _partition_value_map(spark, out_dir)
         if not rows:
             raise ValueError(f"{out_dir}: nothing committed to export")
@@ -846,7 +865,7 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
         part_fields = [{"name": "part", "transform": "identity",
                         "source-id": part_src_id, "field-id": 1000}]
         infos = collect_file_infos(spark, paths, schema_json, parts=parts)
-        if sum(f["record_count"] for f in infos) != enc.count():
+        if sum(f["record_count"] for f in infos) != visible_rows:
             raise RuntimeError(
                 "partitioned export row-count mismatch: some encoded "
                 "rows have no (run, partition_id) entry in the persisted "
@@ -867,27 +886,32 @@ def export_frozen(spark, out_dir: str, table_location: str | None = None,
                              partition_fields=part_fields,
                              properties=props)
 
-    runs = sorted({r.run for r in enc.select("run").distinct().collect()})
-    schema = enc.drop("run").schema
-    schema_json = schema_from_spark(schema)
     paths = []
     for run in runs:
         run_dir = os.path.join(out_dir, "encoded", f"run={run}")
         for name in sorted(os.listdir(run_dir)):
             if name.endswith(".parquet") and not name.startswith("."):
                 paths.append(os.path.join(run_dir, name))
+    # The data files ARE the table: take the registered schema from one
+    # file footer (driver-side, no job) rather than a read_encoded plan
+    # over every file. Every encoded file carries the fixed ENCODED_DDL
+    # shape, so any footer is authoritative.
+    schema = spark.read.parquet(paths[0]).schema
+    schema_json = schema_from_spark(schema)
     # File-granular export is only sound when the files hold EXACTLY the
     # visible rows: a purge/compact retires chunks via tombstones while
     # their run's files (also holding live chunks) stay on disk, and an
     # exported file cannot carry a row filter. Detect by row count —
-    # read_encoded IS the live set — and fall back to materializing it
-    # as fresh data files (Iceberg's copy-on-write rewrite shape).
+    # the manifest-derived visible_rows IS the live set — and fall back
+    # to materializing it as fresh data files (Iceberg's copy-on-write
+    # rewrite shape).
     infos = collect_file_infos(spark, paths, schema_json)
     raw_rows = sum(f["record_count"] for f in infos)
-    if materialize or raw_rows != enc.count():
+    if materialize or raw_rows != visible_rows:
         mat_dir = os.path.join(loc, "data",
                                f"export-{len(_log_entries(loc)) + 1}")
-        enc.drop("run").write.mode("error").parquet(mat_dir)
+        engine.read_encoded(spark, out_dir).drop("run") \
+            .write.mode("error").parquet(mat_dir)
         paths = [os.path.join(mat_dir, n)
                  for n in sorted(os.listdir(mat_dir))
                  if n.endswith(".parquet") and not n.startswith(".")]

@@ -155,10 +155,17 @@ def run_export_proof(n_files: int, workdir: str) -> dict:
     shutil.rmtree(run_dir)
     os.replace(tmp, run_dir)
     got_files = [f for f in os.listdir(run_dir) if f.endswith(".parquet")]
-    # export, timed: ONE distributed footer pass + driver commit assembly
+    # export, timed: ONE distributed footer pass + driver commit assembly.
+    # Timed twice — the first export on a fresh session pays python-worker
+    # startup + JIT; the second (iceberg dir wiped, same session) is the
+    # steady-state cost a long-lived writer pays per export.
     t0 = time.perf_counter()
     iceberg.export_frozen(spark, out, now_ms=1)
     export_wall = time.perf_counter() - t0
+    shutil.rmtree(os.path.join(out, "iceberg"), ignore_errors=True)
+    t0 = time.perf_counter()
+    iceberg.export_frozen(spark, out, now_ms=1)
+    export_warm = time.perf_counter() - t0
     plan = iceberg.scan_table(os.path.join(out, "iceberg"))
     assert len(plan["files"]) == len(got_files)
     assert sum(f["record_count"] for f in plan["files"]) == n_rows
@@ -173,6 +180,7 @@ def run_export_proof(n_files: int, workdir: str) -> dict:
         phase="export_proof", n_files=len(got_files),
         n_encoded_rows=n_rows,
         export_wall_s=round(export_wall, 2),
+        export_warm_s=round(export_warm, 2),
         serial_footer_once_s=round(serial_wall, 2),
         old_driver_equiv_s=round(2 * serial_wall, 2),
         bytes=sum(f["file_size"] for f in plan["files"]),
