@@ -104,6 +104,11 @@ def run_soak(commits: int, rows: int, every: int, workdir: str) -> dict:
                        ckpt_files_removed=ckpt.get("n_files_removed"))
             samples.append(row)
             print(json.dumps(row), flush=True)
+            # incremental evidence: a long soak killed at session end
+            # still leaves every planning/verify sample on record
+            _append_result(dict(phase="soak_sample",
+                                rows_per_commit=rows,
+                                consolidate_every=every, **row))
             assert rep["status"] in ("ok", "warn"), rep
     # final pin: decoded row count == everything ever committed
     n = engine.decode(engine.read_encoded(spark, out)).count()
