@@ -59,7 +59,8 @@ def _planning_wall(spark, out: str) -> float:
     return time.perf_counter() - t0
 
 
-def run_soak(commits: int, rows: int, every: int, workdir: str) -> dict:
+def run_soak(commits: int, rows: int, every: int, workdir: str,
+             compact_every: int = 500) -> dict:
     import numpy as np
     import pandas as pd
 
@@ -86,6 +87,19 @@ def run_soak(commits: int, rows: int, every: int, workdir: str) -> dict:
         s = engine.freeze(spark, df, out, target_tokens=1 << 20)
         assert s.get("n_failed", 0) == 0, s
         if (i + 1) % every == 0:
+            # manifest-side maintenance every sample; payload-side
+            # (compact) on its own cadence: consolidation bounds
+            # MANIFEST dirs but each commit still leaves one encoded
+            # run= dir, and Spark's file listing over those grows the
+            # read-path planning wall linearly — the first soak run
+            # measured 0.6 -> 1.4 s over 700 commits. compact() is the
+            # rewrite_data_files analog that folds the micro-runs'
+            # chunks into target-sized ones; vacuum then drops the
+            # emptied run dirs, which is what makes planning flat.
+            compacted = False
+            if compact_every and (i + 1) % compact_every == 0:
+                engine.compact(spark, out, target_tokens=1 << 20)
+                compacted = True
             cons = engine.consolidate_manifests(spark, out)
             ckpt = snapshots.checkpoint(out)
             engine.vacuum(spark, out)
@@ -97,9 +111,14 @@ def run_soak(commits: int, rows: int, every: int, workdir: str) -> dict:
             n_man_dirs = (len([x for x in os.listdir(man)
                                if x.startswith("run=")])
                           if os.path.isdir(man) else 0)
+            encd = os.path.join(out, "encoded")
+            n_enc_dirs = (len([x for x in os.listdir(encd)
+                               if x.startswith("run=")])
+                          if os.path.isdir(encd) else 0)
             row = dict(commit=i + 1, planning_s=round(plan_s, 3),
                        verify=rep["status"], n_log_files=n_log_files,
-                       n_man_dirs=n_man_dirs,
+                       n_man_dirs=n_man_dirs, n_enc_dirs=n_enc_dirs,
+                       compacted=compacted,
                        consolidated=bool(cons.get("consolidated")),
                        ckpt_files_removed=ckpt.get("n_files_removed"))
             samples.append(row)
@@ -203,13 +222,15 @@ def main() -> int:
     ap.add_argument("--commits", type=int, default=2000)
     ap.add_argument("--rows-per-commit", type=int, default=200)
     ap.add_argument("--consolidate-every", type=int, default=200)
+    ap.add_argument("--compact-every", type=int, default=500)
     ap.add_argument("--export-files", type=int, default=5000)
     ap.add_argument("--workdir", default="/tmp/cryo_soak")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     if args.phase in ("soak", "both"):
         run_soak(args.commits, args.rows_per_commit,
-                 args.consolidate_every, args.workdir)
+                 args.consolidate_every, args.workdir,
+                 compact_every=args.compact_every)
     if args.phase in ("export", "both"):
         run_export_proof(args.export_files, args.workdir)
     return 0
