@@ -1320,7 +1320,17 @@ def verify_output(spark: SparkSession, output_dir: str) -> dict:
             spark, _encoded_path(output_dir)).select(*keys4)
     except Exception:
         enc = ok.limit(0)
-    report["n_missing_payload"] = ok.join(enc, keys4, "left_anti").count()
+    # missing payload is corruption only for LIVE chunks: a chunk every
+    # committed tombstone retires keeps its (append-only) manifest row
+    # while vacuum legitimately reclaims its bytes once the whole run
+    # dir is dead — the streaming-cadence soak (compact + consolidate +
+    # checkpoint + vacuum) hits exactly that state, and raw-ok rows
+    # would report every reclaimed chunk as corrupt
+    live_keys = _visible_ok_keys(spark, output_dir, man)
+    ok_live = ok.join(F.broadcast(live_keys),
+                      ["run", "partition_id", "chunk_id"], "left_semi")
+    report["n_missing_payload"] = ok_live.join(
+        enc, keys4, "left_anti").count()
     report["n_orphan_rows"] = enc.join(ok, keys4, "left_anti").count()
     report["n_duplicate_rows"] = (
         ok.groupBy(*keys4).count().filter(F.col("count") > 1).count())

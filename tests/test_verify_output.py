@@ -42,6 +42,36 @@ def test_full_lifecycle_stays_clean(spark, frozen):
     assert r["status"] == "ok", r
 
 
+def test_streaming_maintenance_cycle_stays_clean(spark, tmp_path):
+    """Micro-batch commits + compact + consolidate + checkpoint + vacuum
+    (the metadata-soak cadence) must verify clean: consolidation
+    re-bases the snapshot run set, vacuum then PHYSICALLY reclaims the
+    fully-retired micro-runs' dirs, and the retired chunks' append-only
+    manifest rows must not read as missing payload."""
+    from cryo_spark import decode, snapshots
+    from cryo_spark.engine import consolidate_manifests, read_encoded
+
+    src = str(tmp_path / "seqs.parquet")
+    write_sequences(src, n=300, seed=31)
+    out = str(tmp_path / "out")
+    from pyspark.sql import functions as F
+    full = spark.read.parquet(src)
+    for i in range(6):  # 6 micro-commits, 50 docs each
+        lo, hi = f"doc-{i*50:012d}", f"doc-{(i+1)*50:012d}"
+        batch = full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        s = freeze(spark, batch, out, target_tokens=10_000)
+        assert s.get("n_failed", 0) == 0
+    compact(spark, out, target_tokens=1 << 20)
+    consolidate_manifests(spark, out)
+    snapshots.checkpoint(out)
+    rep = vacuum(spark, out)
+    assert rep["n_deleted_runs"] >= 6, rep  # micro-runs physically gone
+    r = verify_output(spark, out)
+    assert r["status"] in ("ok", "warn"), r
+    assert r["n_missing_payload"] == 0, r
+    assert decode(read_encoded(spark, out)).count() == 300
+
+
 def test_orphan_run_is_warn_not_corrupt(spark, frozen):
     _, out = frozen
     run = os.listdir(f"{out}/encoded")[0]
